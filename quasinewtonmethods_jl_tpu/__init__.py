@@ -1,0 +1,56 @@
+"""quasinewtonmethods_jl_tpu — TPU-native quasi-Newton log-density maximization.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+chriselrod/QuasiNewtonMethods.jl (reference mounted at /root/reference):
+BFGS maximization of statistical log-densities with a backtracking
+(quadratic/cubic) line search, built for MAP/mode-finding workloads such as
+HMC chain initialization — re-designed TPU-first rather than ported:
+
+  * the two-callback protocol (logdensity / ∂logdensity!, reference
+    src/QuasiNewtonMethods.jl:8-9) becomes a pure function + jax.value_and_grad
+    (analytic override via ``value_and_grad_fn``);
+  * the preallocated SIMD-padded ``BFGSState`` struct (:84-106) becomes a
+    static-shape pytree carried through one jitted ``lax.while_loop``;
+  * the fused LoopVectorization rank-2 update kernel (:34-69) becomes a
+    VMEM-resident Pallas kernel (with a pure-jnp oracle);
+  * whole solves batch under ``jax.vmap`` (``optimize_batched``) and shard
+    over device meshes — the TPU answer to the reference's
+    one-state-per-thread ``PtrBFGSState`` design (:117-121);
+  * an L-BFGS two-loop path covers the large-n regime the dense-B reference
+    cannot reach.
+
+Maximization convention throughout: objectives are log-densities to be
+maximized; ascent directions are +B⁻¹∇.
+"""
+
+from .api import ProbabilityModel
+from .ops.bfgs import bfgs_update, initial_inv_hessian
+from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
+from .solve import (
+    MAX_ITERATIONS_DEFAULT,
+    OptimizeResult,
+    optimize,
+    optimize_from_state,
+)
+from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_state
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ProbabilityModel",
+    "BackTracking",
+    "LineSearchResult",
+    "backtracking_linesearch",
+    "bfgs_update",
+    "initial_inv_hessian",
+    "optimize",
+    "optimize_from_state",
+    "OptimizeResult",
+    "MAX_ITERATIONS_DEFAULT",
+    "BFGSState",
+    "LBFGSState",
+    "Status",
+    "init_bfgs_state",
+    "init_lbfgs_state",
+    "__version__",
+]

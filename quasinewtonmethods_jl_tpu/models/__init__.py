@@ -1,0 +1,15 @@
+"""Model zoo: analytic log-density fixtures mirroring the reference's test
+strategy (test/runtests.jl:4-33) plus the BASELINE.md benchmark configs."""
+
+from .logistic import LogisticRegressionMAP
+from .quadratic import IllConditionedQuadratic, quadratic_logdensity
+from .rosenbrock import Rosenbrock, rosenbrock_logdensity, rosenbrock_value_and_grad
+
+__all__ = [
+    "LogisticRegressionMAP",
+    "IllConditionedQuadratic",
+    "quadratic_logdensity",
+    "Rosenbrock",
+    "rosenbrock_logdensity",
+    "rosenbrock_value_and_grad",
+]

@@ -1,0 +1,236 @@
+"""The BFGS maximization driver — one jitted `lax.while_loop`.
+
+TPU-native re-expression of the reference driver `optimize!`
+(reference: src/QuasiNewtonMethods.jl:237-292). The reference's imperative
+loop with mid-loop breaks and pointer swaps becomes a single
+`lax.while_loop` whose carry is the full BFGSState pytree; `break`s become
+status codes, the ∇_old↔∇_new / s↔y pointer swaps (:268, :286) become
+functional rebinding (free under XLA), and the in-band NaN/0.0 failure
+sentinels become the Status enum.
+
+Per-iteration structure, kept identical to the reference:
+  1. evaluate value + gradient at the current iterate        (:254)
+  2. break on non-finite value                               (:255)
+  3. converge when max|grad| < tol, returning the value      (:257-262)
+  4. first iteration: sentinel m = -1; otherwise the rank-2
+     inverse-BFGS update producing direction d and m = ∇ᵀB⁻¹∇ (:263-268)
+  5. m <= 0: reset B=I, d=grad, m=‖grad‖² (steepest ascent)   (:272-280)
+  6. backtracking line search; alpha==0 -> failure            (:283-284)
+  7. x += alpha*d; remember the scaled step and the gradient  (:285-286)
+
+Failure contract preserved: `fun` in the result is the reference's return
+value — the converged log-density, or NaN on *any* failure path (:291). The
+richer diagnostics the reference only had as commented-out @show lines
+(:251-256) are first-class here: status, iteration count, f/g eval counts,
+reset count, and the final state (reusable for resume).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .api import as_value_and_grad
+from .ops.bfgs import bfgs_update, initial_inv_hessian
+from .ops.linesearch import BackTracking, backtracking_linesearch
+from .state import BFGSState, Status, init_bfgs_state
+
+__all__ = ["OptimizeResult", "optimize", "optimize_from_state", "MAX_ITERATIONS_DEFAULT"]
+
+# The reference hardcodes N = 10_000 outer iterations (:250).
+MAX_ITERATIONS_DEFAULT = 10_000
+
+
+class OptimizeResult(NamedTuple):
+    """Solve result. ``fun`` keeps the reference's in-band contract: the
+    maximized log-density on convergence, NaN otherwise. ``last_value`` is
+    the final objective value regardless of status (diagnostic)."""
+
+    x: jax.Array  # final iterate (reference `optimum`, :149)
+    fun: jax.Array  # converged value or NaN (reference return, :261/:291)
+    grad: jax.Array  # gradient at x (reference `gradient`, :150)
+    status: jax.Array  # int32 Status code
+    iterations: jax.Array  # int32 outer iterations executed
+    n_fev: jax.Array  # int32 objective evaluations
+    n_gev: jax.Array  # int32 gradient evaluations
+    n_resets: jax.Array  # int32 steepest-ascent restarts
+    last_value: jax.Array  # final objective value (even on failure)
+    state: BFGSState  # full state, resumable via optimize_from_state
+
+    @property
+    def converged(self) -> jax.Array:
+        return self.status == Status.CONVERGED
+
+
+def _solve_loop(
+    vag: Callable,
+    state: BFGSState,
+    ls: BackTracking,
+    tol,
+    max_iterations: int,
+) -> BFGSState:
+    n = state.x.shape[0]
+    dtype = state.x.dtype
+    tol = jnp.asarray(tol, dtype)
+    eye = initial_inv_hessian(n, dtype)
+
+    def cond(s: BFGSState):
+        return jnp.logical_and(s.status == Status.RUNNING, s.k < max_iterations)
+
+    def body(s: BFGSState):
+        f0, g = vag(s.x)
+        n_fev = s.n_fev + 1
+        n_gev = s.n_gev + 1
+
+        nonfinite = ~jnp.isfinite(f0)
+        converged = jnp.max(jnp.abs(g)) < tol
+        # Non-finite check precedes convergence, matching :255 before :257.
+        status_pre = jnp.where(
+            nonfinite,
+            jnp.int32(Status.NONFINITE_VALUE),
+            jnp.where(converged, jnp.int32(Status.CONVERGED), jnp.int32(Status.RUNNING)),
+        )
+
+        def finish(_):
+            return s._replace(
+                grad=g, fun=f0, status=status_pre, n_fev=n_fev, n_gev=n_gev
+            )
+
+        def advance(_):
+            # Iteration 1 uses the sentinel m = -1 (:263-264) which forces
+            # the steepest-ascent branch below; afterwards the rank-2 update.
+            def first(_):
+                return s.B, jnp.zeros_like(g), jnp.asarray(-1.0, dtype)
+
+            def update(_):
+                return bfgs_update(s.B, s.step, g, s.grad_old)
+
+            B1, d, m = lax.cond(s.k == 0, first, update, None)
+
+            # m <= 0: indefinite curvature — reset to identity and take the
+            # steepest-ascent direction (:272-280). NaN m deliberately does
+            # NOT reset (NaN <= 0 is false), matching the reference's IEEE
+            # in-band failure propagation.
+            reset = m <= 0.0
+            B2 = jnp.where(reset, eye, B1)
+            d = jnp.where(reset, g, d)
+            m = jnp.where(reset, jnp.dot(g, g, preferred_element_type=dtype), m)
+
+            def phi(alpha):
+                return vag(s.x + alpha * d)[0]
+
+            lsr = backtracking_linesearch(phi, f0, m, ls)
+            step = lsr.alpha * d  # alpha==0 on failure => step 0, x unchanged
+            new_status = jnp.where(
+                lsr.failed,
+                jnp.int32(Status.LINESEARCH_FAILURE),
+                jnp.int32(Status.RUNNING),
+            )
+            return BFGSState(
+                x=s.x + step,
+                grad=g,
+                grad_old=g,
+                step=step,
+                B=B2,
+                fun=f0,
+                k=s.k + 1,
+                status=new_status,
+                n_fev=n_fev + lsr.n_fev,
+                n_gev=n_gev,
+                n_resets=s.n_resets + reset.astype(jnp.int32),
+            )
+
+        return lax.cond(status_pre != Status.RUNNING, finish, advance, None)
+
+    final = lax.while_loop(cond, body, state)
+    # Loop exhausted while still RUNNING -> iteration cap (reference falls
+    # off the for-loop and returns NaN, :288-291).
+    final = final._replace(
+        status=jnp.where(
+            final.status == Status.RUNNING,
+            jnp.int32(Status.MAX_ITERATIONS),
+            final.status,
+        )
+    )
+    return final
+
+
+def _result_from_state(state: BFGSState) -> OptimizeResult:
+    nan = jnp.asarray(jnp.nan, state.x.dtype)
+    return OptimizeResult(
+        x=state.x,
+        fun=jnp.where(state.status == Status.CONVERGED, state.fun, nan),
+        grad=state.grad,
+        status=state.status,
+        iterations=state.k,
+        n_fev=state.n_fev,
+        n_gev=state.n_gev,
+        n_resets=state.n_resets,
+        last_value=state.fun,
+        state=state,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("obj", "ls", "max_iterations", "value_and_grad_fn"),
+)
+def _optimize_jit(obj, x0, ls, tol, max_iterations, value_and_grad_fn):
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    state = init_bfgs_state(x0)
+    return _result_from_state(_solve_loop(vag, state, ls, tol, max_iterations))
+
+
+def optimize(
+    obj,
+    x0: jax.Array,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    jit: bool = True,
+) -> OptimizeResult:
+    """Maximize a log-density with BFGS + backtracking line search.
+
+    The functional analog of ``optimize!(state, obj, x, ls, tol)``
+    (src/QuasiNewtonMethods.jl:237). ``obj`` is a pure
+    ``logdensity(theta) -> scalar`` callable or a ProbabilityModel; an
+    analytic value-and-gradient can be supplied via ``value_and_grad_fn``
+    (the ∂logdensity! analog). Maximization convention.
+
+    With jit=True (default) the entire solve — driver loop, line search,
+    and the user objective — compiles to one XLA computation; the objective
+    and configs must then be hashable (use a def/named function or a
+    ProbabilityModel instance, not a fresh lambda per call, to benefit from
+    the compilation cache).
+    """
+    if jit:
+        return _optimize_jit(obj, x0, ls, tol, max_iterations, value_and_grad_fn)
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    state = init_bfgs_state(x0)
+    return _result_from_state(_solve_loop(vag, state, ls, tol, max_iterations))
+
+
+def optimize_from_state(
+    obj,
+    state: BFGSState,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> OptimizeResult:
+    """Resume a solve from a saved/checkpointed BFGSState.
+
+    The reference's architecture is checkpoint-shaped — all progress lives in
+    the flat state struct and a state can be re-fed to optimize!
+    (test/runtests.jl:42,47); this is the explicit resume entry point. The
+    state is re-armed to RUNNING so a converged state can also be re-solved
+    under a tighter tolerance.
+    """
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    state = state._replace(status=jnp.asarray(Status.RUNNING, jnp.int32))
+    return _result_from_state(_solve_loop(vag, state, ls, tol, max_iterations))

@@ -1,0 +1,31 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64.
+
+Mirrors the reference's test philosophy (analytic fixtures, no cluster —
+SURVEY.md §4): numerical-parity tests run in f64 on the CPU backend, and
+multi-device sharding tests run on a virtual 8-device CPU mesh via
+--xla_force_host_platform_device_count (the standard JAX way to test
+shard_map/collectives without TPU hardware).
+
+Environment must be set before jax is imported, hence the module-level code.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(20260816)
