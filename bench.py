@@ -1,0 +1,104 @@
+"""Headline benchmark: batched BFGS solves/sec on one TPU chip.
+
+Config 4 of BASELINE.md: 4096 independent Rosenbrock n=60 BFGS solves
+(the HMC-chain-init workload), f32, gradient-norm tolerance 1e-3 (the
+documented f32 numerical contract), on the native fused batched driver with
+the Pallas update kernel.
+
+Baseline for vs_baseline: the reference's single-core sequential rate —
+1 solve / 330.825 us (README.md:80 median) = 3022.7 solves/sec.
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+
+BATCH = 4096
+N = 60
+TOL = 1e-3
+MAX_ITERS = 3000
+REFERENCE_SOLVES_PER_SEC = 1.0 / 330.825e-6  # README.md:80
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev} (platform {dev.platform})")
+    on_tpu = jax.default_backend() == "tpu"
+    kernel = "pallas" if on_tpu else "xla"
+    backend = "fused"
+
+    rng = np.random.default_rng(20260816)
+
+    def solve(X):
+        return qnm.optimize_batched(
+            rosenbrock_logdensity,
+            X,
+            tol=TOL,
+            max_iterations=MAX_ITERS,
+            backend=backend,
+            kernel=kernel,
+        )
+
+    def fetch(r):
+        return float(jnp.sum(r.x)) + int(jnp.sum(r.status))
+
+    X = jnp.asarray(rng.standard_normal((BATCH, N)), jnp.float32)
+    t0 = time.perf_counter()
+    out = solve(X)
+    fetch(out)
+    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    conv = 0
+    for rep in range(3):
+        X = jnp.asarray(rng.standard_normal((BATCH, N)), jnp.float32)
+        float(jnp.sum(X))  # materialize input before timing
+        t0 = time.perf_counter()
+        out = solve(X)
+        fetch(out)
+        times.append(time.perf_counter() - t0)
+        conv = int(jnp.sum(out.status == qnm.Status.CONVERGED))
+        log(
+            f"rep{rep}: {times[-1]:.3f}s  converged {conv}/{BATCH}  "
+            f"itmax {int(out.iterations.max())}  "
+            f"max|x-1| {float(jnp.nanmax(jnp.abs(out.x - 1.0))):.2e}"
+        )
+
+    best = min(times)
+    solves_per_sec = BATCH / best
+    log(f"best: {best:.3f}s -> {solves_per_sec:.0f} solves/s (conv {conv}/{BATCH})")
+
+    print(
+        json.dumps(
+            {
+                "metric": "batched_bfgs_solves_per_sec_rosenbrock_n60",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/sec/chip",
+                "vs_baseline": round(solves_per_sec / REFERENCE_SOLVES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

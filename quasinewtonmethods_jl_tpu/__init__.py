@@ -26,6 +26,7 @@ maximized; ascent directions are +B⁻¹∇.
 from .api import ProbabilityModel
 from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
+from .parallel.batch import optimize_batched
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
     OptimizeResult,
@@ -44,6 +45,7 @@ __all__ = [
     "bfgs_update",
     "initial_inv_hessian",
     "optimize",
+    "optimize_batched",
     "optimize_from_state",
     "OptimizeResult",
     "MAX_ITERATIONS_DEFAULT",

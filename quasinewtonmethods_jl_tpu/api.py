@@ -72,6 +72,26 @@ def as_logdensity(obj) -> Callable[[jax.Array], jax.Array]:
     )
 
 
+def as_value_fn(obj, value_and_grad_fn: Optional[Callable] = None):
+    """Value-only objective for line-search trials (the `step!` path,
+    reference src/QuasiNewtonMethods.jl:157-162, which calls `logdensity`,
+    NOT ∂logdensity!).
+
+    Performance-critical on TPU: a line-search trial must not pay for the
+    backward pass, and on real chips per-kernel launch overhead inside
+    `lax.while_loop` bodies dominates small-batch math — so we prefer the
+    user's plain logdensity and only fall back to dropping the gradient of an
+    explicit value_and_grad_fn when no value-only form exists.
+    """
+    if isinstance(obj, ProbabilityModel) or hasattr(obj, "logdensity") or callable(obj):
+        return as_logdensity(obj)
+    if value_and_grad_fn is not None:
+        return lambda theta: value_and_grad_fn(theta)[0]
+    raise TypeError(
+        f"objective must be callable or define .logdensity, got {type(obj)!r}"
+    )
+
+
 def as_value_and_grad(
     obj, value_and_grad_fn: Optional[Callable] = None
 ) -> Callable[[jax.Array], Tuple[jax.Array, jax.Array]]:

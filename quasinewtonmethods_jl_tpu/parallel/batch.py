@@ -1,0 +1,101 @@
+"""First-class vmap batching of whole solves.
+
+The reference's answer to many simultaneous solves is `PtrBFGSState` — carve
+one preallocated buffer into per-thread solver states and run them
+side-by-side on CPU threads (reference: src/QuasiNewtonMethods.jl:117-121,
+the multi-chain HMC-init workload of README.md:14). The TPU-native answer is
+`jax.vmap` over the entire solve: every leaf of the BFGSState carry gains a
+leading batch axis, the two nested `lax.while_loop`s batch lockstep (JAX
+rewrites the predicate to "any lane still active" and freezes finished lanes
+by select), and the per-iteration work becomes batched matvecs/outer
+products that XLA maps onto the MXU/VPU. This is the headline-throughput
+path (BASELINE.md: >= 10k batched solves/sec/chip).
+
+Lockstep caveat (SURVEY.md §7 hard parts): a batch runs until its slowest
+lane converges; converged lanes are frozen (status != RUNNING short-circuits
+their body via the solver's finish branch) so no NaN pollution occurs, but
+wall-clock follows the straggler. For heterogeneous workloads, split into
+shards and use parallel.mesh to spread shards over chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..api import as_value_and_grad, as_value_fn
+from ..ops.linesearch import BackTracking
+from ..solve import (
+    MAX_ITERATIONS_DEFAULT,
+    OptimizeResult,
+    _result_from_state,
+    _solve_loop,
+)
+from ..state import init_bfgs_state
+
+__all__ = ["optimize_batched"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("obj", "ls", "max_iterations", "value_and_grad_fn"),
+)
+def _optimize_batched_jit(obj, x0s, ls, tol, max_iterations, value_and_grad_fn):
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
+
+    def solve_one(x0):
+        state = init_bfgs_state(x0)
+        return _result_from_state(_solve_loop(vag, f, state, ls, tol, max_iterations))
+
+    return jax.vmap(solve_one)(x0s)
+
+
+def optimize_batched(
+    obj,
+    x0s: jax.Array,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    backend: str = "auto",
+    kernel: str = "auto",
+) -> OptimizeResult:
+    """Run ``x0s.shape[0]`` independent BFGS solves in one XLA computation.
+
+    Args:
+      obj: logdensity callable or ProbabilityModel (shared across the batch —
+        the HMC-chain-init pattern: one model, many starting points).
+      x0s: (batch, n) starting points. Every result field gains the leading
+        batch axis; check ``result.status`` per-lane.
+      backend: 'fused' = the native batch-minor driver (throughput path,
+        batched_solve.py), 'vmap' = jax.vmap of the scalar solver, 'auto' =
+        fused on TPU, vmap elsewhere (the fused path is correct everywhere;
+        its layout advantages only pay off on TPU).
+      kernel: for the fused backend — 'pallas' (VMEM-resident fused update),
+        'xla' (closed-form jnp), 'auto' = pallas on TPU, xla elsewhere.
+
+    Returns:
+      OptimizeResult pytree with leading batch dimension on every leaf.
+    """
+    x0s = jnp.asarray(x0s)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "auto":
+        backend = "fused" if on_tpu else "vmap"
+    if backend == "fused":
+        from ..batched_solve import optimize_batched_fused
+
+        if kernel == "auto":
+            kernel = "pallas" if on_tpu else "xla"
+        return optimize_batched_fused(
+            obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel=kernel
+        )
+    if backend != "vmap":
+        raise ValueError(f"unknown backend {backend!r}; use 'auto', 'fused' or 'vmap'")
+    return _optimize_batched_jit(obj, x0s, ls, tol, max_iterations, value_and_grad_fn)

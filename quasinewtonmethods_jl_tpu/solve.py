@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .api import as_value_and_grad
+from .api import as_value_and_grad, as_value_fn
 from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, backtracking_linesearch
 from .state import BFGSState, Status, init_bfgs_state
@@ -68,6 +68,7 @@ class OptimizeResult(NamedTuple):
 
 def _solve_loop(
     vag: Callable,
+    f: Callable,
     state: BFGSState,
     ls: BackTracking,
     tol,
@@ -120,8 +121,10 @@ def _solve_loop(
             d = jnp.where(reset, g, d)
             m = jnp.where(reset, jnp.dot(g, g, preferred_element_type=dtype), m)
 
+            # Value-only trials (the reference's step! -> logdensity path,
+            # :157-162): the line search must never pay for a backward pass.
             def phi(alpha):
-                return vag(s.x + alpha * d)[0]
+                return f(s.x + alpha * d)
 
             lsr = backtracking_linesearch(phi, f0, m, ls)
             step = lsr.alpha * d  # alpha==0 on failure => step 0, x unchanged
@@ -181,8 +184,9 @@ def _result_from_state(state: BFGSState) -> OptimizeResult:
 )
 def _optimize_jit(obj, x0, ls, tol, max_iterations, value_and_grad_fn):
     vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
     state = init_bfgs_state(x0)
-    return _result_from_state(_solve_loop(vag, state, ls, tol, max_iterations))
+    return _result_from_state(_solve_loop(vag, f, state, ls, tol, max_iterations))
 
 
 def optimize(
@@ -211,8 +215,9 @@ def optimize(
     if jit:
         return _optimize_jit(obj, x0, ls, tol, max_iterations, value_and_grad_fn)
     vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
     state = init_bfgs_state(x0)
-    return _result_from_state(_solve_loop(vag, state, ls, tol, max_iterations))
+    return _result_from_state(_solve_loop(vag, f, state, ls, tol, max_iterations))
 
 
 def optimize_from_state(
@@ -232,5 +237,6 @@ def optimize_from_state(
     under a tighter tolerance.
     """
     vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
     state = state._replace(status=jnp.asarray(Status.RUNNING, jnp.int32))
-    return _result_from_state(_solve_loop(vag, state, ls, tol, max_iterations))
+    return _result_from_state(_solve_loop(vag, f, state, ls, tol, max_iterations))
