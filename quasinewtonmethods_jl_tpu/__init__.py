@@ -26,6 +26,7 @@ maximized; ascent directions are +B⁻¹∇.
 from .api import ProbabilityModel
 from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
+from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .parallel.batch import optimize_batched
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
@@ -47,6 +48,9 @@ __all__ = [
     "optimize",
     "optimize_batched",
     "optimize_from_state",
+    "optimize_lbfgs",
+    "optimize_lbfgs_from_state",
+    "LBFGSResult",
     "OptimizeResult",
     "MAX_ITERATIONS_DEFAULT",
     "BFGSState",

@@ -2,5 +2,17 @@
 (multi-chip DP fleets + psum-sharded large-n L-BFGS)."""
 
 from .batch import optimize_batched
+from .mesh import (
+    make_mesh,
+    optimize_batched_sharded,
+    optimize_lbfgs_sharded,
+    psum_dot,
+)
 
-__all__ = ["optimize_batched"]
+__all__ = [
+    "optimize_batched",
+    "make_mesh",
+    "optimize_batched_sharded",
+    "optimize_lbfgs_sharded",
+    "psum_dot",
+]

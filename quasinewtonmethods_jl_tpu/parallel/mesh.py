@@ -1,0 +1,189 @@
+"""Multi-chip layer: device-mesh sharding for solve fleets and large-n L-BFGS.
+
+The reference is a single-threaded, single-process CPU library (SURVEY.md
+§2c) — this module is the net-new distributed capability, built the JAX way:
+pick a mesh, annotate shardings, let XLA insert collectives over ICI.
+
+Two strategies map onto quasi-Newton workloads:
+
+  * **Data parallelism** (`optimize_batched_sharded`): a fleet of independent
+    solves sharded over the 'data' mesh axis. Lanes never communicate; the
+    only collective is the implicit all-reduce in the while-loop predicate
+    ("any lane still running"). This is the multi-chip scaling of the
+    HMC-chain-init workload — throughput scales linearly with chips.
+
+  * **Model/parameter sharding** (`optimize_lbfgs_sharded`): ONE solve whose
+    parameter vector is too large for a chip (or whose objective is itself
+    data-sharded). Runs the unmodified L-BFGS driver inside `shard_map` on
+    parameter shards; every dot product in the two-loop recursion becomes a
+    local partial dot + `psum`, and the convergence check a `pmax` — the
+    quasi-Newton analog of sequence/tensor parallelism (SURVEY.md §5).
+
+Both are testable without hardware on a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=N).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..api import as_value_and_grad, as_value_fn
+from ..lbfgs_solve import LBFGSResult, _lbfgs_loop, _result_from_state
+from ..ops.linesearch import BackTracking
+from ..solve import MAX_ITERATIONS_DEFAULT, OptimizeResult
+from ..state import LBFGSState, Status, init_lbfgs_state
+
+__all__ = [
+    "make_mesh",
+    "psum_dot",
+    "optimize_batched_sharded",
+    "optimize_lbfgs_sharded",
+]
+
+
+def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
+    """Build a Mesh from {'axis': size}; sizes must multiply to #devices."""
+    devices = jax.devices() if devices is None else devices
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes.values())
+    total = int(np.prod(sizes))
+    if total > len(devices):
+        raise ValueError(
+            f"mesh needs {total} devices, have {len(devices)} "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count for tests)"
+        )
+    return Mesh(np.asarray(devices[:total]).reshape(sizes), names)
+
+
+def psum_dot(axis_name: str) -> Callable:
+    """dot(a, b) over a sharded vector: local partial dot + psum over ICI."""
+
+    def dot(a, b):
+        return lax.psum(jnp.dot(a, b), axis_name)
+
+    return dot
+
+
+def optimize_batched_sharded(
+    obj,
+    x0s: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    **kwargs,
+) -> OptimizeResult:
+    """Data-parallel solve fleet: the batch axis sharded over `axis`.
+
+    Each device owns batch/k lanes of the fused batched driver; XLA
+    partitions the entire while-loop program (the lanes are independent, so
+    the only cross-device traffic is the loop predicate's all-reduce).
+    """
+    from ..batched_solve import optimize_batched_fused
+
+    x0s = jnp.asarray(x0s)
+    n_shards = mesh.shape[axis]
+    if x0s.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"batch ({x0s.shape[0]}) must divide evenly over mesh axis "
+            f"{axis!r} ({n_shards} shards)"
+        )
+    x0s = jax.device_put(x0s, NamedSharding(mesh, P(axis, None)))
+    with mesh:
+        return optimize_batched_fused(obj, x0s, **kwargs)
+
+
+def optimize_lbfgs_sharded(
+    obj,
+    x0: jax.Array,
+    mesh: Mesh,
+    axis: str = "model",
+    history: int = 10,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> LBFGSResult:
+    """One large-n L-BFGS solve with the parameter axis sharded over `axis`.
+
+    The objective is evaluated on the FULL parameter vector: each device
+    all-gathers x for the user callback (objectives are rarely separable),
+    while the solver's own O(m·n) state — history rings, step/gradient
+    vectors — stays sharded, with psum dots and a pmax convergence check.
+    n must divide evenly over the axis.
+
+    For objectives that ARE separable (log-likelihood sums), pass a
+    `value_and_grad_fn` that works on local shards and psums internally;
+    the driver only ever consumes its (scalar, local-grad-shard) outputs.
+    """
+    x0 = jnp.asarray(x0)
+    n = x0.shape[0]
+    n_shards = mesh.shape[axis]
+    if n % n_shards != 0:
+        raise ValueError(f"n ({n}) must divide evenly over mesh axis {axis!r}")
+
+    dot = psum_dot(axis)
+
+    def max_abs(g):
+        return lax.pmax(jnp.max(jnp.abs(g)), axis)
+
+    if value_and_grad_fn is not None:
+        vag_local = value_and_grad_fn
+        f_local = lambda xl: value_and_grad_fn(xl)[0]
+    else:
+        vag_full = as_value_and_grad(obj, None)
+        f_full = as_value_fn(obj, None)
+
+        def _gather(xl):
+            return lax.all_gather(xl, axis, tiled=True)
+
+        def f_local(xl):
+            return f_full(_gather(xl))
+
+        def vag_local(xl):
+            # Differentiate through the all_gather: the cotangent of
+            # all_gather is the local slice of the global gradient
+            # (a psum_scatter), so each device lands exactly its grad shard.
+            return jax.value_and_grad(f_local)(xl)
+
+    result_specs = LBFGSResult(
+        x=P(axis),
+        fun=P(),
+        grad=P(axis),
+        status=P(),
+        iterations=P(),
+        n_fev=P(),
+        n_gev=P(),
+        n_resets=P(),
+        last_value=P(),
+        state=LBFGSState(
+            x=P(axis), grad=P(axis), grad_old=P(axis), step=P(axis),
+            S=P(None, axis), Y=P(None, axis), rho=P(), hist=P(), gamma=P(),
+            fun=P(), k=P(), status=P(), n_fev=P(), n_gev=P(), n_resets=P(),
+        ),
+    )
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=result_specs,
+        check_rep=False,
+    )
+    def run(x0_local, tol_arr):
+        state = init_lbfgs_state(x0_local, history)
+        final = _lbfgs_loop(
+            vag_local, f_local, state, ls, tol_arr, max_iterations, dot, max_abs
+        )
+        return _result_from_state(final)
+
+    with mesh:
+        x0_sharded = jax.device_put(x0, NamedSharding(mesh, P(axis)))
+        return run(x0_sharded, jnp.asarray(tol, x0.dtype))

@@ -1,5 +1,7 @@
-"""Utilities: NaN-aware scalars, padding, checkpointing, profiling."""
+"""Utilities: NaN-aware scalars, checkpointing, profiling."""
 
+from .checkpoint import load_state, save_state
+from .profiling import solve_stats, summarize_trace, trace
 from .scalars import (
     finite_halving_limit,
     nanmax,
@@ -10,8 +12,13 @@ from .scalars import (
 
 __all__ = [
     "finite_halving_limit",
+    "load_state",
     "nanmax",
     "nanmin",
+    "save_state",
     "significand_bits",
+    "solve_stats",
     "sqrt_tolerance",
+    "summarize_trace",
+    "trace",
 ]

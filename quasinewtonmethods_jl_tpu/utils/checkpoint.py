@@ -1,0 +1,64 @@
+"""Checkpoint / resume for solver state pytrees.
+
+The reference has no checkpointing, but its architecture is
+checkpoint-shaped: all solver progress lives in one flat state struct that
+can be re-fed to the driver (SURVEY.md §5; test/runtests.jl:42,47 reuses one
+state across solves). Here that becomes explicit: a BFGSState / LBFGSState
+is a NamedTuple of arrays, serialized to a single .npz file and restored
+into the matching class; `optimize_from_state` / `optimize_lbfgs_from_state`
+resume from it. Works for batched states too (every leaf just carries its
+batch axis).
+
+np.savez is the dependency-free default; for orbax-managed checkpoints the
+state pytree can be handed to orbax directly (it is a plain pytree), this
+module adds nothing orbax needs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Type, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..state import BFGSState, LBFGSState
+
+__all__ = ["save_state", "load_state"]
+
+_STATE_CLASSES = {"BFGSState": BFGSState, "LBFGSState": LBFGSState}
+
+
+def save_state(path: Union[str, os.PathLike], state) -> None:
+    """Serialize a solver state NamedTuple to ``path`` (.npz).
+
+    The class name is stored alongside the fields so `load_state` can verify
+    (or infer) the state type.
+    """
+    cls = type(state).__name__
+    if cls not in _STATE_CLASSES:
+        raise TypeError(f"expected BFGSState or LBFGSState, got {cls}")
+    arrays = {k: np.asarray(v) for k, v in state._asdict().items()}
+    arrays["__class__"] = np.asarray(cls)
+    np.savez(path, **arrays)
+
+
+def load_state(
+    path: Union[str, os.PathLike],
+    cls: Union[Type[BFGSState], Type[LBFGSState], None] = None,
+):
+    """Restore a solver state saved by `save_state`.
+
+    Args:
+      path: the .npz file.
+      cls: optional expected class; mismatches raise instead of silently
+        reinterpreting fields.
+    """
+    with np.load(path, allow_pickle=False) as z:
+        saved_cls = str(z["__class__"])
+        if cls is not None and cls.__name__ != saved_cls:
+            raise TypeError(f"checkpoint holds {saved_cls}, expected {cls.__name__}")
+        klass = _STATE_CLASSES[saved_cls]
+        fields = {k: jnp.asarray(z[k]) for k in klass._fields}
+    return klass(**fields)

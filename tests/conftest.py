@@ -11,7 +11,11 @@ Environment must be set before jax is imported, hence the module-level code.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the machine's sitecustomize pre-sets
+# JAX_PLATFORMS to the TPU platform and re-asserts it at import time, so the
+# env var alone is not enough — the post-import config update below is what
+# actually pins the CPU backend for the f64 parity tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +24,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

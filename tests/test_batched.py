@@ -33,11 +33,14 @@ def test_vmap_batch_matches_single_solves(rng):
     for b in range(batch):
         res_s = qnm.optimize(rosenbrock_logdensity, X0[b])
         assert int(res_b.status[b]) == int(res_s.status)
+        # The vmapped and scalar programs compile differently (cond->select,
+        # different fusion/reassociation), so trajectories drift at rounding
+        # level; both must land on the optimum to solver tolerance.
         np.testing.assert_allclose(
-            np.asarray(res_b.x[b]), np.asarray(res_s.x), rtol=1e-12, atol=1e-12
+            np.asarray(res_b.x[b]), np.asarray(res_s.x), atol=1e-7
         )
         np.testing.assert_allclose(
-            float(res_b.fun[b]), float(res_s.fun), rtol=1e-12, atol=1e-15
+            float(res_b.fun[b]), float(res_s.fun), atol=1e-14
         )
 
 

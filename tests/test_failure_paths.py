@@ -47,21 +47,20 @@ def test_linesearch_failure_status():
 
 
 def test_linesearch_failure_deterministic():
-    # f(x) = sum(x) for x == x0 exactly is impossible to express; instead use
-    # a cliff: f = sum(x) - 1e300 * relu(sum(x) - s0). Any ascent step
-    # overshoots into astronomically negative values; backtracking shrinks
-    # alpha toward 0 but Armijo (requires increase ~ c1*alpha*m) eventually
-    # succeeds for tiny alpha... so instead make every nonzero step NaN:
+    # Every trial point away from x0 is NaN, so the Armijo condition can
+    # never hold. x0 = 0 matters: no trial step is absorbed bitwise
+    # (0 + a*1 != 0 for any a > 0), so the search cannot "succeed" at the
+    # unmoved point and failure is deterministic.
     def cliff(x):
-        at_start = jnp.all(x == 1.0)
-        return jnp.where(at_start, jnp.sum(x), jnp.nan)
+        at_start = jnp.all(x == 0.0)
+        return jnp.where(at_start, jnp.sum(x) + 1.0, jnp.nan)
 
-    res = qnm.optimize(cliff, jnp.ones(3), ls=qnm.BackTracking(iterations=20))
+    res = qnm.optimize(cliff, jnp.zeros(3), ls=qnm.BackTracking(iterations=20))
     assert int(res.status) == qnm.Status.LINESEARCH_FAILURE
     assert np.isnan(float(res.fun))
     # x must be unchanged (alpha=0 step), like the reference's break-without-
     # update (src/QuasiNewtonMethods.jl:284).
-    np.testing.assert_array_equal(np.asarray(res.x), np.ones(3))
+    np.testing.assert_array_equal(np.asarray(res.x), np.zeros(3))
 
 
 def test_reset_path_on_indefinite_curvature():

@@ -1,0 +1,161 @@
+"""L-BFGS tests: two-loop recursion correctness + large-n convergence.
+
+The recursion is validated against an explicit dense reconstruction of the
+implicit inverse Hessian (the product form H = V'HV + rho ss'), and the
+driver against the BASELINE configs (quadratic, logistic MAP, Rosenbrock,
+and a large-n run).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.models import (
+    IllConditionedQuadratic,
+    LogisticRegressionMAP,
+    rosenbrock_logdensity,
+)
+from quasinewtonmethods_jl_tpu.ops.lbfgs import lbfgs_direction, lbfgs_push
+
+
+def dense_h_from_history(S, Y, rho, hist, gamma, n):
+    """Explicit H from the product form, for oracle comparison."""
+    H = gamma * np.eye(n)
+    for i in range(hist):
+        s = np.asarray(S[i])
+        y = np.asarray(Y[i])
+        r = float(rho[i])
+        V = np.eye(n) - r * np.outer(s, y)
+        H = V @ H @ V.T + r * np.outer(s, s)
+    return H
+
+
+def test_two_loop_matches_dense_product_form(rng):
+    n, m = 10, 5
+    S = jnp.zeros((m, n))
+    Y = jnp.zeros((m, n))
+    rho = jnp.zeros((m,))
+    hist = jnp.zeros((), jnp.int32)
+    gamma = jnp.ones(())
+
+    # push 3 positive-curvature pairs
+    for _ in range(3):
+        s = jnp.asarray(rng.standard_normal(n) * 0.1)
+        y = s + 0.01 * jnp.asarray(rng.standard_normal(n))
+        S, Y, rho, hist, gamma = lbfgs_push(S, Y, rho, hist, gamma, s, y)
+    assert int(hist) == 3
+
+    g = jnp.asarray(rng.standard_normal(n))
+    d, m_dir = lbfgs_direction(S, Y, rho, hist, gamma, g)
+    H = dense_h_from_history(S, Y, rho, int(hist), float(gamma), n)
+    np.testing.assert_allclose(np.asarray(d), H @ np.asarray(g), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(m_dir), float(np.asarray(g) @ H @ np.asarray(g)), rtol=1e-9)
+    assert float(m_dir) > 0
+
+
+def test_ring_overwrites_oldest(rng):
+    n, m = 6, 3
+    S = jnp.zeros((m, n)); Y = jnp.zeros((m, n)); rho = jnp.zeros((m,))
+    hist = jnp.zeros((), jnp.int32); gamma = jnp.ones(())
+    pairs = []
+    for _ in range(5):
+        s = jnp.asarray(rng.standard_normal(n) * 0.1)
+        y = s + 0.01 * jnp.asarray(rng.standard_normal(n))
+        pairs.append((s, y))
+        S, Y, rho, hist, gamma = lbfgs_push(S, Y, rho, hist, gamma, s, y)
+    assert int(hist) == m
+    # ring must hold the 3 newest pairs, oldest..newest
+    for slot, (s, y) in enumerate(pairs[-m:]):
+        np.testing.assert_array_equal(np.asarray(S[slot]), np.asarray(s))
+        np.testing.assert_array_equal(np.asarray(Y[slot]), np.asarray(y))
+
+
+def test_negative_curvature_pair_rejected(rng):
+    n, m = 5, 3
+    S = jnp.zeros((m, n)); Y = jnp.zeros((m, n)); rho = jnp.zeros((m,))
+    hist = jnp.zeros((), jnp.int32); gamma = jnp.ones(())
+    s = jnp.asarray(rng.standard_normal(n))
+    S2, Y2, rho2, hist2, gamma2 = lbfgs_push(S, Y, rho, hist, gamma, s, -s)
+    assert int(hist2) == 0
+    np.testing.assert_array_equal(np.asarray(S2), np.asarray(S))
+    assert float(gamma2) == 1.0
+
+
+def test_empty_history_is_scaled_steepest_ascent(rng):
+    n, m = 7, 4
+    g = jnp.asarray(rng.standard_normal(n))
+    d, m_dir = lbfgs_direction(
+        jnp.zeros((m, n)), jnp.zeros((m, n)), jnp.zeros((m,)),
+        jnp.zeros((), jnp.int32), jnp.ones(()), g,
+    )
+    np.testing.assert_allclose(np.asarray(d), np.asarray(g), rtol=1e-15)
+    assert float(m_dir) == pytest.approx(float(jnp.dot(g, g)))
+
+
+@pytest.mark.parametrize("n", [8, 24, 61])
+def test_lbfgs_rosenbrock(n, rng):
+    x0 = jnp.asarray(rng.standard_normal(n))
+    res = qnm.optimize_lbfgs(rosenbrock_logdensity, x0, history=10)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, rtol=1e-5)
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+
+
+def test_lbfgs_ill_conditioned_quadratic(rng):
+    model = IllConditionedQuadratic(256, condition=1e4)
+    x0 = jnp.asarray(rng.standard_normal(256))
+    res = qnm.optimize_lbfgs(model, x0, history=10, max_iterations=5000)
+    assert bool(res.converged)
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+    # |x - x*| bounded by grad_tol / lambda_min = 1e-8 / 1e-4
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(model.x_star), atol=2e-4)
+
+
+def test_lbfgs_logistic_map(rng):
+    model = LogisticRegressionMAP(dimension=100, n_obs=400)
+    x0 = jnp.zeros(100)
+    res = qnm.optimize_lbfgs(model, x0, history=10)
+    assert bool(res.converged)
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+    # BFGS and L-BFGS must find the same mode
+    res_bfgs = qnm.optimize(model, x0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_bfgs.x), atol=1e-6)
+
+
+def test_lbfgs_large_n(rng):
+    """Config-5 shape (scaled down for CI): high-dimensional quadratic."""
+    n = 4096
+    diag = jnp.asarray(np.linspace(0.5, 3.0, n))
+
+    def f(x):
+        return -0.5 * jnp.sum(diag * x * x)
+
+    x0 = jnp.asarray(rng.standard_normal(n))
+    res = qnm.optimize_lbfgs(f, x0, history=10, max_iterations=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 0.0, atol=1e-7)
+
+
+def test_lbfgs_resume(rng):
+    x0 = jnp.asarray(rng.standard_normal(12))
+    part = qnm.optimize_lbfgs(rosenbrock_logdensity, x0, max_iterations=5)
+    assert int(part.status) == qnm.Status.MAX_ITERATIONS
+    res = qnm.optimize_lbfgs_from_state(rosenbrock_logdensity, part.state)
+    assert bool(res.converged)
+
+
+def test_lbfgs_failure_paths():
+    # x0 = 0 so no trial step is ever absorbed bitwise (x + a*1 != x for any
+    # a > 0), making line-search failure deterministic: every trial is NaN.
+    def cliff(x):
+        at_start = jnp.all(x == 0.0)
+        return jnp.where(at_start, jnp.sum(x) + 1.0, jnp.nan)
+
+    res = qnm.optimize_lbfgs(cliff, jnp.zeros(3), ls=qnm.BackTracking(iterations=20))
+    assert int(res.status) == qnm.Status.LINESEARCH_FAILURE
+    assert np.isnan(float(res.fun))
+
+    res2 = qnm.optimize_lbfgs(rosenbrock_logdensity, jnp.full(6, -1.5), max_iterations=2)
+    assert int(res2.status) == qnm.Status.MAX_ITERATIONS

@@ -1,0 +1,119 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The standard JAX way to test shard_map/collectives without TPUs
+(SURVEY.md §4): conftest forces 8 host devices. These pin the two
+parallelism strategies: DP solve fleets and psum-sharded L-BFGS.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+from quasinewtonmethods_jl_tpu.parallel import (
+    make_mesh,
+    optimize_batched_sharded,
+    optimize_lbfgs_sharded,
+)
+
+
+def quad_logdensity(x):
+    diag = jnp.arange(1.0, x.shape[0] + 1.0, dtype=x.dtype)
+    return -0.5 * jnp.sum(diag * x * x)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) >= 8
+
+
+def test_make_mesh_validation():
+    mesh = make_mesh({"data": 4, "model": 2})
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 1024})
+
+
+def test_batched_sharded_matches_unsharded(rng):
+    n, batch = 6, 32
+    X0 = jnp.asarray(rng.standard_normal((batch, n)))
+    mesh = make_mesh({"data": 8})
+    res_sh = optimize_batched_sharded(
+        rosenbrock_logdensity, X0, mesh, kernel="xla"
+    )
+    res_un = qnm.optimize_batched(rosenbrock_logdensity, X0, backend="fused", kernel="xla")
+    assert np.all(np.asarray(res_sh.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res_sh.x), np.asarray(res_un.x), atol=1e-9)
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.iterations), np.asarray(res_un.iterations)
+    )
+
+
+def test_batched_sharded_rejects_uneven_batch(rng):
+    mesh = make_mesh({"data": 8})
+    with pytest.raises(ValueError):
+        optimize_batched_sharded(
+            rosenbrock_logdensity, jnp.zeros((12, 4)), mesh
+        )
+
+
+def test_lbfgs_sharded_matches_unsharded_quadratic(rng):
+    n = 64
+    x0 = jnp.asarray(rng.standard_normal(n))
+    mesh = make_mesh({"model": 8})
+    res_sh = optimize_lbfgs_sharded(quad_logdensity, x0, mesh, history=10)
+    res_un = qnm.optimize_lbfgs(quad_logdensity, x0, history=10)
+    assert int(res_sh.status) == qnm.Status.CONVERGED
+    # psum-of-local-dots reassociates fp summation, so trajectories drift at
+    # rounding level; both engines must land on the same optimum to the
+    # quality bar, not bit-identically.
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_un.x), atol=1e-7
+    )
+    np.testing.assert_allclose(float(res_sh.fun), float(res_un.fun), atol=1e-12)
+    assert float(jnp.max(jnp.abs(res_sh.grad))) < 1e-8
+
+
+def test_lbfgs_sharded_rosenbrock(rng):
+    """Non-separable objective through the all_gather path."""
+    n = 16
+    x0 = jnp.asarray(rng.standard_normal(n))
+    mesh = make_mesh({"model": 4})
+    res = optimize_lbfgs_sharded(rosenbrock_logdensity, x0, mesh)
+    assert int(res.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, rtol=1e-6)
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+
+
+def test_lbfgs_sharded_separable_vag(rng):
+    """Separable objective via a shard-local value_and_grad_fn with an
+    internal psum — no all_gather of x anywhere."""
+    from jax import lax
+
+    n = 32
+    diag_full = np.linspace(0.5, 2.0, n)
+
+    def local_vag(x_local):
+        # each device sees its (n/k,) shard and the matching diag shard
+        idx = lax.axis_index("model")
+        k = lax.axis_size("model")
+        loc = n // k
+        diag = lax.dynamic_slice_in_dim(jnp.asarray(diag_full), idx * loc, loc)
+        val = lax.psum(-0.5 * jnp.sum(diag * x_local * x_local), "model")
+        grad_local = -diag * x_local
+        return val, grad_local
+
+    x0 = jnp.asarray(rng.standard_normal(n))
+    mesh = make_mesh({"model": 8})
+    res = optimize_lbfgs_sharded(
+        None, x0, mesh, value_and_grad_fn=local_vag
+    )
+    assert int(res.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), 0.0, atol=1e-7)
+
+
+def test_lbfgs_sharded_rejects_uneven_n(rng):
+    mesh = make_mesh({"model": 8})
+    with pytest.raises(ValueError):
+        optimize_lbfgs_sharded(quad_logdensity, jnp.zeros(10), mesh)

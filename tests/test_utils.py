@@ -1,0 +1,62 @@
+"""Checkpoint/resume and stats-utility tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+from quasinewtonmethods_jl_tpu.utils import load_state, save_state, solve_stats
+
+
+def test_bfgs_checkpoint_roundtrip_and_resume(tmp_path, rng):
+    x0 = jnp.asarray(rng.standard_normal(10))
+    part = qnm.optimize(rosenbrock_logdensity, x0, max_iterations=5)
+    p = tmp_path / "state.npz"
+    save_state(p, part.state)
+
+    restored = load_state(p, qnm.BFGSState)
+    for a, b in zip(part.state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    res = qnm.optimize_from_state(rosenbrock_logdensity, restored)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, rtol=1e-5)
+
+
+def test_lbfgs_checkpoint_roundtrip_and_resume(tmp_path, rng):
+    x0 = jnp.asarray(rng.standard_normal(12))
+    part = qnm.optimize_lbfgs(rosenbrock_logdensity, x0, max_iterations=6)
+    p = tmp_path / "lbfgs.npz"
+    save_state(p, part.state)
+    restored = load_state(p)
+    assert isinstance(restored, qnm.LBFGSState)
+    res = qnm.optimize_lbfgs_from_state(rosenbrock_logdensity, restored)
+    assert bool(res.converged)
+
+
+def test_checkpoint_class_mismatch_rejected(tmp_path, rng):
+    x0 = jnp.asarray(rng.standard_normal(4))
+    part = qnm.optimize(rosenbrock_logdensity, x0, max_iterations=2)
+    p = tmp_path / "state.npz"
+    save_state(p, part.state)
+    with pytest.raises(TypeError):
+        load_state(p, qnm.LBFGSState)
+
+
+def test_save_rejects_non_state(tmp_path):
+    with pytest.raises(TypeError):
+        save_state(tmp_path / "x.npz", (1, 2, 3))
+
+
+def test_solve_stats(rng):
+    x0 = jnp.asarray(rng.standard_normal(6))
+    res = qnm.optimize(rosenbrock_logdensity, x0)
+    st = solve_stats(res)
+    assert st["converged_fraction"] == 1.0
+    assert st["n_fev_total"] >= st["n_gev_total"] > 0
+    assert st["iterations_max"] > 0
+
+    X0 = jnp.asarray(rng.standard_normal((4, 6)))
+    stb = solve_stats(qnm.optimize_batched(rosenbrock_logdensity, X0, backend="vmap"))
+    assert stb["converged_fraction"] == 1.0
