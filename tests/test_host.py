@@ -1,0 +1,107 @@
+"""Native host-runtime tests: build, convergence, and JAX-parity oracle.
+
+The C++ solver (native/qnm_host.cpp) is an independent implementation of the
+same algorithm (different language, different compiler, same algebra) — so
+agreement with the JAX driver on converged optima is strong evidence both
+are right. Skipped wholesale if no g++ toolchain is present.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+if shutil.which("g++") is None:  # pragma: no cover
+    pytest.skip("no g++ toolchain", allow_module_level=True)
+
+from quasinewtonmethods_jl_tpu.host import optimize_host, rosenbrock_host
+
+
+@pytest.mark.parametrize("n", [2, 13, 24, 60, 61])
+@pytest.mark.parametrize("order", [2, 3])
+def test_native_rosenbrock_sweep(n, order, rng):
+    x0 = rng.standard_normal(n)
+    res = rosenbrock_host(x0, order=order)
+    assert res.status == 1  # CONVERGED
+    assert abs(res.fun) < 4 * np.finfo(np.float64).eps
+    np.testing.assert_allclose(res.x, 1.0, rtol=1e-5)
+    assert np.abs(res.grad).max() < 1e-8
+    assert res.n_fev >= res.n_gev == res.iterations + 1
+
+
+def test_native_matches_jax_on_quadratic(rng):
+    import jax.numpy as jnp
+
+    import quasinewtonmethods_jl_tpu as qnm
+
+    n = 16
+    diag = np.linspace(0.5, 3.0, n)
+    x_star = rng.standard_normal(n)
+
+    def vag_np(x):
+        r = x - x_star
+        return -0.5 * np.sum(diag * r * r), -diag * r
+
+    def f_jax(x):
+        r = x - jnp.asarray(x_star)
+        return -0.5 * jnp.sum(jnp.asarray(diag) * r * r)
+
+    x0 = rng.standard_normal(n)
+    res_c = optimize_host(vag_np, x0)
+    res_j = qnm.optimize(f_jax, jnp.asarray(x0))
+    assert res_c.status == int(res_j.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(res_c.x, np.asarray(res_j.x), atol=1e-9)
+    np.testing.assert_allclose(res_c.fun, float(res_j.fun), atol=1e-14)
+    # Quadratic trajectories are stable: iteration counts must agree exactly.
+    assert res_c.iterations == int(res_j.iterations)
+
+
+def test_native_matches_jax_on_rosenbrock_quality(rng):
+    import jax.numpy as jnp
+
+    import quasinewtonmethods_jl_tpu as qnm
+    from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+
+    x0 = rng.standard_normal(12)
+    res_c = rosenbrock_host(x0)
+    res_j = qnm.optimize(rosenbrock_logdensity, jnp.asarray(x0))
+    assert res_c.status == int(res_j.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(res_c.x, np.asarray(res_j.x), atol=1e-7)
+
+
+def test_native_failure_paths():
+    def vag(x):
+        if np.all(x == 0.0):
+            return 1.0, np.ones_like(x)
+        return np.nan, np.zeros_like(x)
+
+    res = optimize_host(vag, np.zeros(3), ls_iterations=20)
+    assert res.status == 3  # LINESEARCH_FAILURE
+    assert np.isnan(res.fun)
+    np.testing.assert_array_equal(res.x, np.zeros(3))
+
+    def vag_nan(x):
+        return np.nan, np.zeros_like(x)
+
+    res2 = optimize_host(vag_nan, np.ones(3))
+    assert res2.status == 4  # NONFINITE_VALUE
+    assert np.isnan(res2.fun)
+
+    res3 = optimize_host(
+        lambda x: (-(np.sum((x - 1) ** 4)), -4 * (x - 1) ** 3),
+        np.zeros(4),
+        max_iterations=2,
+    )
+    assert res3.status == 2  # MAX_ITERATIONS
+    assert np.isnan(res3.fun)
+    assert res3.iterations == 2
+
+
+def test_native_reset_path(rng):
+    # concave |x|^3 objective exercises the m <= 0 identity-reset branch
+    def vag(x):
+        return -np.sum(np.abs(x) ** 3), -3.0 * np.sign(x) * x * x
+
+    res = optimize_host(vag, np.asarray([2.0, -3.0, 0.5]), tol=1e-6)
+    assert res.status == 1
+    np.testing.assert_allclose(res.x, 0.0, atol=1e-2)
