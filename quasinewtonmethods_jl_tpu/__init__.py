@@ -27,7 +27,7 @@ from .api import ProbabilityModel
 from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
-from .parallel.batch import optimize_batched
+from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
     OptimizeResult,
@@ -49,6 +49,7 @@ __all__ = [
     "optimize_batched",
     "optimize_from_state",
     "optimize_lbfgs",
+    "optimize_lbfgs_batched",
     "optimize_lbfgs_from_state",
     "LBFGSResult",
     "OptimizeResult",

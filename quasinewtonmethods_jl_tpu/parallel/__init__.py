@@ -1,7 +1,7 @@
 """Parallel execution layers: vmap batching (single chip) and mesh sharding
 (multi-chip DP fleets + psum-sharded large-n L-BFGS)."""
 
-from .batch import optimize_batched
+from .batch import optimize_batched, optimize_lbfgs_batched
 from .mesh import (
     make_mesh,
     optimize_batched_sharded,
@@ -11,6 +11,7 @@ from .mesh import (
 
 __all__ = [
     "optimize_batched",
+    "optimize_lbfgs_batched",
     "make_mesh",
     "optimize_batched_sharded",
     "optimize_lbfgs_sharded",

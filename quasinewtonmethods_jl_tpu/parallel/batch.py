@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..api import as_value_and_grad, as_value_fn
+from ..lbfgs_solve import _lbfgs_loop
+from ..lbfgs_solve import _result_from_state as _lbfgs_result_from_state
 from ..ops.linesearch import BackTracking
 from ..solve import (
     MAX_ITERATIONS_DEFAULT,
@@ -34,9 +36,9 @@ from ..solve import (
     _result_from_state,
     _solve_loop,
 )
-from ..state import init_bfgs_state
+from ..state import init_bfgs_state, init_lbfgs_state
 
-__all__ = ["optimize_batched"]
+__all__ = ["optimize_batched", "optimize_lbfgs_batched"]
 
 
 @partial(
@@ -99,3 +101,47 @@ def optimize_batched(
     if backend != "vmap":
         raise ValueError(f"unknown backend {backend!r}; use 'auto', 'fused' or 'vmap'")
     return _optimize_batched_jit(obj, x0s, ls, tol, max_iterations, value_and_grad_fn)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("obj", "history", "ls", "max_iterations", "value_and_grad_fn"),
+)
+def _optimize_lbfgs_batched_jit(
+    obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+):
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
+
+    def solve_one(x0):
+        state = init_lbfgs_state(x0, history)
+        return _lbfgs_result_from_state(
+            _lbfgs_loop(vag, f, state, ls, tol, max_iterations, jnp.dot)
+        )
+
+    return jax.vmap(solve_one)(x0s)
+
+
+def optimize_lbfgs_batched(
+    obj,
+    x0s: jax.Array,
+    history: int = 10,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+):
+    """Batched L-BFGS fleet: many independent large-n solves in one XLA
+    computation (O(batch * m * n) memory — the regime where per-lane dense
+    (n, n) inverse Hessians would not fit).
+
+    vmap of the scalar L-BFGS driver; the O(m·n) state has no analog of the
+    dense driver's B-select problem, so no special fused engine is needed.
+    Returns an LBFGSResult with a leading batch axis on every leaf.
+    """
+    x0s = jnp.asarray(x0s)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    return _optimize_lbfgs_batched_jit(
+        obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+    )

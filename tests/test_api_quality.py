@@ -1,0 +1,64 @@
+"""Static-quality gate — the Aqua.test_all analog (reference
+test/runtests.jl:36: method ambiguities, undefined exports, stale deps).
+
+Python equivalents: every public name in __all__ must resolve; every module
+must import cleanly and compile; the package must not leak obviously-private
+modules into the public namespace; docstrings exist on public API.
+"""
+
+import compileall
+import importlib
+import inspect
+import pathlib
+import pkgutil
+
+import quasinewtonmethods_jl_tpu as qnm
+
+PKG_DIR = pathlib.Path(qnm.__file__).parent
+
+
+def _walk_modules():
+    for info in pkgutil.walk_packages([str(PKG_DIR)], prefix="quasinewtonmethods_jl_tpu."):
+        yield info.name
+
+
+def test_all_modules_import():
+    for name in _walk_modules():
+        importlib.import_module(name)
+
+
+def test_all_sources_compile():
+    assert compileall.compile_dir(str(PKG_DIR), quiet=2, force=True)
+
+
+def test_public_names_resolve():
+    for name in qnm.__all__:
+        assert hasattr(qnm, name), f"__all__ lists missing name {name!r}"
+    for sub in ("models", "ops", "parallel", "utils"):
+        mod = importlib.import_module(f"quasinewtonmethods_jl_tpu.{sub}")
+        for name in mod.__all__:
+            assert hasattr(mod, name), f"{sub}.__all__ lists missing {name!r}"
+
+
+def test_public_api_documented():
+    for name in qnm.__all__:
+        obj = getattr(qnm, name)
+        if callable(obj) and not isinstance(obj, type):
+            assert inspect.getdoc(obj), f"{name} lacks a docstring"
+
+
+def test_version_is_semver():
+    parts = qnm.__version__.split(".")
+    assert len(parts) == 3 and all(p.isdigit() for p in parts)
+
+
+def test_status_enum_complete():
+    # every driver exit path has a status code
+    names = {s.name for s in qnm.Status}
+    assert names == {
+        "RUNNING",
+        "CONVERGED",
+        "MAX_ITERATIONS",
+        "LINESEARCH_FAILURE",
+        "NONFINITE_VALUE",
+    }

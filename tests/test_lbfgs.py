@@ -159,3 +159,24 @@ def test_lbfgs_failure_paths():
 
     res2 = qnm.optimize_lbfgs(rosenbrock_logdensity, jnp.full(6, -1.5), max_iterations=2)
     assert int(res2.status) == qnm.Status.MAX_ITERATIONS
+
+
+def test_lbfgs_batched_fleet(rng):
+    import quasinewtonmethods_jl_tpu.parallel as par
+
+    X0 = jnp.asarray(rng.standard_normal((32, 48)))
+    res = par.optimize_lbfgs_batched(rosenbrock_logdensity, X0, history=10)
+    assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, rtol=1e-5)
+    # lane 5 must match a scalar solve to quality tolerance
+    single = qnm.optimize_lbfgs(rosenbrock_logdensity, X0[5], history=10)
+    np.testing.assert_allclose(
+        np.asarray(res.x[5]), np.asarray(single.x), atol=1e-6
+    )
+
+
+def test_lbfgs_batched_rejects_bad_shape():
+    import quasinewtonmethods_jl_tpu.parallel as par
+
+    with pytest.raises(ValueError):
+        par.optimize_lbfgs_batched(rosenbrock_logdensity, jnp.zeros(8))
