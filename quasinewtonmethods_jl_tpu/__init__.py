@@ -28,6 +28,7 @@ from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
+from .pytree import optimize_lbfgs_pytree, optimize_pytree
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
     OptimizeResult,
@@ -51,6 +52,8 @@ __all__ = [
     "optimize_lbfgs",
     "optimize_lbfgs_batched",
     "optimize_lbfgs_from_state",
+    "optimize_lbfgs_pytree",
+    "optimize_pytree",
     "LBFGSResult",
     "OptimizeResult",
     "MAX_ITERATIONS_DEFAULT",

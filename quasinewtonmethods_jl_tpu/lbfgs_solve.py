@@ -115,7 +115,8 @@ def _lbfgs_loop(
                 return f(s.x + alpha * d)
 
             lsr = backtracking_linesearch(phi, f0, m, ls)
-            step = lsr.alpha * d
+            # explicit mask: 0 * NaN direction would otherwise destroy x
+            step = jnp.where(lsr.failed, jnp.zeros_like(d), lsr.alpha * d)
             new_status = jnp.where(
                 lsr.failed,
                 jnp.int32(Status.LINESEARCH_FAILURE),

@@ -127,7 +127,11 @@ def _solve_loop(
                 return f(s.x + alpha * d)
 
             lsr = backtracking_linesearch(phi, f0, m, ls)
-            step = lsr.alpha * d  # alpha==0 on failure => step 0, x unchanged
+            # On failure x must stay at the last good iterate (the reference
+            # breaks before update_state!, :284-285). alpha is 0 then, but
+            # 0 * d is NaN when the direction itself is NaN (degenerate
+            # update), so the masking must be explicit.
+            step = jnp.where(lsr.failed, jnp.zeros_like(d), lsr.alpha * d)
             new_status = jnp.where(
                 lsr.failed,
                 jnp.int32(Status.LINESEARCH_FAILURE),

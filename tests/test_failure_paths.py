@@ -95,3 +95,44 @@ def test_status_codes_stable():
     assert qnm.Status.MAX_ITERATIONS == 2
     assert qnm.Status.LINESEARCH_FAILURE == 3
     assert qnm.Status.NONFINITE_VALUE == 4
+
+
+def test_nan_direction_preserves_iterate(rng):
+    """A degenerate update (sty == 0 -> NaN direction) followed by
+    line-search failure must leave x at the last good iterate, never NaN
+    (the reference breaks before update_state!, :284-285; 0 * NaN = NaN
+    would otherwise poison x through the masked-step arithmetic)."""
+    import jax.numpy as jnp
+
+    # Objective engineered so the solver stalls: a plateau reached after one
+    # step. At the plateau the gradient is tiny-but-above-tol and y ~ 0, so
+    # the update degenerates and the line search eventually fails in-band.
+    def plateau(x):
+        r = jnp.sum(x * x)
+        return -jnp.minimum(r, 1e-3) - 1e-12 * r
+
+    res = qnm.optimize(plateau, jnp.asarray([2.0, -1.0]), tol=1e-9,
+                       ls=qnm.BackTracking(iterations=30), max_iterations=50)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    # whatever the status, the iterate and diagnostics stay usable
+    assert np.isfinite(float(res.last_value))
+
+
+def test_batched_stall_lane_keeps_finite_iterate(rng):
+    """Regression for the HMC-example bug: lanes stalling at the f64 noise
+    floor (LINESEARCH_FAILURE one step from convergence) must retain their
+    last good iterate, not NaN."""
+    import jax
+    from quasinewtonmethods_jl_tpu.models import LogisticRegressionMAP
+
+    model = LogisticRegressionMAP(dimension=32, n_obs=300)
+    starts = jax.random.normal(jax.random.PRNGKey(0), (64, 32), jnp.float64)
+    res = qnm.optimize_batched(model, starts, tol=1e-8, backend="vmap")
+    st = np.asarray(res.status)
+    assert np.all(
+        (st == qnm.Status.CONVERGED) | (st == qnm.Status.LINESEARCH_FAILURE)
+    )
+    assert np.all(np.isfinite(np.asarray(res.x))), "stalled lane lost its iterate"
+    # stalled lanes are still at near-tolerance quality
+    gradmax = np.abs(np.asarray(res.grad)).max(axis=1)
+    assert gradmax[st == qnm.Status.LINESEARCH_FAILURE].max() < 1e-6
