@@ -1,0 +1,108 @@
+"""Full benchmark sweep — all five BASELINE.md configs.
+
+Unlike bench.py (the driver-facing one-line headline), this prints a JSON
+line per config. Run on the TPU for real numbers; falls back to CPU.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.host import rosenbrock_host
+from quasinewtonmethods_jl_tpu.models import (
+    IllConditionedQuadratic,
+    LogisticRegressionMAP,
+    rosenbrock_logdensity,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+DTYPE = jnp.float32 if ON_TPU else jnp.float64
+TOL = 1e-3 if ON_TPU else 1e-8
+RNG = np.random.default_rng(20260816)
+
+
+def fetch(tree):
+    return float(sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree_util.tree_leaves(tree)))
+
+
+def timed(fn, *args, reps=3):
+    out = fn(*args)
+    fetch(out)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        fetch(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def emit(name, seconds, extra):
+    print(json.dumps({"config": name, "seconds": round(seconds, 5), **extra}), flush=True)
+
+
+def main():
+    print(f"# backend={jax.default_backend()} dtype={DTYPE.__name__} tol={TOL}",
+          file=sys.stderr, flush=True)
+
+    # 1. Rosenbrock n=60 single solve (reference headline; + native C++ path)
+    x0 = jnp.asarray(RNG.standard_normal(60), DTYPE)
+    t, res = timed(lambda x: qnm.optimize(rosenbrock_logdensity, x, tol=TOL), x0)
+    emit("rosenbrock_n60_single", t, {
+        "status": int(res.status), "iterations": int(res.iterations),
+        "reference_seconds": 330.8e-6,
+    })
+    xh = np.asarray(RNG.standard_normal(60))
+    rosenbrock_host(xh)
+    t0 = time.perf_counter()
+    for _ in range(200):
+        rh = rosenbrock_host(xh)
+    emit("rosenbrock_n60_native_cpp", (time.perf_counter() - t0) / 200,
+         {"status": rh.status, "iterations": rh.iterations,
+          "reference_seconds": 330.8e-6})
+
+    # 2. Ill-conditioned quadratic n=256
+    modelq = IllConditionedQuadratic(256, condition=1e4, dtype=DTYPE)
+    x0 = jnp.asarray(RNG.standard_normal(256), DTYPE)
+    t, res = timed(lambda x: qnm.optimize(modelq, x, tol=max(TOL, 1e-4), max_iterations=5000), x0)
+    emit("quadratic_n256_cond1e4", t, {"status": int(res.status),
+                                       "iterations": int(res.iterations)})
+
+    # 3. Logistic MAP n=100 (autodiff callback)
+    modell = LogisticRegressionMAP(dimension=100, n_obs=500, dtype=DTYPE)
+    x0 = jnp.zeros(100, DTYPE)
+    t, res = timed(lambda x: qnm.optimize(modell, x, tol=TOL), x0)
+    emit("logistic_map_n100", t, {"status": int(res.status),
+                                  "iterations": int(res.iterations)})
+
+    # 4. Batched Rosenbrock fleet 4096 x n=60 (the headline)
+    X = jnp.asarray(RNG.standard_normal((4096, 60)), jnp.float32)
+    t, res = timed(
+        lambda X: qnm.optimize_batched(rosenbrock_logdensity, X, tol=1e-3,
+                                       max_iterations=3000), X)
+    conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
+    emit("batched_rosenbrock_4096x60", t, {
+        "solves_per_sec": round(4096 / t, 1), "converged": conv,
+        "target_solves_per_sec": 10000,
+        "reference_solves_per_sec": round(1 / 330.8e-6, 1)})
+
+    # 5. L-BFGS(10) n=4096
+    n = 4096
+    diag = jnp.asarray(np.linspace(0.2, 5.0, n), DTYPE)
+    xs = jnp.asarray(RNG.standard_normal(n), DTYPE)
+    f5 = lambda x: -0.5 * jnp.sum(diag * (x - xs) ** 2)
+    t, res = timed(
+        lambda x: qnm.optimize_lbfgs(f5, x, history=10, tol=max(TOL, 1e-5),
+                                     max_iterations=500),
+        jnp.zeros(n, DTYPE))
+    emit("lbfgs_m10_n4096", t, {"status": int(res.status),
+                                "iterations": int(res.iterations)})
+
+
+if __name__ == "__main__":
+    main()

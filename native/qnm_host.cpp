@@ -109,17 +109,27 @@ double bfgs_update_impl(int n, int L_runtime, double* __restrict__ B,
                         const double* __restrict__ s, double* __restrict__ y,
                         double* __restrict__ By,
                         const double* __restrict__ g_new,
-                        const double* __restrict__ g_old) {
+                        const double* __restrict__ g_old, bool h0_fresh) {
   const int L = L_ ? L_ : L_runtime;  // padded inner length, multiple of 8
 
   double sty = 0.0;
-#pragma omp simd reduction(+ : sty)
+  double yty = 0.0;
+#pragma omp simd reduction(+ : sty) reduction(+ : yty)
   for (int i = 0; i < L; ++i) {
     double yi = g_old[i] - g_new[i];
     sty += s[i] * yi;
+    yty += yi * yi;
     y[i] = yi;
   }
   const double rho = 1.0 / sty;
+  // H0 scaling of a fresh identity B (Nocedal 6.20; same rule as the JAX
+  // drivers): B <- clip(sty/yty, 1e-3, 1e3) * B. B is exactly I here (fresh
+  // means just-initialized or just-reset), so scaling the diagonal suffices.
+  if (h0_fresh && sty > 0.0) {
+    double gamma = sty / yty;
+    gamma = gamma < 1e-3 ? 1e-3 : (gamma > 1e3 ? 1e3 : gamma);
+    for (int i = 0; i < n; ++i) B[static_cast<size_t>(i) * L + i] = gamma;
+  }
 
   // B⁻¹y via VERTICAL accumulation over columns (valid by symmetry):
   // By[:] = sum_c y[c] * B[:,c]. Unlike the per-column dot form, this emits
@@ -166,10 +176,11 @@ double bfgs_update_impl(int n, int L_runtime, double* __restrict__ B,
 
 // Dispatch to an L-specialized instantiation (L <= 128 covers the dense-B
 // sweet spot; larger problems amortize loop overhead anyway).
-double bfgs_update(Workspace& w) {
-#define QNM_CASE(LV) \
-  case LV:           \
-    return bfgs_update_impl<LV>(w.n, w.L, w.B, w.s, w.y, w.By, w.g_new, w.g_old)
+double bfgs_update(Workspace& w, bool h0_fresh) {
+#define QNM_CASE(LV)                                                       \
+  case LV:                                                                 \
+    return bfgs_update_impl<LV>(w.n, w.L, w.B, w.s, w.y, w.By, w.g_new,    \
+                                w.g_old, h0_fresh)
   switch (w.L) {
     QNM_CASE(8);
     QNM_CASE(16);
@@ -183,7 +194,7 @@ double bfgs_update(Workspace& w) {
     QNM_CASE(128);
     default:
       return bfgs_update_impl<0>(w.n, w.L, w.B, w.s, w.y, w.By, w.g_new,
-                                 w.g_old);
+                                 w.g_old, h0_fresh);
   }
 #undef QNM_CASE
 }
@@ -255,8 +266,8 @@ extern "C" {
 double qnm_bfgs_optimize(value_grad_fn fg, value_fn f, void* user, int32_t n,
                          const double* x0, int32_t order, double ls_c1,
                          double rho_hi, double rho_lo, int32_t ls_iterations,
-                         double tol, int32_t max_iterations, double* out_x,
-                         double* out_grad, int32_t* out_status,
+                         double tol, int32_t max_iterations, int32_t h0_scale,
+                         double* out_x, double* out_grad, int32_t* out_status,
                          int32_t* out_iterations, int64_t* out_nfev,
                          int64_t* out_ngev) {
   thread_local Workspace w;
@@ -273,6 +284,7 @@ double qnm_bfgs_optimize(value_grad_fn fg, value_fn f, void* user, int32_t n,
   identity(w.B, n, w.L);
 
   double result = NaN;
+  bool fresh = true;  // B is an unscaled fresh identity
 
   for (int32_t k = 0; k < max_iterations; ++k) {
     const double f0 = fg(w.g_new, w.x_old, n, user);
@@ -297,11 +309,13 @@ double qnm_bfgs_optimize(value_grad_fn fg, value_fn f, void* user, int32_t n,
     if (k == 0) {
       m = -1.0;  // sentinel forces the steepest-ascent branch (:263-264)
     } else {
-      m = bfgs_update(w);
+      m = bfgs_update(w, h0_scale != 0 && fresh);
+      fresh = false;
       std::swap(w.s, w.y);  // direction lands in s (:268)
     }
     if (m <= 0.0) {  // identity reset + steepest ascent (:272-280)
       identity(w.B, n, w.L);
+      fresh = true;
       m = 0.0;
       for (int i = 0; i < n; ++i) {
         const double gi = w.g_new[i];
@@ -381,14 +395,14 @@ double qnm_rosenbrock_value_grad(double* __restrict__ g,
 // benchmark harness so no Python callback crosses the hot path).
 double qnm_bfgs_optimize_rosenbrock(int32_t n, const double* x0, int32_t order,
                                     double tol, int32_t max_iterations,
-                                    double* out_x, double* out_grad,
-                                    int32_t* out_status,
+                                    int32_t h0_scale, double* out_x,
+                                    double* out_grad, int32_t* out_status,
                                     int32_t* out_iterations, int64_t* out_nfev,
                                     int64_t* out_ngev) {
   return qnm_bfgs_optimize(&qnm_rosenbrock_value_grad, &qnm_rosenbrock_value,
                            nullptr, n, x0, order, 1e-4, 0.5, 0.1, 1000, tol,
-                           max_iterations, out_x, out_grad, out_status,
-                           out_iterations, out_nfev, out_ngev);
+                           max_iterations, h0_scale, out_x, out_grad,
+                           out_status, out_iterations, out_nfev, out_ngev);
 }
 
 }  // extern "C"

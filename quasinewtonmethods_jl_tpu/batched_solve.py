@@ -59,6 +59,7 @@ class _Carry(NamedTuple):
     n_fev: jax.Array  # (batch,) int32
     n_gev: jax.Array  # (batch,) int32
     n_resets: jax.Array  # (batch,) int32
+    fresh: jax.Array  # (batch,) bool: lane's B is a fresh identity
 
 
 class _LSCarry(NamedTuple):
@@ -159,6 +160,7 @@ def _solve_loop_batched(
     tol,
     max_iterations: int,
     update_fn: Callable,
+    h0_scale: bool = True,
 ) -> _Carry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
@@ -203,7 +205,12 @@ def _solve_loop_batched(
                 m = jnp.where(active, gg, jnp.ones_like(gg))
                 B_new, reset = c.B, active
             else:
-                B_new, d, m, r = update_fn(c.B, c.STEP, g, c.G_old, amask)
+                fmask = (
+                    (c.fresh & active).astype(dtype)[None, :]
+                    if h0_scale
+                    else jnp.zeros_like(amask)
+                )
+                B_new, d, m, r = update_fn(c.B, c.STEP, g, c.G_old, amask, fmask)
                 m, reset = m[0], r[0] > 0
 
             def phi(alpha):
@@ -234,6 +241,7 @@ def _solve_loop_batched(
                 n_fev=c.n_fev + was_active.astype(jnp.int32) + ls_fev,
                 n_gev=c.n_gev + was_active.astype(jnp.int32),
                 n_resets=c.n_resets + reset.astype(jnp.int32),
+                fresh=jnp.where(active, reset, c.fresh),
             )
 
         return body
@@ -273,10 +281,12 @@ def _make_update_fn(kernel: str, block_batch: int):
         "value_and_grad_fn",
         "kernel",
         "block_batch",
+        "h0_scale",
     ),
 )
 def _optimize_batched_fused_jit(
-    obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel, block_batch
+    obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel, block_batch,
+    h0_scale,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -316,10 +326,12 @@ def _optimize_batched_fused_jit(
         n_fev=zero_i,
         n_gev=zero_i,
         n_resets=zero_i,
+        fresh=jnp.ones((batch,), bool),
     )
     fc = _solve_loop_batched(
         vag_b, f_b, carry0, ls, tol, max_iterations,
         _make_update_fn(kernel, block_batch),
+        h0_scale,
     )
     if pad:
         fc = jax.tree_util.tree_map(
@@ -339,6 +351,7 @@ def _optimize_batched_fused_jit(
         n_fev=fc.n_fev,
         n_gev=fc.n_gev,
         n_resets=fc.n_resets,
+        fresh=fc.fresh,
     )
     nan = jnp.asarray(jnp.nan, dtype)
     return OptimizeResult(
@@ -364,6 +377,7 @@ def optimize_batched_fused(
     value_and_grad_fn: Optional[Callable] = None,
     kernel: str = "xla",
     block_batch: int = 128,
+    h0_scale: bool = True,
 ) -> OptimizeResult:
     """Throughput-path batched BFGS: native batch-minor driver.
 
@@ -378,5 +392,6 @@ def optimize_batched_fused(
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
     return _optimize_batched_fused_jit(
-        obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel, block_batch
+        obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel,
+        block_batch, h0_scale,
     )

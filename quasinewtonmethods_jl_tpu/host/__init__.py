@@ -81,14 +81,16 @@ def load() -> ctypes.CDLL:
                 _VALUE_GRAD_FN, _VALUE_FN, ctypes.c_void_p, ctypes.c_int32, D,
                 ctypes.c_int32, ctypes.c_double, ctypes.c_double,
                 ctypes.c_double, ctypes.c_int32, ctypes.c_double,
-                ctypes.c_int32, D, D, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.c_int32, D, D,
+                ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
             ]
             lib.qnm_bfgs_optimize_rosenbrock.restype = ctypes.c_double
             lib.qnm_bfgs_optimize_rosenbrock.argtypes = [
                 ctypes.c_int32, D, ctypes.c_int32, ctypes.c_double,
-                ctypes.c_int32, D, D, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.c_int32, D, D,
+                ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
             ]
@@ -115,6 +117,7 @@ def rosenbrock_host(
     order: int = 2,
     tol: float = 1e-8,
     max_iterations: int = 10_000,
+    h0_scale: bool = True,
 ) -> HostResult:
     """Fully-native solve of the built-in Rosenbrock fixture (the reference's
     README benchmark workload — no Python crosses the hot path)."""
@@ -123,7 +126,7 @@ def rosenbrock_host(
     n = x0.shape[0]
     out_x, out_g, status, iters, nfev, ngev = _outputs(n)
     fun = lib.qnm_bfgs_optimize_rosenbrock(
-        n, _as_c(x0), order, tol, max_iterations,
+        n, _as_c(x0), order, tol, max_iterations, int(h0_scale),
         _as_c(out_x), _as_c(out_g),
         ctypes.byref(status), ctypes.byref(iters),
         ctypes.byref(nfev), ctypes.byref(ngev),
@@ -143,6 +146,7 @@ def optimize_host(
     ls_iterations: int = 1000,
     tol: float = 1e-8,
     max_iterations: int = 10_000,
+    h0_scale: bool = True,
 ) -> HostResult:
     """Native solve with Python objective callbacks.
 
@@ -172,7 +176,7 @@ def optimize_host(
     out_x, out_g, status, iters, nfev, ngev = _outputs(n)
     fun = lib.qnm_bfgs_optimize(
         fg_cb, f_cb, None, n, _as_c(x0), order, c1, rho_hi, rho_lo,
-        ls_iterations, tol, max_iterations,
+        ls_iterations, tol, max_iterations, int(h0_scale),
         _as_c(out_x), _as_c(out_g),
         ctypes.byref(status), ctypes.byref(iters),
         ctypes.byref(nfev), ctypes.byref(ngev),

@@ -65,6 +65,8 @@ class BFGSState(NamedTuple):
     n_fev: jax.Array  # () int32 objective evaluations
     n_gev: jax.Array  # () int32 gradient evaluations
     n_resets: jax.Array  # () int32 steepest-ascent restarts (m <= 0 path)
+    fresh: jax.Array  # () bool: B is an unscaled fresh identity (enables
+    #     the H0 scaling on the next update; set after init and every reset)
 
 
 class LBFGSState(NamedTuple):
@@ -116,6 +118,7 @@ def init_bfgs_state(x0: jax.Array) -> BFGSState:
         n_fev=_zero_i32(),
         n_gev=_zero_i32(),
         n_resets=_zero_i32(),
+        fresh=jnp.asarray(True),
     )
 
 

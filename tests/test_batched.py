@@ -100,8 +100,10 @@ def test_pallas_interpret_matches_oracle(rng):
     gold = g + y
     active = jnp.ones((1, batch)).at[0, :5].set(0.0)
 
-    ref = fused_bfgs_update_reference(B, s, g, gold, active)
-    ker = fused_bfgs_update_batched(B, s, g, gold, active, block_batch=16, interpret=True)
+    fresh = jnp.zeros((1, batch)).at[0, 5:9].set(1.0)  # mix of scaled lanes
+    ref = fused_bfgs_update_reference(B, s, g, gold, active, fresh)
+    ker = fused_bfgs_update_batched(B, s, g, gold, active, fresh,
+                                    block_batch=16, interpret=True)
     for a, b2, name in zip(ker, ref, ["B", "d", "m", "reset"]):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b2), atol=1e-10, err_msg=name

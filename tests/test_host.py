@@ -48,7 +48,7 @@ def test_native_matches_jax_on_quadratic(rng):
 
     x0 = rng.standard_normal(n)
     res_c = optimize_host(vag_np, x0)
-    res_j = qnm.optimize(f_jax, jnp.asarray(x0))
+    res_j = qnm.optimize(f_jax, jnp.asarray(x0))  # both default h0-scaled
     assert res_c.status == int(res_j.status) == qnm.Status.CONVERGED
     np.testing.assert_allclose(res_c.x, np.asarray(res_j.x), atol=1e-9)
     np.testing.assert_allclose(res_c.fun, float(res_j.fun), atol=1e-14)

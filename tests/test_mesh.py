@@ -117,3 +117,14 @@ def test_lbfgs_sharded_rejects_uneven_n(rng):
     mesh = make_mesh({"model": 8})
     with pytest.raises(ValueError):
         optimize_lbfgs_sharded(quad_logdensity, jnp.zeros(10), mesh)
+
+
+def test_distributed_helpers_single_host():
+    """Single-host: initialize() must be a clean no-op and report sane
+    process topology."""
+    from quasinewtonmethods_jl_tpu.parallel import distributed as dist
+
+    dist.initialize()  # no cluster env -> no-op, must not raise
+    assert dist.host_count() == 1
+    assert dist.process_index() == 0
+    assert not dist.is_distributed()

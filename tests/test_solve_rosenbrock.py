@@ -25,9 +25,11 @@ EPS64 = float(np.finfo(np.float64).eps)
 @pytest.mark.parametrize("order", [2, 3])
 @pytest.mark.parametrize("n", list(range(2, 25)))
 def test_rosenbrock_sweep(n, order, rng):
+    # h0_scale=False: exact reference semantics for the parity sweep
     x0 = jnp.asarray(rng.standard_normal(n))
     res = qnm.optimize(
-        rosenbrock_logdensity, x0, ls=qnm.BackTracking(order=order)
+        rosenbrock_logdensity, x0, ls=qnm.BackTracking(order=order),
+        h0_scale=False,
     )
     assert int(res.status) == qnm.Status.CONVERGED
     # Value bound: 2eps for order 2, eps for order 3 (test/runtests.jl:42,47).
@@ -38,10 +40,10 @@ def test_rosenbrock_sweep(n, order, rng):
 
 
 def test_readme_headline_n60(rng):
-    """README.md:52-75 — n=60, default order-2 line search."""
+    """README.md:52-75 — n=60, order-2 line search, reference semantics."""
     n = 60
     x0 = jnp.asarray(rng.standard_normal(n))
-    res = qnm.optimize(rosenbrock_logdensity, x0)
+    res = qnm.optimize(rosenbrock_logdensity, x0, h0_scale=False)
     assert bool(res.converged)
     # README.md:62 shows 1.13e-18 < eps for its specific random draw; the
     # start-point-robust bound is the reference suite's own 2*eps
@@ -111,3 +113,19 @@ def test_float32_converges_with_relaxed_tol(rng):
     assert bool(res.converged)
     assert res.x.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=5e-3)
+
+
+@pytest.mark.parametrize("n", [8, 24, 60, 61])
+def test_h0_scaled_default_quality_and_speed(n, rng):
+    """The default h0_scale=True (Nocedal 6.20 scaling of fresh identity
+    inverse-Hessians — documented improvement over the reference) must hit
+    the same gradient certificate in strictly fewer or equal iterations."""
+    x0 = jnp.asarray(rng.standard_normal(n))
+    ref = qnm.optimize(rosenbrock_logdensity, x0, h0_scale=False)
+    scl = qnm.optimize(rosenbrock_logdensity, x0)  # default: scaled
+    assert bool(scl.converged) and bool(ref.converged)
+    assert float(jnp.max(jnp.abs(scl.grad))) < 1e-8
+    np.testing.assert_allclose(np.asarray(scl.x), 1.0, rtol=1e-5)
+    assert abs(float(scl.last_value)) < 1e-13
+    # the scaling exists to cut iterations; allow slack for tiny n
+    assert int(scl.iterations) <= int(ref.iterations) + 5
