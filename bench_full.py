@@ -73,10 +73,14 @@ def main():
     emit("quadratic_n256_cond1e4", t, {"status": int(res.status),
                                        "iterations": int(res.iterations)})
 
-    # 3. Logistic MAP n=100 (autodiff callback)
+    # 3. Logistic MAP n=100 (autodiff callback). f32 tol must respect the
+    # value-resolution floor: with |f| ~ 233, the line search cannot certify
+    # increases below eps(f32)*|f| ~ 3e-5, so grad tolerances tighter than
+    # ~3e-3 stall in-band at this scale (README: f32 numerical contract).
     modell = LogisticRegressionMAP(dimension=100, n_obs=500, dtype=DTYPE)
     x0 = jnp.zeros(100, DTYPE)
-    t, res = timed(lambda x: qnm.optimize(modell, x, tol=TOL), x0)
+    tol3 = 3e-3 if ON_TPU else TOL
+    t, res = timed(lambda x: qnm.optimize(modell, x, tol=tol3), x0)
     emit("logistic_map_n100", t, {"status": int(res.status),
                                   "iterations": int(res.iterations)})
 
