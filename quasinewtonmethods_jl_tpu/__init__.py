@@ -26,7 +26,9 @@ maximized; ascent directions are +B⁻¹∇.
 from .api import ProbabilityModel
 from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
+from .implicit import ImplicitOptions, optimize_implicit
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
+from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .pytree import optimize_lbfgs_pytree, optimize_pytree
 from .solve import (
@@ -52,8 +54,12 @@ __all__ = [
     "optimize_lbfgs",
     "optimize_lbfgs_batched",
     "optimize_lbfgs_from_state",
+    "optimize_implicit",
+    "ImplicitOptions",
     "optimize_lbfgs_pytree",
+    "optimize_multistart",
     "optimize_pytree",
+    "MultistartResult",
     "LBFGSResult",
     "OptimizeResult",
     "MAX_ITERATIONS_DEFAULT",

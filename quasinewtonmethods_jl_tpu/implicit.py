@@ -1,0 +1,126 @@
+"""Implicit differentiation through the solver (MAP sensitivities).
+
+A capability no CPU-era optimizer exposes and a JAX-native one: gradients of
+the converged mode x*(params) — and of the maximized log-density — with
+respect to model hyperparameters, via the implicit function theorem rather
+than differentiating through hundreds of solver iterations.
+
+At the mode, q(x*, p) = ∇ₓ f(x*, p) = 0, so
+
+    dx*/dp = −Hₓₓ⁻¹ Hₓₚ            (IFT)
+    df*/dp = ∂f/∂p |_(x*, p)       (envelope theorem)
+
+The backward pass therefore needs one linear solve with the true Hessian
+(matrix-free conjugate gradient on −Hₓₓ, which is PD at a maximum, with
+Hessian-vector products via forward-over-reverse autodiff) and one VJP of
+∇ₓf with respect to p. Cost: ~tens of HVPs, independent of how many solver
+iterations the forward pass took. Typical use: empirical-Bayes /
+hyperparameter optimization where the inner problem is a MAP solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.linesearch import BackTracking
+from .solve import MAX_ITERATIONS_DEFAULT, optimize
+from .lbfgs_solve import optimize_lbfgs
+
+__all__ = ["ImplicitOptions", "optimize_implicit"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ImplicitOptions:
+    """Static solve + backward-pass configuration (hashable for jit)."""
+
+    method: str = "bfgs"  # 'bfgs' | 'lbfgs'
+    ls: BackTracking = BackTracking()
+    tol: float = 1e-8
+    max_iterations: int = MAX_ITERATIONS_DEFAULT
+    history: int = 10  # lbfgs only
+    h0_scale: bool = True
+    cg_tol: float = 1e-10
+    cg_maxiter: Optional[int] = None
+
+
+def _forward(obj, x0, params, opts: ImplicitOptions):
+    f = lambda x: obj(x, params)
+    if opts.method == "lbfgs":
+        res = optimize_lbfgs(
+            f, x0, history=opts.history, ls=opts.ls, tol=opts.tol,
+            max_iterations=opts.max_iterations,
+        )
+    elif opts.method == "bfgs":
+        res = optimize(
+            f, x0, ls=opts.ls, tol=opts.tol,
+            max_iterations=opts.max_iterations, h0_scale=opts.h0_scale,
+        )
+    else:
+        raise ValueError(f"unknown method {opts.method!r}")
+    return res.x, res.fun
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def _solve_implicit(obj, x0, params, opts):
+    return _forward(obj, x0, params, opts)
+
+
+def _fwd(obj, x0, params, opts):
+    x_star, fun = _forward(obj, x0, params, opts)
+    return (x_star, fun), (x_star, params, x0)
+
+
+def _bwd(obj, opts, residuals, cotangents):
+    x_star, params, x0 = residuals
+    gx, gfun = cotangents
+
+    grad_x = jax.grad(obj, argnums=0)
+
+    def hxx_mv(v):
+        # forward-over-reverse HVP with the TRUE Hessian at the mode
+        return jax.jvp(lambda x: grad_x(x, params), (x_star,), (v,))[1]
+
+    # −Hxx is PD at a maximum -> CG applies. u solves −Hxx u = gx, so
+    # Hxx⁻¹ gx = −u and  dL/dp (from the x cotangent) = uᵀ Hxp.
+    u, _ = jax.scipy.sparse.linalg.cg(
+        lambda v: -hxx_mv(v), gx, tol=opts.cg_tol, maxiter=opts.cg_maxiter
+    )
+    _, vjp_p = jax.vjp(lambda p: grad_x(x_star, p), params)
+    dp_from_x = vjp_p(u)[0]
+
+    # envelope theorem for the value output (∇ₓf(x*) = 0)
+    dfdp = jax.grad(lambda p: obj(x_star, p))(params)
+    gfun_s = jnp.asarray(gfun, x_star.dtype) if gfun is not None else 0.0
+    dp = jax.tree_util.tree_map(
+        lambda a, b: a + gfun_s * b, dp_from_x, dfdp
+    )
+    # x* is independent of the starting point (to solver tolerance)
+    return jax.tree_util.tree_map(jnp.zeros_like, x0), dp
+
+
+_solve_implicit.defvjp(_fwd, _bwd)
+
+
+def optimize_implicit(
+    obj: Callable,
+    x0: jax.Array,
+    params,
+    opts: ImplicitOptions = ImplicitOptions(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Differentiably maximize ``obj(x, params)`` over x.
+
+    Returns ``(x_star, fun)``; both are differentiable with respect to
+    ``params`` (an array or pytree) via the implicit function theorem.
+    ``obj`` must be a pure function of (x, params); the gradient through
+    x0 is defined as zero (the mode does not depend on the start).
+
+    On failure the forward pass carries the usual in-band NaN ``fun``; the
+    backward pass is only meaningful at a converged interior maximum.
+    For full diagnostics, run the plain solver separately.
+    """
+    return _solve_implicit(obj, x0, params, opts)

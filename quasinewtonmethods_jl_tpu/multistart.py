@@ -1,0 +1,82 @@
+"""Multi-start MAP: batched solves from many starts, best mode selected.
+
+The batched engine's natural companion for multimodal or poorly-initialized
+problems: run a fleet of solves from random (or user-provided) starting
+points in one XLA computation and pick the best converged mode — the
+workflow ProbabilityModels-style callers hand-roll around the reference
+(README.md:14: many chains, one mode finder).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.linesearch import BackTracking
+from .parallel.batch import optimize_batched
+from .solve import MAX_ITERATIONS_DEFAULT, OptimizeResult
+from .state import Status
+
+__all__ = ["MultistartResult", "optimize_multistart"]
+
+
+class MultistartResult(NamedTuple):
+    x: jax.Array  # (n,) best converged iterate
+    fun: jax.Array  # () its log-density (NaN if no start converged)
+    best_index: jax.Array  # () int32 index into the fleet
+    n_converged: jax.Array  # () int32
+    fleet: OptimizeResult  # the full batched result (leading batch axis)
+
+    @property
+    def converged(self) -> jax.Array:
+        return self.n_converged > 0
+
+
+def optimize_multistart(
+    obj,
+    key: jax.Array,
+    n_starts: int,
+    dim: int,
+    init_scale: float = 1.0,
+    x0s: Optional[jax.Array] = None,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    dtype=None,
+    **batch_kwargs,
+) -> MultistartResult:
+    """Maximize from ``n_starts`` starting points; return the best mode.
+
+    Starts are N(0, init_scale²) draws from ``key`` unless ``x0s``
+    ((n_starts, dim)) is given. Only converged lanes compete; with zero
+    converged lanes the result carries NaN fun and ``converged`` is False
+    (the in-band contract, fleet-level).
+    """
+    if x0s is None:
+        if dtype is None:
+            dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+        x0s = init_scale * jax.random.normal(key, (n_starts, dim), dtype)
+    else:
+        x0s = jnp.asarray(x0s)
+
+    fleet = optimize_batched(
+        obj, x0s, ls=ls, tol=tol, max_iterations=max_iterations,
+        value_and_grad_fn=value_and_grad_fn, **batch_kwargs,
+    )
+    ok = fleet.status == Status.CONVERGED
+    # fleet.fun is NaN on non-converged lanes already; argmax over a
+    # -inf-masked copy picks the best converged mode deterministically.
+    score = jnp.where(ok, fleet.last_value, -jnp.inf)
+    best = jnp.argmax(score)
+    n_conv = jnp.sum(ok).astype(jnp.int32)
+    nan = jnp.asarray(jnp.nan, fleet.last_value.dtype)
+    return MultistartResult(
+        x=fleet.x[best],
+        fun=jnp.where(n_conv > 0, fleet.last_value[best], nan),
+        best_index=best.astype(jnp.int32),
+        n_converged=n_conv,
+        fleet=fleet,
+    )

@@ -187,3 +187,32 @@ def test_batched_failure_lane_isolated(rng):
     assert np.all(status[ok] == qnm.Status.CONVERGED)
     np.testing.assert_allclose(np.asarray(res.x)[ok], 0.0, atol=1e-8)
     assert np.isnan(float(res.fun[3]))
+
+
+def test_multistart_picks_best_mode(rng):
+    """Bimodal objective: the fleet must find both modes and report the
+    better one."""
+    # two gaussian bumps, the one at +3 taller
+    def bimodal(x):
+        a = -0.5 * jnp.sum((x - 3.0) ** 2)
+        b = -0.5 * jnp.sum((x + 3.0) ** 2) - 1.0
+        return jnp.logaddexp(a, b)
+
+    res = qnm.optimize_multistart(
+        bimodal, jax.random.PRNGKey(0), n_starts=64, dim=2, init_scale=4.0,
+        tol=1e-6, backend="vmap",
+    )
+    assert bool(res.converged)
+    assert int(res.n_converged) >= 32
+    # best mode is the taller one near +3
+    np.testing.assert_allclose(np.asarray(res.x), 3.0, atol=1e-2)
+    assert float(res.fun) > -0.1
+
+
+def test_multistart_all_failed_is_inband():
+    f = lambda x: jnp.nan * jnp.sum(x)
+    res = qnm.optimize_multistart(
+        f, jax.random.PRNGKey(0), n_starts=8, dim=3, backend="vmap"
+    )
+    assert not bool(res.converged)
+    assert np.isnan(float(res.fun))
