@@ -26,6 +26,7 @@ maximized; ascent directions are +B⁻¹∇.
 from .api import ProbabilityModel
 from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
+from .ops.wolfe import Wolfe, WolfeResult, wolfe_linesearch
 from .implicit import ImplicitOptions, optimize_implicit
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
@@ -46,6 +47,9 @@ __all__ = [
     "BackTracking",
     "LineSearchResult",
     "backtracking_linesearch",
+    "Wolfe",
+    "WolfeResult",
+    "wolfe_linesearch",
     "bfgs_update",
     "initial_inv_hessian",
     "optimize",

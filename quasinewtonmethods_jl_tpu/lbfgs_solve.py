@@ -27,7 +27,7 @@ from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
 from .ops.lbfgs import lbfgs_direction, lbfgs_push
-from .ops.linesearch import BackTracking, backtracking_linesearch
+from .ops.linesearch import BackTracking, backtracking_linesearch, run_linesearch
 from .solve import MAX_ITERATIONS_DEFAULT
 from .state import LBFGSState, Status, init_lbfgs_state
 
@@ -111,14 +111,13 @@ def _lbfgs_loop(
             hist = jnp.where(reset, jnp.zeros_like(hist), hist)
             gamma = jnp.where(reset, jnp.ones_like(gamma), gamma)
 
-            def phi(alpha):
-                return f(s.x + alpha * d)
-
-            lsr = backtracking_linesearch(phi, f0, m, ls)
+            alpha, ls_failed, ls_fev, ls_gev = run_linesearch(
+                ls, f, vag, s.x, d, f0, m
+            )
             # explicit mask: 0 * NaN direction would otherwise destroy x
-            step = jnp.where(lsr.failed, jnp.zeros_like(d), lsr.alpha * d)
+            step = jnp.where(ls_failed, jnp.zeros_like(d), alpha * d)
             new_status = jnp.where(
-                lsr.failed,
+                ls_failed,
                 jnp.int32(Status.LINESEARCH_FAILURE),
                 jnp.int32(Status.RUNNING),
             )
@@ -135,8 +134,8 @@ def _lbfgs_loop(
                 fun=f0,
                 k=s.k + 1,
                 status=new_status,
-                n_fev=n_fev + lsr.n_fev,
-                n_gev=n_gev,
+                n_fev=n_fev + ls_fev,
+                n_gev=n_gev + ls_gev,
                 n_resets=s.n_resets + reset.astype(jnp.int32),
             )
 

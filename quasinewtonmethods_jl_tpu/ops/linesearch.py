@@ -33,7 +33,7 @@ from jax import lax
 
 from ..utils.scalars import finite_halving_limit, nanmin, nanmax, sqrt_tolerance
 
-__all__ = ["BackTracking", "LineSearchResult", "backtracking_linesearch"]
+__all__ = ["BackTracking", "LineSearchResult", "backtracking_linesearch", "run_linesearch"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,3 +200,28 @@ def backtracking_linesearch(
     # unmoved point.
     failed = alpha == 0.0
     return LineSearchResult(alpha, ac.fx1, ac.n_fev, ac.iteration, failed)
+
+
+def run_linesearch(ls, f, vag, x, d, f0, m):
+    """Dispatch to the configured line search (trace-time on the config type).
+
+    Returns ``(alpha, failed, extra_fev, extra_gev)``. BackTracking trials
+    are value-only; Wolfe trials evaluate value+gradient (the curvature test
+    needs the directional derivative) and so count toward both counters.
+    """
+    from .wolfe import Wolfe, wolfe_linesearch
+
+    if isinstance(ls, Wolfe):
+
+        def phi_vag(alpha):
+            fv, gv = vag(x + alpha * d)
+            return fv, jnp.dot(gv, d)
+
+        wr = wolfe_linesearch(phi_vag, f0, m, ls)
+        return wr.alpha, wr.failed, wr.n_fev, wr.n_fev
+
+    def phi(alpha):
+        return f(x + alpha * d)
+
+    lsr = backtracking_linesearch(phi, f0, m, ls)
+    return lsr.alpha, lsr.failed, lsr.n_fev, jnp.zeros((), jnp.int32)

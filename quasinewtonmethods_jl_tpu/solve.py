@@ -36,7 +36,7 @@ from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
 from .ops.bfgs import bfgs_update, initial_inv_hessian
-from .ops.linesearch import BackTracking, backtracking_linesearch
+from .ops.linesearch import BackTracking, backtracking_linesearch, run_linesearch
 from .state import BFGSState, Status, init_bfgs_state
 
 __all__ = ["OptimizeResult", "optimize", "optimize_from_state", "MAX_ITERATIONS_DEFAULT"]
@@ -128,19 +128,19 @@ def _solve_loop(
             d = jnp.where(reset, g, d)
             m = jnp.where(reset, jnp.dot(g, g, preferred_element_type=dtype), m)
 
-            # Value-only trials (the reference's step! -> logdensity path,
-            # :157-162): the line search must never pay for a backward pass.
-            def phi(alpha):
-                return f(s.x + alpha * d)
-
-            lsr = backtracking_linesearch(phi, f0, m, ls)
+            # BackTracking trials are value-only (the reference's step! ->
+            # logdensity path, :157-162 — never pay for a backward pass);
+            # Wolfe trials use value+slope.
+            alpha, ls_failed, ls_fev, ls_gev = run_linesearch(
+                ls, f, vag, s.x, d, f0, m
+            )
             # On failure x must stay at the last good iterate (the reference
             # breaks before update_state!, :284-285). alpha is 0 then, but
             # 0 * d is NaN when the direction itself is NaN (degenerate
             # update), so the masking must be explicit.
-            step = jnp.where(lsr.failed, jnp.zeros_like(d), lsr.alpha * d)
+            step = jnp.where(ls_failed, jnp.zeros_like(d), alpha * d)
             new_status = jnp.where(
-                lsr.failed,
+                ls_failed,
                 jnp.int32(Status.LINESEARCH_FAILURE),
                 jnp.int32(Status.RUNNING),
             )
@@ -153,8 +153,8 @@ def _solve_loop(
                 fun=f0,
                 k=s.k + 1,
                 status=new_status,
-                n_fev=n_fev + lsr.n_fev,
-                n_gev=n_gev,
+                n_fev=n_fev + ls_fev,
+                n_gev=n_gev + ls_gev,
                 n_resets=s.n_resets + reset.astype(jnp.int32),
                 fresh=reset,  # reset leaves a fresh identity behind
             )
