@@ -391,6 +391,16 @@ def optimize_batched_fused(
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    if kernel == "pallas":
+        # VMEM feasibility: the kernel holds roughly 4 (n, n, block) f32
+        # tiles (in + out + expression temporaries) in ~16 MB of VMEM.
+        # Measured: n=60/block=128 fits comfortably; n=128/block=128 needs
+        # 32.5 MB and fails to compile. Fall back to the fused XLA
+        # formulation (same math, same layout) past the feasible size.
+        n = x0s.shape[1]
+        est_bytes = 4 * n * n * block_batch * x0s.dtype.itemsize
+        if est_bytes > 14 * 1024 * 1024:
+            kernel = "xla"
     return _optimize_batched_fused_jit(
         obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel,
         block_batch, h0_scale,

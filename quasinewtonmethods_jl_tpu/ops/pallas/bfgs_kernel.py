@@ -51,10 +51,6 @@ __all__ = [
 ]
 
 
-def _selects(B_like_plane_writer, dtype):  # pragma: no cover - doc helper
-    raise NotImplementedError
-
-
 def fused_bfgs_update_reference(B, step, g, g_old, active, fresh=None):
     """jnp oracle with identical semantics (CPU fallback + CI equivalence).
 

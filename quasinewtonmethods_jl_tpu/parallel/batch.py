@@ -94,11 +94,8 @@ def optimize_batched(
         from ..batched_solve import optimize_batched_fused
 
         if kernel == "auto":
-            # The Pallas kernel needs an (n, n, 128) f32 block (x2 for
-            # in+out) resident in ~16MB VMEM: feasible up to n ~ 128.
-            # Larger n falls back to the fused XLA formulation (same math).
-            n = x0s.shape[1]
-            kernel = "pallas" if (on_tpu and n <= 128) else "xla"
+            kernel = "pallas" if on_tpu else "xla"
+            # feasibility fallback handled inside optimize_batched_fused
         return optimize_batched_fused(
             obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel=kernel
         )
