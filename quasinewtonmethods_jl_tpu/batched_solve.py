@@ -91,30 +91,22 @@ def _batched_linesearch(phi, f0, m, active, ls: BackTracking, dtype):
     fx1 = phi(one)
     n_fev = active.astype(jnp.int32)
 
-    # Phase A: halve alpha until finite (reference :176-184), per lane.
-    ifmax = finite_halving_limit(dtype)
+    # Unlike the scalar search, there is no separate finite-halving phase:
+    # every extra lax.while_loop costs a fixed sequential dispatch per OUTER
+    # solver iteration even when it runs zero rounds, which measurably taxes
+    # the lockstep engine. A non-finite trial fails the Armijo test (NaN >=
+    # t is False) and the NaN-robust clamps then shrink alpha by rho_hi
+    # (= 0.5 by default — exactly the reference's halving, :182) inside the
+    # single Armijo loop. The only behavioral difference vs the two-phase
+    # form is the shared iteration budget and a x0.1 shrink for -inf trials.
+    fc = _LSCarry(one, one, f0, fx1, zero_i, n_fev)
+    budget = ls.iterations + finite_halving_limit(dtype)
 
-    def fin_lane(c: _LSCarry):
-        return active & ~jnp.isfinite(c.fx1) & (c.it < ifmax)
-
-    def fin_cond(c: _LSCarry):
-        return jnp.any(fin_lane(c))
-
-    def fin_body(c: _LSCarry):
-        lane = fin_lane(c)
-        a1 = jnp.where(lane, c.a2, c.a1)
-        a2 = jnp.where(lane, 0.5 * c.a2, c.a2)
-        fx1 = jnp.where(lane, phi(a2), c.fx1)
-        return _LSCarry(a1, a2, c.fx0, fx1, c.it + lane, c.n_fev + lane)
-
-    fc = lax.while_loop(fin_cond, fin_body, _LSCarry(one, one, f0, fx1, zero_i, n_fev))
-
-    # Phase B: Armijo sufficient-increase loop (reference :186-230).
     def suff(c: _LSCarry):
         return c.fx1 >= f0 + c.a2 * c1 * m
 
     def arm_lane(c: _LSCarry):
-        return active & ~suff(c) & (c.it < ls.iterations)
+        return active & ~suff(c) & (c.it < budget)
 
     def arm_cond(c: _LSCarry):
         return jnp.any(arm_lane(c))
