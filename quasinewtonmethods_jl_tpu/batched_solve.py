@@ -383,6 +383,11 @@ def optimize_batched_fused(
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    if not isinstance(ls, BackTracking):
+        raise NotImplementedError(
+            "the batched engines support BackTracking line search only; "
+            "Wolfe is available on optimize / optimize_lbfgs (scalar paths)"
+        )
     if kernel == "pallas":
         # VMEM feasibility: the kernel holds roughly 4 (n, n, block) f32
         # tiles (in + out + expression temporaries) in ~16 MB of VMEM.

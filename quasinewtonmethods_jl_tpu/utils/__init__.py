@@ -1,7 +1,7 @@
 """Utilities: NaN-aware scalars, checkpointing, profiling."""
 
 from .checkpoint import load_state, save_state
-from .profiling import solve_stats, summarize_trace, trace
+from .profiling import practically_converged, solve_stats, summarize_trace, trace
 from .scalars import (
     finite_halving_limit,
     nanmax,
@@ -15,6 +15,7 @@ __all__ = [
     "load_state",
     "nanmax",
     "nanmin",
+    "practically_converged",
     "save_state",
     "significand_bits",
     "solve_stats",

@@ -28,7 +28,7 @@ from typing import Dict, Iterator, List, Tuple
 
 import jax
 
-__all__ = ["trace", "summarize_trace", "solve_stats"]
+__all__ = ["trace", "summarize_trace", "solve_stats", "practically_converged"]
 
 
 @contextlib.contextmanager
@@ -82,3 +82,24 @@ def solve_stats(result) -> Dict[str, float]:
             np.asarray(result.status) == 1, np.mean
         ),
     }
+
+
+def practically_converged(result, tol: float, factor: float = 10.0):
+    """Per-lane acceptance mask: strictly converged, OR stalled at the
+    floating-point noise floor with a near-tolerance gradient.
+
+    The backtracking line search cannot certify objective increases below
+    ~eps(dtype)*|f|, so a lane one step short of a tight tolerance exits
+    with LINESEARCH_FAILURE while its iterate is perfectly usable (the
+    reference returns NaN in the identical situation). Acceptance rule:
+    status == CONVERGED, or status == LINESEARCH_FAILURE with
+    max|grad| < factor * tol. Works for scalar and batched results.
+    """
+    import numpy as np
+
+    status = np.asarray(result.status)
+    grad = np.asarray(result.grad)
+    gradmax = np.abs(grad).max(axis=-1) if grad.ndim > 1 else np.abs(grad).max()
+    converged = status == 1  # Status.CONVERGED
+    stalled_ok = (status == 3) & (gradmax < factor * tol)
+    return converged | stalled_ok

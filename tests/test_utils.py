@@ -60,3 +60,20 @@ def test_solve_stats(rng):
     X0 = jnp.asarray(rng.standard_normal((4, 6)))
     stb = solve_stats(qnm.optimize_batched(rosenbrock_logdensity, X0, backend="vmap"))
     assert stb["converged_fraction"] == 1.0
+
+
+def test_practically_converged_helper(rng):
+    from quasinewtonmethods_jl_tpu.utils import practically_converged
+
+    # scalar converged result
+    res = qnm.optimize(rosenbrock_logdensity, jnp.asarray(rng.standard_normal(6)))
+    assert practically_converged(res, tol=1e-8)
+
+    # batched with a hard-failed lane (NaN start): that lane must be excluded
+    X0 = np.asarray(rng.standard_normal((6, 4)))
+    X0[2] = np.nan
+    resb = qnm.optimize_batched(rosenbrock_logdensity, jnp.asarray(X0), backend="vmap")
+    mask = practically_converged(resb, tol=1e-8)
+    assert mask.shape == (6,)
+    assert not mask[2]
+    assert mask.sum() == 5
