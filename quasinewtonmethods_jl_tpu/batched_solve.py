@@ -144,6 +144,70 @@ def _batched_linesearch(phi, f0, m, active, ls: BackTracking, dtype):
     return alpha, ac.n_fev, ac.it, failed
 
 
+class _WLSCarry(NamedTuple):
+    lo: jax.Array
+    hi: jax.Array
+    a: jax.Array
+    fa: jax.Array
+    sa: jax.Array
+    it: jax.Array
+    n_ev: jax.Array
+
+
+def _batched_wolfe(phi_vag, f0, m, active, ls, dtype):
+    """Masked lockstep weak-Wolfe search (per-lane semantics of
+    ops.wolfe.wolfe_linesearch). phi_vag maps (batch,) alphas to
+    ((batch,) values, (batch,) slopes along the ray)."""
+    batch = f0.shape[0]
+    c1 = jnp.asarray(ls.c1, dtype)
+    c2 = jnp.asarray(ls.c2, dtype)
+    one = jnp.ones((batch,), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+
+    fa0, sa0 = phi_vag(one)
+
+    def conds(c: _WLSCarry):
+        armijo = c.fa >= f0 + c1 * c.a * m
+        curv = c.sa <= c2 * m
+        return armijo, curv
+
+    def lane_mask(c: _WLSCarry):
+        armijo, curv = conds(c)
+        return active & ~(armijo & curv) & (c.it < ls.iterations)
+
+    def cond(c: _WLSCarry):
+        return jnp.any(lane_mask(c))
+
+    def body(c: _WLSCarry):
+        lane = lane_mask(c)
+        armijo, _curv = conds(c)
+        hi = jnp.where(lane & ~armijo, c.a, c.hi)
+        lo = jnp.where(lane & armijo, c.a, c.lo)
+        a_next = jnp.where(jnp.isinf(hi), 2.0 * lo, 0.5 * (lo + hi))
+        a = jnp.where(lane, a_next, c.a)
+        fa_n, sa_n = phi_vag(a)
+        return _WLSCarry(
+            lo=lo,
+            hi=hi,
+            a=a,
+            fa=jnp.where(lane, fa_n, c.fa),
+            sa=jnp.where(lane, sa_n, c.sa),
+            it=c.it + lane,
+            n_ev=c.n_ev + lane,
+        )
+
+    init = _WLSCarry(
+        lo=jnp.zeros((batch,), dtype), hi=jnp.full((batch,), jnp.inf, dtype),
+        a=one, fa=fa0, sa=sa0, it=zero_i, n_ev=active.astype(jnp.int32),
+    )
+    fc = lax.while_loop(cond, body, init)
+    armijo, curv = conds(fc)
+    ok = armijo & curv
+    alpha = jnp.where(active & ok, fc.a, jnp.zeros((), dtype))
+    failed = active & (alpha == 0.0)
+    return alpha, fc.n_ev, fc.it, failed
+
+
 def _solve_loop_batched(
     vag_b: Callable,
     f_b: Callable,
@@ -205,12 +269,25 @@ def _solve_loop_batched(
                 B_new, d, m, r = update_fn(c.B, c.STEP, g, c.G_old, amask, fmask)
                 m, reset = m[0], r[0] > 0
 
-            def phi(alpha):
-                return f_b(c.X + alpha[None, :] * d)
+            from .ops.wolfe import Wolfe
 
-            alpha, ls_fev, _ls_it, ls_failed = _batched_linesearch(
-                phi, f0, m, active, ls, dtype
-            )
+            if isinstance(ls, Wolfe):
+
+                def phi_vag(alpha):
+                    fv, gv = vag_b(c.X + alpha[None, :] * d)
+                    return fv, jnp.sum(gv * d, axis=0)
+
+                alpha, ls_fev, _ls_it, ls_failed = _batched_wolfe(
+                    phi_vag, f0, m, active, ls, dtype
+                )
+            else:
+
+                def phi(alpha):
+                    return f_b(c.X + alpha[None, :] * d)
+
+                alpha, ls_fev, _ls_it, ls_failed = _batched_linesearch(
+                    phi, f0, m, active, ls, dtype
+                )
             # failed/frozen lanes take no step — explicit mask, because
             # alpha == 0 times a NaN direction (degenerate update) is NaN
             # and would destroy the lane's last good iterate.
@@ -383,11 +460,6 @@ def optimize_batched_fused(
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
-    if not isinstance(ls, BackTracking):
-        raise NotImplementedError(
-            "the batched engines support BackTracking line search only; "
-            "Wolfe is available on optimize / optimize_lbfgs (scalar paths)"
-        )
     if kernel == "pallas":
         # VMEM feasibility: the kernel holds roughly 4 (n, n, block) f32
         # tiles (in + out + expression temporaries) in ~16 MB of VMEM.

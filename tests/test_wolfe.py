@@ -94,3 +94,28 @@ def test_wolfe_guarantees_positive_curvature_pairs(rng):
     )
     assert bool(res.converged)
     assert int(res.state.hist) == 8  # ring full
+
+
+def test_batched_wolfe_fleet(rng):
+    X0 = jnp.asarray(rng.standard_normal((24, 10)))
+    res = qnm.optimize_batched(
+        rosenbrock_logdensity, X0, ls=qnm.Wolfe(), backend="fused", kernel="xla"
+    )
+    assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, rtol=1e-5)
+
+
+def test_batched_wolfe_matches_scalar_on_quadratic(rng):
+    def quad(x):
+        diag = jnp.arange(1.0, x.shape[0] + 1.0, dtype=x.dtype)
+        return -0.5 * jnp.sum(diag * x * x)
+
+    X0 = jnp.asarray(rng.standard_normal((6, 5)))
+    res_b = qnm.optimize_batched(quad, X0, ls=qnm.Wolfe(), backend="fused", kernel="xla")
+    for b in range(6):
+        res_s = qnm.optimize(quad, X0[b], ls=qnm.Wolfe())
+        assert int(res_b.status[b]) == int(res_s.status) == qnm.Status.CONVERGED
+        np.testing.assert_allclose(
+            np.asarray(res_b.x[b]), np.asarray(res_s.x), atol=1e-8
+        )
+        assert int(res_b.iterations[b]) == int(res_s.iterations)
