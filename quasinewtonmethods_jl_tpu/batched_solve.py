@@ -280,6 +280,7 @@ def _solve_loop_batched(
                 alpha, ls_fev, _ls_it, ls_failed = _batched_wolfe(
                     phi_vag, f0, m, active, ls, dtype
                 )
+                ls_gev = ls_fev  # every Wolfe trial is a value+grad eval
             else:
 
                 def phi(alpha):
@@ -288,6 +289,7 @@ def _solve_loop_batched(
                 alpha, ls_fev, _ls_it, ls_failed = _batched_linesearch(
                     phi, f0, m, active, ls, dtype
                 )
+                ls_gev = jnp.zeros_like(ls_fev)
             # failed/frozen lanes take no step — explicit mask, because
             # alpha == 0 times a NaN direction (degenerate update) is NaN
             # and would destroy the lane's last good iterate.
@@ -308,7 +310,7 @@ def _solve_loop_batched(
                 status=new_status,
                 iterations=c.iterations + active.astype(jnp.int32),
                 n_fev=c.n_fev + was_active.astype(jnp.int32) + ls_fev,
-                n_gev=c.n_gev + was_active.astype(jnp.int32),
+                n_gev=c.n_gev + was_active.astype(jnp.int32) + ls_gev,
                 n_resets=c.n_resets + reset.astype(jnp.int32),
                 fresh=jnp.where(active, reset, c.fresh),
             )
