@@ -2,11 +2,13 @@
 strategy (test/runtests.jl:4-33) plus the BASELINE.md benchmark configs."""
 
 from .logistic import LogisticRegressionMAP
+from .poisson import PoissonRegressionMAP
 from .quadratic import IllConditionedQuadratic, quadratic_logdensity
 from .rosenbrock import Rosenbrock, rosenbrock_logdensity, rosenbrock_value_and_grad
 
 __all__ = [
     "LogisticRegressionMAP",
+    "PoissonRegressionMAP",
     "IllConditionedQuadratic",
     "quadratic_logdensity",
     "Rosenbrock",

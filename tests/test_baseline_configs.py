@@ -62,3 +62,23 @@ def test_config5_lbfgs_high_dim(rng):
     assert bool(res.converged)
     assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_star), atol=1e-6)
+
+
+def test_poisson_glm_map(rng):
+    """Count-data GLM: exp() overflow on wild iterates exercises the
+    finite-halving line-search robustness on a realistic model."""
+    from quasinewtonmethods_jl_tpu.models import PoissonRegressionMAP
+
+    from quasinewtonmethods_jl_tpu.utils import practically_converged
+
+    model = PoissonRegressionMAP(dimension=50, n_obs=400)
+    # Start far out so early trial points overflow exp(). With |f*| ~ 342,
+    # tol = 1e-8 sits at the f64 value-certification floor (eps * |f|), so a
+    # trajectory may stall in-band a hair above tol — the documented
+    # scale-aware tolerance behavior; accept via the standard rule.
+    res = qnm.optimize(model, jnp.asarray(rng.standard_normal(50)) * 5.0)
+    assert practically_converged(res, tol=1e-8)
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-7
+    res_l = qnm.optimize_lbfgs(model, jnp.zeros(50))
+    assert bool(res_l.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_l.x), atol=1e-6)
