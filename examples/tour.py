@@ -1,0 +1,125 @@
+"""Executable tour of the public API — every entry point in ~a minute.
+
+Run: python examples/tour.py    (CPU or TPU; CPU uses f64 + tol 1e-8)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu import parallel as par
+from quasinewtonmethods_jl_tpu.models import (
+    IllConditionedQuadratic,
+    LogisticRegressionMAP,
+    PoissonRegressionMAP,
+    Rosenbrock,
+    rosenbrock_logdensity,
+)
+from quasinewtonmethods_jl_tpu.utils import (
+    load_state,
+    practically_converged,
+    save_state,
+    solve_stats,
+)
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    tol = 1e-3 if on_tpu else 1e-8
+    key = jax.random.PRNGKey(0)
+    say = lambda *a: print(*a, flush=True)
+
+    # -- scalar BFGS (reference-parity core) --------------------------------
+    x0 = jax.random.normal(key, (24,), dtype)
+    res = qnm.optimize(rosenbrock_logdensity, x0, tol=tol)
+    say(f"optimize:            {qnm.Status(int(res.status)).name:10s} "
+        f"iters={int(res.iterations)} stats={solve_stats(res)}")
+
+    # order-3 line search, reference-exact semantics
+    res3 = qnm.optimize(rosenbrock_logdensity, x0, tol=tol,
+                        ls=qnm.BackTracking(order=3), h0_scale=False)
+    say(f"order-3 / no-H0:     {qnm.Status(int(res3.status)).name:10s} "
+        f"iters={int(res3.iterations)}")
+
+    # Wolfe line search
+    resw = qnm.optimize(rosenbrock_logdensity, x0, tol=tol, ls=qnm.Wolfe())
+    say(f"Wolfe:               {qnm.Status(int(resw.status)).name:10s} "
+        f"iters={int(resw.iterations)}")
+
+    # model objects
+    for model in (Rosenbrock(12), IllConditionedQuadratic(64, 1e3, dtype=dtype),
+                  LogisticRegressionMAP(32, 200, dtype=dtype),
+                  PoissonRegressionMAP(16, 200, dtype=dtype)):
+        r = qnm.optimize(model, jnp.zeros(len(model), dtype), tol=max(tol, 1e-6))
+        say(f"{type(model).__name__:20s} {qnm.Status(int(r.status)).name:10s} "
+            f"iters={int(r.iterations)}")
+
+    # -- checkpoint / resume -------------------------------------------------
+    part = qnm.optimize(rosenbrock_logdensity, x0, tol=tol, max_iterations=3)
+    save_state("/tmp/qnm_tour_state.npz", part.state)
+    resumed = qnm.optimize_from_state(
+        rosenbrock_logdensity, load_state("/tmp/qnm_tour_state.npz"), tol=tol)
+    say(f"checkpoint+resume:   {qnm.Status(int(resumed.status)).name}")
+
+    # -- L-BFGS (large n) ----------------------------------------------------
+    diag = jnp.linspace(0.5, 3.0, 2048).astype(dtype)
+    big = lambda x: -0.5 * jnp.sum(diag * x * x)
+    rl = qnm.optimize_lbfgs(big, jax.random.normal(key, (2048,), dtype), tol=tol)
+    say(f"optimize_lbfgs n=2k: {qnm.Status(int(rl.status)).name:10s} "
+        f"iters={int(rl.iterations)}")
+
+    # -- pytree params -------------------------------------------------------
+    params, rp = qnm.optimize_pytree(
+        lambda p: -(jnp.sum((p["w"] - 1) ** 2) + (p["b"] + 2) ** 2),
+        {"w": jnp.zeros(5, dtype), "b": jnp.zeros((), dtype)}, tol=tol)
+    say(f"optimize_pytree:     {qnm.Status(int(rp.status)).name:10s} "
+        f"b*={float(params['b']):+.3f}")
+
+    # -- batched fleet + multistart -----------------------------------------
+    X0 = jax.random.normal(key, (256, 16), dtype)
+    rb = qnm.optimize_batched(rosenbrock_logdensity, X0, tol=tol)
+    ok = practically_converged(rb, tol=tol)
+    say(f"optimize_batched:    {int(ok.sum())}/256 usable lanes")
+
+    rms = qnm.optimize_multistart(
+        lambda x: -0.5 * jnp.sum((x - 2) ** 2), key, n_starts=64, dim=3,
+        tol=tol)
+    say(f"optimize_multistart: best fun {float(rms.fun):.4f} "
+        f"({int(rms.n_converged)}/64 converged)")
+
+    # -- implicit differentiation -------------------------------------------
+    f = lambda x, p: -0.5 * jnp.sum((x - p) ** 2)
+    g = jax.grad(lambda p: jnp.sum(
+        qnm.optimize_implicit(f, jnp.zeros(4, dtype), p,
+                              qnm.ImplicitOptions(tol=tol))[0]))(
+        jnp.ones(4, dtype))
+    say(f"optimize_implicit:   d(sum x*)/dp = {np.asarray(g).round(3)}")
+
+    # -- mesh sharding (virtual devices if CPU) ------------------------------
+    if len(jax.devices()) >= 2:
+        mesh = par.make_mesh({"data": min(len(jax.devices()), 8)})
+        rs = par.optimize_batched_sharded(
+            rosenbrock_logdensity,
+            jax.random.normal(key, (mesh.shape["data"] * 8, 8), dtype),
+            mesh, tol=tol, kernel="xla")
+        say(f"batched_sharded:     {int(jnp.sum(rs.status == 1))} converged over "
+            f"{mesh.shape['data']} devices")
+    else:
+        say("batched_sharded:     skipped (single device)")
+
+    # -- native host runtime -------------------------------------------------
+    try:
+        from quasinewtonmethods_jl_tpu.host import rosenbrock_host
+
+        rh = rosenbrock_host(np.random.default_rng(0).standard_normal(60))
+        say(f"native C++ host:     status={rh.status} iters={rh.iterations}")
+    except Exception as e:  # no g++ toolchain
+        say(f"native C++ host:     skipped ({type(e).__name__})")
+
+    say("tour complete")
+
+
+if __name__ == "__main__":
+    main()
