@@ -39,7 +39,7 @@ from .ops.pallas.bfgs_kernel import (
     fused_bfgs_update_batched,
     fused_bfgs_update_reference,
 )
-from .solve import MAX_ITERATIONS_DEFAULT, OptimizeResult
+from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT, OptimizeResult
 from .state import BFGSState, Status
 from .utils.scalars import finite_halving_limit, nanmax, nanmin, sqrt_tolerance
 
@@ -60,6 +60,7 @@ class _Carry(NamedTuple):
     n_gev: jax.Array  # (batch,) int32
     n_resets: jax.Array  # (batch,) int32
     fresh: jax.Array  # (batch,) bool: lane's B is a fresh identity
+    stall: jax.Array  # (batch,) int32 consecutive no-improvement iterations
 
 
 class _LSCarry(NamedTuple):
@@ -238,6 +239,16 @@ def _solve_loop_batched(
             was_active = c.status == Status.RUNNING
             nonfinite = ~jnp.isfinite(f0)
             converged = jnp.max(jnp.abs(g), axis=0) < tol
+            improved = jnp.where(jnp.isnan(c.fun), True, f0 > c.fun)
+            stall = jnp.where(
+                was_active & ~improved, c.stall + 1, jnp.zeros_like(c.stall)
+            )
+            stall = jnp.where(was_active, stall, c.stall)
+            stalled = (
+                stall >= STALL_LIMIT_DEFAULT
+                if STALL_LIMIT_DEFAULT
+                else jnp.zeros_like(was_active)
+            )
             status_pre = jnp.where(
                 was_active,
                 jnp.where(
@@ -246,7 +257,11 @@ def _solve_loop_batched(
                     jnp.where(
                         converged,
                         jnp.int32(Status.CONVERGED),
-                        jnp.int32(Status.RUNNING),
+                        jnp.where(
+                            stalled,
+                            jnp.int32(Status.LINESEARCH_FAILURE),
+                            jnp.int32(Status.RUNNING),
+                        ),
                     ),
                 ),
                 c.status,
@@ -313,6 +328,7 @@ def _solve_loop_batched(
                 n_gev=c.n_gev + was_active.astype(jnp.int32) + ls_gev,
                 n_resets=c.n_resets + reset.astype(jnp.int32),
                 fresh=jnp.where(active, reset, c.fresh),
+                stall=stall,
             )
 
         return body
@@ -398,6 +414,7 @@ def _optimize_batched_fused_jit(
         n_gev=zero_i,
         n_resets=zero_i,
         fresh=jnp.ones((batch,), bool),
+        stall=zero_i,
     )
     fc = _solve_loop_batched(
         vag_b, f_b, carry0, ls, tol, max_iterations,
@@ -423,6 +440,7 @@ def _optimize_batched_fused_jit(
         n_gev=fc.n_gev,
         n_resets=fc.n_resets,
         fresh=fc.fresh,
+        stall=fc.stall,
     )
     nan = jnp.asarray(jnp.nan, dtype)
     return OptimizeResult(

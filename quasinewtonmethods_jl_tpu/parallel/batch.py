@@ -106,10 +106,14 @@ def optimize_batched(
 
 @partial(
     jax.jit,
-    static_argnames=("obj", "history", "ls", "max_iterations", "value_and_grad_fn"),
+    static_argnames=(
+        "obj", "history", "ls", "max_iterations", "value_and_grad_fn",
+        "direction_method",
+    ),
 )
 def _optimize_lbfgs_batched_jit(
-    obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+    obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
+    direction_method,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -117,7 +121,8 @@ def _optimize_lbfgs_batched_jit(
     def solve_one(x0):
         state = init_lbfgs_state(x0, history)
         return _lbfgs_result_from_state(
-            _lbfgs_loop(vag, f, state, ls, tol, max_iterations, jnp.dot)
+            _lbfgs_loop(vag, f, state, ls, tol, max_iterations, jnp.dot,
+                        direction_method=direction_method)
         )
 
     return jax.vmap(solve_one)(x0s)
@@ -131,18 +136,22 @@ def optimize_lbfgs_batched(
     tol: float = 1e-8,
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
+    direction_method: str = "compact",
 ):
     """Batched L-BFGS fleet: many independent large-n solves in one XLA
     computation (O(batch * m * n) memory — the regime where per-lane dense
     (n, n) inverse Hessians would not fit).
 
-    vmap of the scalar L-BFGS driver; the O(m·n) state has no analog of the
-    dense driver's B-select problem, so no special fused engine is needed.
+    vmap of the scalar L-BFGS driver. ``direction_method='compact'``
+    (default) uses the Byrd–Nocedal–Schnabel form, whose batched matmuls
+    replace the two-loop recursion's 2m sequential dispatches per iteration
+    — the difference between a dispatch-bound and a compute-bound fleet.
     Returns an LBFGSResult with a leading batch axis on every leaf.
     """
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
     return _optimize_lbfgs_batched_jit(
-        obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+        obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
+        direction_method,
     )

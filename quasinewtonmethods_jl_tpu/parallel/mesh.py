@@ -166,6 +166,7 @@ def optimize_lbfgs_sharded(
             x=P(axis), grad=P(axis), grad_old=P(axis), step=P(axis),
             S=P(None, axis), Y=P(None, axis), rho=P(), hist=P(), gamma=P(),
             fun=P(), k=P(), status=P(), n_fev=P(), n_gev=P(), n_resets=P(),
+            stall=P(),
         ),
     )
 
@@ -179,8 +180,11 @@ def optimize_lbfgs_sharded(
     )
     def run(x0_local, tol_arr):
         state = init_lbfgs_state(x0_local, history)
+        # sharded path: two_loop with psum dots (the compact form's matmuls
+        # would need their own collective plumbing)
         final = _lbfgs_loop(
-            vag_local, f_local, state, ls, tol_arr, max_iterations, dot, max_abs
+            vag_local, f_local, state, ls, tol_arr, max_iterations, dot,
+            max_abs, direction_method="two_loop",
         )
         return _result_from_state(final)
 

@@ -44,6 +44,14 @@ __all__ = ["OptimizeResult", "optimize", "optimize_from_state", "MAX_ITERATIONS_
 # The reference hardcodes N = 10_000 outer iterations (:250).
 MAX_ITERATIONS_DEFAULT = 10_000
 
+# Stall detector: a MONOTONE ascent method that fails to strictly increase
+# the objective for this many consecutive iterations is grinding below
+# floating-point measurement precision (the line search keeps "accepting"
+# absorption-level steps); exit in-band instead of crawling to the
+# iteration cap. The reference would crawl (same class of outcome, reached
+# 200x slower). Set stall_limit=0 to disable (exact reference behavior).
+STALL_LIMIT_DEFAULT = 50
+
 
 class OptimizeResult(NamedTuple):
     """Solve result. ``fun`` keeps the reference's in-band contract: the
@@ -74,6 +82,7 @@ def _solve_loop(
     tol,
     max_iterations: int,
     h0_scale: bool = True,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> BFGSState:
     n = state.x.shape[0]
     dtype = state.x.dtype
@@ -90,16 +99,28 @@ def _solve_loop(
 
         nonfinite = ~jnp.isfinite(f0)
         converged = jnp.max(jnp.abs(g)) < tol
+        improved = jnp.where(jnp.isnan(s.fun), True, f0 > s.fun)
+        stall = jnp.where(improved, jnp.int32(0), s.stall + 1)
+        stalled = (stall >= stall_limit) if stall_limit else jnp.asarray(False)
         # Non-finite check precedes convergence, matching :255 before :257.
         status_pre = jnp.where(
             nonfinite,
             jnp.int32(Status.NONFINITE_VALUE),
-            jnp.where(converged, jnp.int32(Status.CONVERGED), jnp.int32(Status.RUNNING)),
+            jnp.where(
+                converged,
+                jnp.int32(Status.CONVERGED),
+                jnp.where(
+                    stalled,
+                    jnp.int32(Status.LINESEARCH_FAILURE),
+                    jnp.int32(Status.RUNNING),
+                ),
+            ),
         )
 
         def finish(_):
             return s._replace(
-                grad=g, fun=f0, status=status_pre, n_fev=n_fev, n_gev=n_gev
+                grad=g, fun=f0, status=status_pre, n_fev=n_fev, n_gev=n_gev,
+                stall=stall,
             )
 
         def advance(_):
@@ -157,6 +178,7 @@ def _solve_loop(
                 n_gev=n_gev + ls_gev,
                 n_resets=s.n_resets + reset.astype(jnp.int32),
                 fresh=reset,  # reset leaves a fresh identity behind
+                stall=stall,
             )
 
         return lax.cond(status_pre != Status.RUNNING, finish, advance, None)

@@ -67,6 +67,8 @@ class BFGSState(NamedTuple):
     n_resets: jax.Array  # () int32 steepest-ascent restarts (m <= 0 path)
     fresh: jax.Array  # () bool: B is an unscaled fresh identity (enables
     #     the H0 scaling on the next update; set after init and every reset)
+    stall: jax.Array  # () int32: consecutive iterations without a strict
+    #     objective increase (stall detector; see solve.STALL_LIMIT_DEFAULT)
 
 
 class LBFGSState(NamedTuple):
@@ -91,6 +93,7 @@ class LBFGSState(NamedTuple):
     n_fev: jax.Array
     n_gev: jax.Array
     n_resets: jax.Array
+    stall: jax.Array  # () int32 consecutive no-improvement iterations
 
 
 def _zero_i32():
@@ -119,6 +122,7 @@ def init_bfgs_state(x0: jax.Array) -> BFGSState:
         n_gev=_zero_i32(),
         n_resets=_zero_i32(),
         fresh=jnp.asarray(True),
+        stall=_zero_i32(),
     )
 
 
@@ -146,4 +150,5 @@ def init_lbfgs_state(x0: jax.Array, history: int = 10) -> LBFGSState:
         n_fev=_zero_i32(),
         n_gev=_zero_i32(),
         n_resets=_zero_i32(),
+        stall=_zero_i32(),
     )
