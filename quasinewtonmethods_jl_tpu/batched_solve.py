@@ -102,12 +102,15 @@ def _batched_linesearch(phi, f0, m, active, ls: BackTracking, dtype):
     # form is the shared iteration budget and a x0.1 shrink for -inf trials.
     fc = _LSCarry(one, one, f0, fx1, zero_i, n_fev)
     budget = ls.iterations + finite_halving_limit(dtype)
+    # doomed-lane fast-fail: NaN m/f0 can never satisfy Armijo (see
+    # ops/linesearch.py) — exclude such lanes from the loop mask entirely.
+    doomed = ~(jnp.isfinite(m) & jnp.isfinite(f0))
 
     def suff(c: _LSCarry):
         return c.fx1 >= f0 + c.a2 * c1 * m
 
     def arm_lane(c: _LSCarry):
-        return active & ~suff(c) & (c.it < budget)
+        return active & ~doomed & ~suff(c) & (c.it < budget)
 
     def arm_cond(c: _LSCarry):
         return jnp.any(arm_lane(c))
@@ -172,9 +175,11 @@ def _batched_wolfe(phi_vag, f0, m, active, ls, dtype):
         curv = c.sa <= c2 * m
         return armijo, curv
 
+    doomed = ~(jnp.isfinite(m) & jnp.isfinite(f0))
+
     def lane_mask(c: _WLSCarry):
         armijo, curv = conds(c)
-        return active & ~(armijo & curv) & (c.it < ls.iterations)
+        return active & ~doomed & ~(armijo & curv) & (c.it < ls.iterations)
 
     def cond(c: _WLSCarry):
         return jnp.any(lane_mask(c))

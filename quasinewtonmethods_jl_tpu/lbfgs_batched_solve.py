@@ -1,0 +1,334 @@
+"""Natively-batched L-BFGS driver — masked lockstep fleets.
+
+Why this exists (profiled on a v5e chip): `jax.vmap` of the scalar L-BFGS
+driver costs ~20 ms/outer-iteration at batch 4096 even though the per-lane
+math is trivial — under vmap, the discarded branch of an already-finished
+lane still participates in every nested `lax.while_loop`'s trip count, so a
+few frozen lanes running garbage line searches drag all 4096 lanes through
+hundreds of sequential lockstep rounds per iteration. The fused BFGS driver
+(batched_solve.py) solved this with explicit lane masks; this module does
+the same for L-BFGS:
+
+  * explicit `active` masks everywhere — frozen lanes take no line-search
+    rounds and are never updated;
+  * the compact (Byrd–Nocedal–Schnabel) direction batched as einsums +
+    batched (m, m) triangular solves — no per-lane sequential recursion;
+  * the history-ring push vectorized with one-hot writes — no scatters;
+  * shares the masked line searches, stall detector, and Status contract
+    with the fused BFGS engine.
+
+Layout: lane-minor like the BFGS engine — X/G/STEP are (n, batch), the
+history rings are (m, n, batch), per-lane scalars are (batch,).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from .api import as_value_and_grad, as_value_fn
+from .batched_solve import _batched_linesearch, _batched_wolfe
+from .lbfgs_solve import LBFGSResult
+from .ops.linesearch import BackTracking
+from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT
+from .state import LBFGSState, Status
+
+__all__ = ["optimize_lbfgs_batched_fused"]
+
+
+class _LCarry(NamedTuple):
+    X: jax.Array  # (n, batch)
+    G: jax.Array  # (n, batch)
+    G_old: jax.Array  # (n, batch)
+    STEP: jax.Array  # (n, batch)
+    S: jax.Array  # (m, n, batch) ring, oldest..newest in 0..hist-1
+    Y: jax.Array  # (m, n, batch)
+    rho: jax.Array  # (m, batch)
+    hist: jax.Array  # (batch,) int32
+    gamma: jax.Array  # (batch,)
+    fun: jax.Array  # (batch,)
+    k: jax.Array  # ()
+    status: jax.Array  # (batch,) int32
+    iterations: jax.Array  # (batch,) int32
+    n_fev: jax.Array
+    n_gev: jax.Array
+    n_resets: jax.Array
+    stall: jax.Array
+
+
+def _batched_push(S, Y, rho, hist, gamma, step, y, active):
+    """Vectorized cautious ring push (per-lane semantics of ops.lbfgs.lbfgs_push)."""
+    mh = S.shape[0]
+    dtype = S.dtype
+    sty = jnp.sum(step * y, axis=0)  # (batch,)
+    yty = jnp.sum(y * y, axis=0)
+    accept = (sty > 0.0) & active  # (batch,)
+    full = hist >= mh
+
+    ids = jnp.arange(mh)  # (m,)
+    write_at = jnp.minimum(hist, mh - 1)  # (batch,)
+    onehot = ids[:, None] == write_at[None, :]  # (m, batch)
+
+    S_shift = jnp.concatenate([S[1:], step[None]], axis=0)
+    Y_shift = jnp.concatenate([Y[1:], y[None]], axis=0)
+    rho_shift = jnp.concatenate([rho[1:], (1.0 / sty)[None]], axis=0)
+    S_app = jnp.where(onehot[:, None, :], step[None], S)
+    Y_app = jnp.where(onehot[:, None, :], y[None], Y)
+    rho_app = jnp.where(onehot, 1.0 / sty, rho)
+
+    fullb = full[None, None, :]
+    S_new = jnp.where(fullb, S_shift, S_app)
+    Y_new = jnp.where(fullb, Y_shift, Y_app)
+    rho_new = jnp.where(full[None, :], rho_shift, rho_app)
+
+    acc_m = accept[None, None, :]
+    S_out = jnp.where(acc_m, S_new, S)
+    Y_out = jnp.where(acc_m, Y_new, Y)
+    rho_out = jnp.where(accept[None, :], rho_new, rho)
+    hist_out = jnp.where(accept, jnp.minimum(hist + 1, mh), hist)
+    gamma_out = jnp.where(accept, sty / yty, gamma).astype(dtype)
+    return S_out, Y_out, rho_out, hist_out, gamma_out
+
+
+def _batched_compact_direction(S, Y, hist, gamma, g):
+    """Batched BNS compact direction (per-lane semantics of
+    ops.lbfgs_compact.lbfgs_direction_compact)."""
+    mh, n, batch = S.shape
+    dtype = g.dtype
+
+    SY = jnp.einsum("inb,jnb->ijb", S, Y)  # (m, m, batch)
+    YY = jnp.einsum("inb,jnb->ijb", Y, Y)
+    ids = jnp.arange(mh)
+    valid = ids[:, None] < hist[None, :]  # (m, batch)
+    inval = (~valid).astype(dtype)
+
+    triu = jnp.triu(jnp.ones((mh, mh), dtype))[:, :, None]
+    eye = jnp.eye(mh, dtype=dtype)[:, :, None]
+    R = SY * triu + eye * inval[:, None, :]  # unit diag on empty slots
+    D = jnp.einsum("iib->ib", SY) + inval  # (m, batch)
+
+    Sg = jnp.einsum("inb,nb->ib", S, g)  # (m, batch)
+    Yg = jnp.einsum("inb,nb->ib", Y, g)
+
+    Rb = jnp.transpose(R, (2, 0, 1))  # (batch, m, m)
+    a = solve_triangular(Rb, Sg.T[..., None], lower=False)[..., 0].T  # (m, batch)
+    t = D * a + gamma[None, :] * jnp.einsum("ijb,jb->ib", YY, a) - gamma[None, :] * Yg
+    top = solve_triangular(Rb, t.T[..., None], lower=False, trans=1)[..., 0].T
+
+    d = (
+        gamma[None, :] * g
+        + jnp.einsum("inb,ib->nb", S, top)
+        - gamma[None, :] * jnp.einsum("inb,ib->nb", Y, a)
+    )
+    m_dir = jnp.sum(d * g, axis=0)
+    return d, m_dir
+
+
+def _lbfgs_loop_batched(
+    vag_b, f_b, carry0: _LCarry, ls, tol, max_iterations: int,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
+) -> _LCarry:
+    dtype = carry0.X.dtype
+    tol = jnp.asarray(tol, dtype)
+
+    def cond(c: _LCarry):
+        return jnp.logical_and(
+            c.k < max_iterations, jnp.any(c.status == Status.RUNNING)
+        )
+
+    def body(c: _LCarry):
+        f0, g = vag_b(c.X)
+        was_active = c.status == Status.RUNNING
+        nonfinite = ~jnp.isfinite(f0)
+        converged = jnp.max(jnp.abs(g), axis=0) < tol
+        improved = jnp.where(jnp.isnan(c.fun), True, f0 > c.fun)
+        stall = jnp.where(
+            was_active & ~improved, c.stall + 1, jnp.zeros_like(c.stall)
+        )
+        stall = jnp.where(was_active, stall, c.stall)
+        stalled = (
+            stall >= stall_limit if stall_limit else jnp.zeros_like(was_active)
+        )
+        status_pre = jnp.where(
+            was_active,
+            jnp.where(
+                nonfinite,
+                jnp.int32(Status.NONFINITE_VALUE),
+                jnp.where(
+                    converged,
+                    jnp.int32(Status.CONVERGED),
+                    jnp.where(
+                        stalled,
+                        jnp.int32(Status.LINESEARCH_FAILURE),
+                        jnp.int32(Status.RUNNING),
+                    ),
+                ),
+            ),
+            c.status,
+        )
+        active = status_pre == Status.RUNNING
+
+        y_pair = c.G_old - g
+        S, Y, rho, hist, gamma = _batched_push(
+            c.S, c.Y, c.rho, c.hist, c.gamma, c.STEP, y_pair, active
+        )
+        d, m = _batched_compact_direction(S, Y, hist, gamma, g)
+
+        # reset: clear history, steepest ascent (per-lane)
+        gg = jnp.sum(g * g, axis=0)
+        reset = (m <= 0.0) & active
+        d = jnp.where(active[None, :], jnp.where(reset[None, :], g, d), 0.0)
+        m = jnp.where(active, jnp.where(reset, gg, m), jnp.ones_like(m))
+        hist = jnp.where(reset, jnp.zeros_like(hist), hist)
+        gamma = jnp.where(reset, jnp.ones_like(gamma), gamma)
+
+        from .ops.wolfe import Wolfe
+
+        if isinstance(ls, Wolfe):
+
+            def phi_vag(alpha):
+                fv, gv = vag_b(c.X + alpha[None, :] * d)
+                return fv, jnp.sum(gv * d, axis=0)
+
+            alpha, ls_fev, _it, ls_failed = _batched_wolfe(
+                phi_vag, f0, m, active, ls, dtype
+            )
+            ls_gev = ls_fev
+        else:
+
+            def phi(alpha):
+                return f_b(c.X + alpha[None, :] * d)
+
+            alpha, ls_fev, _it, ls_failed = _batched_linesearch(
+                phi, f0, m, active, ls, dtype
+            )
+            ls_gev = jnp.zeros_like(ls_fev)
+
+        take = (active & ~ls_failed)[None, :]
+        step = jnp.where(take, alpha[None, :] * d, jnp.zeros_like(d))
+        new_status = jnp.where(
+            active & ls_failed, jnp.int32(Status.LINESEARCH_FAILURE), status_pre
+        )
+        wmask = was_active[None, :]
+        amask = active[None, :]
+        return _LCarry(
+            X=c.X + step,
+            G=jnp.where(wmask, g, c.G),
+            G_old=jnp.where(amask, g, c.G_old),
+            STEP=jnp.where(amask, step, c.STEP),
+            S=S,
+            Y=Y,
+            rho=rho,
+            hist=hist,
+            gamma=gamma,
+            fun=jnp.where(was_active, f0, c.fun),
+            k=c.k + 1,
+            status=new_status,
+            iterations=c.iterations + active.astype(jnp.int32),
+            n_fev=c.n_fev + was_active.astype(jnp.int32) + ls_fev,
+            n_gev=c.n_gev + was_active.astype(jnp.int32) + ls_gev,
+            n_resets=c.n_resets + reset.astype(jnp.int32),
+            stall=stall,
+        )
+
+    final = lax.while_loop(cond, body, carry0)
+    return final._replace(
+        status=jnp.where(
+            final.status == Status.RUNNING,
+            jnp.int32(Status.MAX_ITERATIONS),
+            final.status,
+        )
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("obj", "history", "ls", "max_iterations", "value_and_grad_fn"),
+)
+def _optimize_lbfgs_batched_fused_jit(
+    obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+):
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
+    vag_b = jax.vmap(vag, in_axes=1, out_axes=(0, 1))
+    f_b = jax.vmap(f, in_axes=1, out_axes=0)
+
+    batch, n = x0s.shape
+    dtype = x0s.dtype
+    zero_v = jnp.zeros((n, batch), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    carry0 = _LCarry(
+        X=x0s.T,
+        G=zero_v,
+        G_old=zero_v,
+        STEP=zero_v,
+        S=jnp.zeros((history, n, batch), dtype),
+        Y=jnp.zeros((history, n, batch), dtype),
+        rho=jnp.zeros((history, batch), dtype),
+        hist=zero_i,
+        gamma=jnp.ones((batch,), dtype),
+        fun=jnp.full((batch,), jnp.nan, dtype),
+        k=jnp.zeros((), jnp.int32),
+        status=jnp.full((batch,), Status.RUNNING, jnp.int32),
+        iterations=zero_i,
+        n_fev=zero_i,
+        n_gev=zero_i,
+        n_resets=zero_i,
+        stall=zero_i,
+    )
+    fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations)
+
+    state = LBFGSState(
+        x=fc.X.T,
+        grad=fc.G.T,
+        grad_old=fc.G_old.T,
+        step=fc.STEP.T,
+        S=jnp.moveaxis(fc.S, -1, 0),
+        Y=jnp.moveaxis(fc.Y, -1, 0),
+        rho=fc.rho.T,
+        hist=fc.hist,
+        gamma=fc.gamma,
+        fun=fc.fun,
+        k=fc.iterations,
+        status=fc.status,
+        n_fev=fc.n_fev,
+        n_gev=fc.n_gev,
+        n_resets=fc.n_resets,
+        stall=fc.stall,
+    )
+    nan = jnp.asarray(jnp.nan, dtype)
+    return LBFGSResult(
+        x=state.x,
+        fun=jnp.where(fc.status == Status.CONVERGED, fc.fun, nan),
+        grad=state.grad,
+        status=fc.status,
+        iterations=fc.iterations,
+        n_fev=fc.n_fev,
+        n_gev=fc.n_gev,
+        n_resets=fc.n_resets,
+        last_value=fc.fun,
+        state=state,
+    )
+
+
+def optimize_lbfgs_batched_fused(
+    obj,
+    x0s: jax.Array,
+    history: int = 10,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> LBFGSResult:
+    """Masked-lockstep batched L-BFGS (the throughput engine for fleets)."""
+    x0s = jnp.asarray(x0s)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    return _optimize_lbfgs_batched_fused_jit(
+        obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+    )

@@ -150,8 +150,17 @@ def backtracking_linesearch(
     # halving, a1 takes the *previous* a2.
     iterfinitemax = finite_halving_limit(dtype)
 
+    # A search with non-finite m (or f0) is doomed: the Armijo RHS is NaN,
+    # so no trial can ever satisfy it and the reference would burn the whole
+    # iteration budget before returning the alpha=0 failure. Failing fast is
+    # outcome-identical and matters enormously under vmap, where one doomed
+    # lane (e.g. the discarded cond-branch of an already-converged lane)
+    # would otherwise drag every lane through the full budget, every outer
+    # iteration.
+    doomed = ~(jnp.isfinite(m) & jnp.isfinite(f0))
+
     def finite_cond(c: _FiniteCarry):
-        return jnp.logical_and(~jnp.isfinite(c.fx1), c.it < iterfinitemax)
+        return ~doomed & ~jnp.isfinite(c.fx1) & (c.it < iterfinitemax)
 
     def finite_body(c: _FiniteCarry):
         a2 = 0.5 * c.a2
@@ -170,7 +179,7 @@ def backtracking_linesearch(
         return c.fx1 >= f0 + c.a2 * c1 * m
 
     def armijo_cond(c: _ArmijoCarry):
-        return jnp.logical_and(~sufficient(c), c.iteration < ls.iterations)
+        return ~doomed & ~sufficient(c) & (c.iteration < ls.iterations)
 
     def armijo_body(c: _ArmijoCarry):
         it = c.iteration + 1

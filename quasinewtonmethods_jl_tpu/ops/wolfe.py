@@ -100,9 +100,15 @@ def wolfe_linesearch(
     # Acceptance is tested in the loop *condition*, so the accepting trial
     # is never followed by a wasted evaluation; the body only runs to
     # shrink/grow the bracket and evaluate the next trial.
+    # doomed-search fast-fail (see backtracking_linesearch): NaN m or f0
+    # can never satisfy the conditions; exit immediately with the same
+    # in-band alpha=0 outcome instead of burning the budget (critical for
+    # vmapped discarded branches).
+    doomed = ~(jnp.isfinite(m) & jnp.isfinite(f0))
+
     def cond(c: _WCarry):
         armijo, curv = conds(c.a, c.fa, c.sa)
-        return jnp.logical_and(~(armijo & curv), c.it < ls.iterations)
+        return ~doomed & ~(armijo & curv) & (c.it < ls.iterations)
 
     def body(c: _WCarry):
         armijo, curv = conds(c.a, c.fa, c.sa)

@@ -137,20 +137,32 @@ def optimize_lbfgs_batched(
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
     direction_method: str = "compact",
+    backend: str = "fused",
 ):
     """Batched L-BFGS fleet: many independent large-n solves in one XLA
     computation (O(batch * m * n) memory — the regime where per-lane dense
     (n, n) inverse Hessians would not fit).
 
-    vmap of the scalar L-BFGS driver. ``direction_method='compact'``
-    (default) uses the Byrd–Nocedal–Schnabel form, whose batched matmuls
-    replace the two-loop recursion's 2m sequential dispatches per iteration
-    — the difference between a dispatch-bound and a compute-bound fleet.
+    ``backend='fused'`` (default) is the masked-lockstep engine
+    (lbfgs_batched_solve.py): explicit active-lane masks keep frozen lanes
+    out of every nested loop, and the BNS compact direction runs as batched
+    einsums — profiled ~20x faster than the vmap engine, whose frozen
+    lanes' discarded branches drag every lane through their garbage line
+    searches. ``backend='vmap'`` keeps the jax.vmap-of-scalar engine (the
+    equivalence oracle; honors ``direction_method``).
     Returns an LBFGSResult with a leading batch axis on every leaf.
     """
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    if backend == "fused":
+        from ..lbfgs_batched_solve import optimize_lbfgs_batched_fused
+
+        return optimize_lbfgs_batched_fused(
+            obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+        )
+    if backend != "vmap":
+        raise ValueError(f"unknown backend {backend!r}; use 'fused' or 'vmap'")
     return _optimize_lbfgs_batched_jit(
         obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
         direction_method,
