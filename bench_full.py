@@ -107,6 +107,16 @@ def main():
     emit("lbfgs_m10_n4096", t, {"status": int(res.status),
                                 "iterations": int(res.iterations)})
 
+    # 6. Batched L-BFGS fleet (masked-lockstep engine) — beyond-reference
+    X = jnp.asarray(RNG.standard_normal((1024, 512)), jnp.float32)
+    t, res = timed(
+        lambda X: qnm.optimize_lbfgs_batched(rosenbrock_logdensity, X,
+                                             history=10, tol=1e-3,
+                                             max_iterations=3000), X)
+    conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
+    emit("lbfgs_fleet_1024x512", t, {
+        "solves_per_sec": round(1024 / t, 1), "converged": conv})
+
 
 if __name__ == "__main__":
     main()
