@@ -27,7 +27,7 @@ together and run lockstep until every lane finishes or the cap hits).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

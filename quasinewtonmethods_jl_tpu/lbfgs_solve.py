@@ -28,7 +28,7 @@ from jax import lax
 from .api import as_value_and_grad, as_value_fn
 from .ops.lbfgs import lbfgs_direction, lbfgs_push
 from .ops.lbfgs_compact import lbfgs_direction_compact
-from .ops.linesearch import BackTracking, backtracking_linesearch, run_linesearch
+from .ops.linesearch import BackTracking, run_linesearch
 from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT
 from .state import LBFGSState, Status, init_lbfgs_state
 

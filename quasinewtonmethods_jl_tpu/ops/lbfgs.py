@@ -20,7 +20,7 @@ partial dot + psum (see parallel.mesh).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ HMC-initialization use case):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

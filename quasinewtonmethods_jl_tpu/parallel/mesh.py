@@ -39,7 +39,7 @@ from ..api import as_value_and_grad, as_value_fn
 from ..lbfgs_solve import LBFGSResult, _lbfgs_loop, _result_from_state
 from ..ops.linesearch import BackTracking
 from ..solve import MAX_ITERATIONS_DEFAULT, OptimizeResult
-from ..state import LBFGSState, Status, init_lbfgs_state
+from ..state import LBFGSState, init_lbfgs_state
 
 __all__ = [
     "make_mesh",

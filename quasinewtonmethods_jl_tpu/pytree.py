@@ -11,14 +11,14 @@ and the user's logdensity sees their own structure.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from .ops.linesearch import BackTracking
-from .solve import MAX_ITERATIONS_DEFAULT, OptimizeResult, optimize
+from .solve import MAX_ITERATIONS_DEFAULT, optimize
 
 __all__ = ["optimize_pytree", "optimize_lbfgs_pytree"]
 

@@ -36,7 +36,7 @@ from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
 from .ops.bfgs import bfgs_update, initial_inv_hessian
-from .ops.linesearch import BackTracking, backtracking_linesearch, run_linesearch
+from .ops.linesearch import BackTracking, run_linesearch
 from .state import BFGSState, Status, init_bfgs_state
 
 __all__ = ["OptimizeResult", "optimize", "optimize_from_state", "MAX_ITERATIONS_DEFAULT"]
