@@ -31,7 +31,7 @@ from .implicit import ImplicitOptions, optimize_implicit
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
-from .pytree import optimize_lbfgs_pytree, optimize_pytree
+from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
     OptimizeResult,
@@ -60,6 +60,7 @@ __all__ = [
     "optimize_lbfgs_from_state",
     "optimize_implicit",
     "ImplicitOptions",
+    "optimize_batched_pytree",
     "optimize_lbfgs_pytree",
     "optimize_multistart",
     "optimize_pytree",

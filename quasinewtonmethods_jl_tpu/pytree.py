@@ -20,7 +20,7 @@ from jax.flatten_util import ravel_pytree
 from .ops.linesearch import BackTracking
 from .solve import MAX_ITERATIONS_DEFAULT, optimize
 
-__all__ = ["optimize_pytree", "optimize_lbfgs_pytree"]
+__all__ = ["optimize_pytree", "optimize_lbfgs_pytree", "optimize_batched_pytree"]
 
 
 class _PytreeObjective:
@@ -94,3 +94,48 @@ def optimize_lbfgs_pytree(
         max_iterations=max_iterations,
     )
     return unravel(res.x), res
+
+
+def optimize_batched_pytree(
+    obj,
+    x0_trees,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    **batch_kwargs,
+):
+    """Batched solves over structured parameters.
+
+    ``x0_trees`` is a pytree whose every leaf carries a leading batch axis
+    (the idiomatic "stacked starts" layout). Each lane is raveled to a flat
+    vector, the fleet runs on the batched engine, and the optima are
+    unraveled back: returns ``(params_opt_trees, result)`` where the params
+    pytree again has the leading batch axis and ``result`` is the flat
+    batched OptimizeResult.
+    """
+    import jax as _jax
+
+    from .parallel.batch import optimize_batched
+
+    leaves = _jax.tree_util.tree_leaves(x0_trees)
+    if not leaves or leaves[0].ndim < 1:
+        raise ValueError("x0_trees leaves must carry a leading batch axis")
+    lane0 = _jax.tree_util.tree_map(lambda l: l[0], x0_trees)
+    flat0, unravel = ravel_pytree(lane0)
+    if flat0.dtype not in (jnp.float32, jnp.float64, jnp.float16, jnp.bfloat16):
+        raise TypeError(f"parameters must be floating point, got {flat0.dtype}")
+    treedef = _jax.tree_util.tree_structure(lane0)
+    shapes = tuple(
+        (tuple(l.shape), jnp.asarray(l).dtype.name)
+        for l in _jax.tree_util.tree_leaves(lane0)
+    )
+    flat_obj = _PytreeObjective(
+        obj if callable(obj) else obj.logdensity, unravel, treedef, shapes
+    )
+    flat_batch = _jax.vmap(lambda t: ravel_pytree(t)[0])(x0_trees)
+    res = optimize_batched(
+        flat_obj, flat_batch, ls=ls, tol=tol, max_iterations=max_iterations,
+        **batch_kwargs,
+    )
+    params = _jax.vmap(unravel)(res.x)
+    return params, res

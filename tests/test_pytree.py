@@ -68,3 +68,21 @@ def test_pytree_rejects_int_params():
 
     with pytest.raises(TypeError):
         qnm.optimize_pytree(lambda p: -jnp.sum(p["a"] ** 2.0), {"a": jnp.arange(3)})
+
+
+def test_optimize_batched_pytree(rng):
+    batch = 12
+
+    def f(p):
+        return -(jnp.sum((p["w"] - 1.0) ** 2) + (p["b"] + 2.0) ** 2)
+
+    x0 = {
+        "w": jnp.asarray(rng.standard_normal((batch, 5))),
+        "b": jnp.asarray(rng.standard_normal(batch)),
+    }
+    params, res = qnm.optimize_batched_pytree(f, x0, backend="fused", kernel="xla")
+    assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED)
+    assert params["w"].shape == (batch, 5)
+    assert params["b"].shape == (batch,)
+    np.testing.assert_allclose(np.asarray(params["w"]), 1.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["b"]), -2.0, atol=1e-7)
