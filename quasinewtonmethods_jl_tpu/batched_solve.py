@@ -43,7 +43,7 @@ from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT, OptimizeResult
 from .state import BFGSState, Status
 from .utils.scalars import finite_halving_limit, nanmax, nanmin, sqrt_tolerance
 
-__all__ = ["optimize_batched_fused"]
+__all__ = ["optimize_batched_fused", "optimize_batched_fused_from_state"]
 
 
 class _Carry(NamedTuple):
@@ -430,7 +430,10 @@ def _optimize_batched_fused_jit(
         fc = jax.tree_util.tree_map(
             lambda a: a[..., :user_batch] if a.ndim and a.shape[-1] == batch else a, fc
         )
+    return _result_from_batched_carry(fc)
 
+
+def _result_from_batched_carry(fc: _Carry) -> OptimizeResult:
     # Back to the public (batch, ...) convention of the vmap path.
     state = BFGSState(
         x=fc.X.T,
@@ -447,7 +450,7 @@ def _optimize_batched_fused_jit(
         fresh=fc.fresh,
         stall=fc.stall,
     )
-    nan = jnp.asarray(jnp.nan, dtype)
+    nan = jnp.asarray(jnp.nan, fc.X.dtype)
     return OptimizeResult(
         x=state.x,
         fun=jnp.where(fc.status == Status.CONVERGED, fc.fun, nan),
@@ -497,5 +500,81 @@ def optimize_batched_fused(
             kernel = "xla"
     return _optimize_batched_fused_jit(
         obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel,
+        block_batch, h0_scale,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj",
+        "ls",
+        "max_iterations",
+        "value_and_grad_fn",
+        "kernel",
+        "block_batch",
+        "h0_scale",
+    ),
+)
+def _optimize_batched_fused_resume_jit(
+    obj, state, ls, tol, max_iterations, value_and_grad_fn, kernel, block_batch,
+    h0_scale,
+):
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
+    vag_b = jax.vmap(vag, in_axes=1, out_axes=(0, 1))
+    f_b = jax.vmap(f, in_axes=1, out_axes=0)
+
+    carry0 = _Carry(
+        X=state.x.T,
+        G=state.grad.T,
+        G_old=state.grad_old.T,
+        STEP=state.step.T,
+        B=jnp.moveaxis(state.B, 0, -1),
+        fun=state.fun,
+        k=jnp.zeros((), jnp.int32),
+        status=jnp.full(state.fun.shape, Status.RUNNING, jnp.int32),
+        iterations=state.k,
+        n_fev=state.n_fev,
+        n_gev=state.n_gev,
+        n_resets=state.n_resets,
+        fresh=state.fresh,
+        stall=state.stall,
+    )
+    fc = _solve_loop_batched(
+        vag_b, f_b, carry0, ls, tol, max_iterations,
+        _make_update_fn(kernel, block_batch), h0_scale,
+    )
+    return _result_from_batched_carry(fc)
+
+
+def optimize_batched_fused_from_state(
+    obj,
+    state: BFGSState,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    kernel: str = "xla",
+    block_batch: int = 128,
+    h0_scale: bool = True,
+) -> OptimizeResult:
+    """Resume a batched fleet from a (possibly checkpointed) batched
+    BFGSState — every leaf carries the leading batch axis, exactly as an
+    earlier batched result's ``.state``. All lanes are re-armed to RUNNING
+    (so converged lanes can also be re-solved under a tighter tol);
+    iteration/eval counters continue from the saved values.
+    ``max_iterations`` bounds the additional iterations of this resume leg.
+    """
+    if state.x.ndim != 2:
+        raise ValueError("expected a batched BFGSState (leaves with batch axis)")
+    if kernel == "pallas":
+        n = state.x.shape[1]
+        if 4 * n * n * block_batch * state.x.dtype.itemsize > 14 * 1024 * 1024:
+            kernel = "xla"
+        if state.x.shape[0] % block_batch != 0:
+            kernel = "xla"  # resume path does not re-pad the lane axis
+    return _optimize_batched_fused_resume_jit(
+        obj, state, ls, tol, max_iterations, value_and_grad_fn, kernel,
         block_batch, h0_scale,
     )

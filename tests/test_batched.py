@@ -216,3 +216,29 @@ def test_multistart_all_failed_is_inband():
     )
     assert not bool(res.converged)
     assert np.isnan(float(res.fun))
+
+
+def test_batched_resume_from_state(rng):
+    """Stop a fleet early, checkpoint the batched state, resume to
+    convergence — the batched analog of optimize_from_state."""
+    from quasinewtonmethods_jl_tpu.batched_solve import (
+        optimize_batched_fused_from_state,
+    )
+    from quasinewtonmethods_jl_tpu.utils import load_state, save_state
+    import tempfile, os
+
+    X0 = jnp.asarray(rng.standard_normal((16, 8)))
+    part = optimize_batched_fused(rosenbrock_logdensity, X0, kernel="xla",
+                                  max_iterations=4)
+    assert np.all(np.asarray(part.status) == qnm.Status.MAX_ITERATIONS)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "fleet.npz")
+        save_state(p, part.state)
+        restored = load_state(p, qnm.BFGSState)
+    res = optimize_batched_fused_from_state(
+        rosenbrock_logdensity, restored, kernel="xla"
+    )
+    assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, rtol=1e-5)
+    # counters continue
+    assert np.all(np.asarray(res.iterations) > 4)
