@@ -223,6 +223,7 @@ def _solve_loop_batched(
     max_iterations: int,
     update_fn: Callable,
     h0_scale: bool = True,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> _Carry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
@@ -250,8 +251,8 @@ def _solve_loop_batched(
             )
             stall = jnp.where(was_active, stall, c.stall)
             stalled = (
-                stall >= STALL_LIMIT_DEFAULT
-                if STALL_LIMIT_DEFAULT
+                stall >= stall_limit
+                if stall_limit
                 else jnp.zeros_like(was_active)
             )
             status_pre = jnp.where(
@@ -374,11 +375,12 @@ def _make_update_fn(kernel: str, block_batch: int):
         "kernel",
         "block_batch",
         "h0_scale",
+        "stall_limit",
     ),
 )
 def _optimize_batched_fused_jit(
     obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel, block_batch,
-    h0_scale,
+    h0_scale, stall_limit=STALL_LIMIT_DEFAULT,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -424,7 +426,7 @@ def _optimize_batched_fused_jit(
     fc = _solve_loop_batched(
         vag_b, f_b, carry0, ls, tol, max_iterations,
         _make_update_fn(kernel, block_batch),
-        h0_scale,
+        h0_scale, stall_limit,
     )
     if pad:
         fc = jax.tree_util.tree_map(
@@ -475,6 +477,7 @@ def optimize_batched_fused(
     kernel: str = "xla",
     block_batch: int = 128,
     h0_scale: bool = True,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> OptimizeResult:
     """Throughput-path batched BFGS: native batch-minor driver.
 
@@ -500,7 +503,7 @@ def optimize_batched_fused(
             kernel = "xla"
     return _optimize_batched_fused_jit(
         obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel,
-        block_batch, h0_scale,
+        block_batch, h0_scale, stall_limit,
     )
 
 
@@ -514,11 +517,12 @@ def optimize_batched_fused(
         "kernel",
         "block_batch",
         "h0_scale",
+        "stall_limit",
     ),
 )
 def _optimize_batched_fused_resume_jit(
     obj, state, ls, tol, max_iterations, value_and_grad_fn, kernel, block_batch,
-    h0_scale,
+    h0_scale, stall_limit=STALL_LIMIT_DEFAULT,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -543,7 +547,7 @@ def _optimize_batched_fused_resume_jit(
     )
     fc = _solve_loop_batched(
         vag_b, f_b, carry0, ls, tol, max_iterations,
-        _make_update_fn(kernel, block_batch), h0_scale,
+        _make_update_fn(kernel, block_batch), h0_scale, stall_limit,
     )
     return _result_from_batched_carry(fc)
 
@@ -558,6 +562,7 @@ def optimize_batched_fused_from_state(
     kernel: str = "xla",
     block_batch: int = 128,
     h0_scale: bool = True,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> OptimizeResult:
     """Resume a batched fleet from a (possibly checkpointed) batched
     BFGSState — every leaf carries the leading batch axis, exactly as an
@@ -576,5 +581,5 @@ def optimize_batched_fused_from_state(
             kernel = "xla"  # resume path does not re-pad the lane axis
     return _optimize_batched_fused_resume_jit(
         obj, state, ls, tol, max_iterations, value_and_grad_fn, kernel,
-        block_batch, h0_scale,
+        block_batch, h0_scale, stall_limit,
     )

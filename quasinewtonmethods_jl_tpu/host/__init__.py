@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import platform
 import subprocess
 import threading
 from typing import Callable, NamedTuple, Optional
@@ -57,15 +58,41 @@ def lib_path() -> str:
 
 
 def _build() -> str:
+    if not os.path.exists(_SRC):
+        raise RuntimeError(
+            "native host runtime unavailable: C++ source not found at "
+            f"{_SRC} (the native/ tree ships with the repository layout, "
+            "not with installed site-packages)"
+        )
     os.makedirs(_BUILD_DIR, exist_ok=True)
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
+    # Architecture-specific tuning flags only where they exist; everything
+    # else (including arm64 macOS) builds with plain -O3. Override with
+    # QNM_HOST_CXXFLAGS (space-separated) for cross-compilation setups.
+    extra = os.environ.get("QNM_HOST_CXXFLAGS")
+    if extra is not None:
+        arch_flags = extra.split()
+    elif platform.machine() in ("x86_64", "AMD64"):
+        arch_flags = ["-march=native", "-mprefer-vector-width=512"]
+    else:
+        arch_flags = ["-mcpu=native"] if platform.machine().startswith(("arm", "aarch")) else []
     cmd = [
-        "g++", "-O3", "-march=native", "-mprefer-vector-width=512",
+        "g++", "-O3", *arch_flags,
         "-funroll-loops", "-fopenmp-simd",
         "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:  # retry without tuning flags
+        if arch_flags:
+            cmd = [
+                "g++", "-O3", "-funroll-loops", "-fopenmp-simd",
+                "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        else:
+            raise RuntimeError(f"native build failed: {e.stderr}") from e
     return _LIB
 
 

@@ -248,10 +248,14 @@ def _lbfgs_loop_batched(
 
 @partial(
     jax.jit,
-    static_argnames=("obj", "history", "ls", "max_iterations", "value_and_grad_fn"),
+    static_argnames=(
+        "obj", "history", "ls", "max_iterations", "value_and_grad_fn",
+        "stall_limit",
+    ),
 )
 def _optimize_lbfgs_batched_fused_jit(
-    obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+    obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
+    stall_limit=STALL_LIMIT_DEFAULT,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -281,7 +285,8 @@ def _optimize_lbfgs_batched_fused_jit(
         n_resets=zero_i,
         stall=zero_i,
     )
-    fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations)
+    fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
+                             stall_limit)
 
     state = LBFGSState(
         x=fc.X.T,
@@ -324,11 +329,13 @@ def optimize_lbfgs_batched_fused(
     tol: float = 1e-8,
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> LBFGSResult:
     """Masked-lockstep batched L-BFGS (the throughput engine for fleets)."""
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
     return _optimize_lbfgs_batched_fused_jit(
-        obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+        obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
+        stall_limit,
     )

@@ -141,7 +141,7 @@ def _lbfgs_loop(
             gamma = jnp.where(reset, jnp.ones_like(gamma), gamma)
 
             alpha, ls_failed, ls_fev, ls_gev = run_linesearch(
-                ls, f, vag, s.x, d, f0, m
+                ls, f, vag, s.x, d, f0, m, dot=dot
             )
             # explicit mask: 0 * NaN direction would otherwise destroy x
             step = jnp.where(ls_failed, jnp.zeros_like(d), alpha * d)
@@ -201,19 +201,20 @@ def _result_from_state(state: LBFGSState) -> LBFGSResult:
     jax.jit,
     static_argnames=(
         "obj", "ls", "history", "max_iterations", "value_and_grad_fn",
-        "direction_method",
+        "direction_method", "stall_limit",
     ),
 )
 def _optimize_lbfgs_jit(
     obj, x0, history, ls, tol, max_iterations, value_and_grad_fn,
-    direction_method,
+    direction_method, stall_limit,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
     state = init_lbfgs_state(x0, history)
     return _result_from_state(
         _lbfgs_loop(vag, f, state, ls, tol, max_iterations, jnp.dot,
-                    direction_method=direction_method)
+                    direction_method=direction_method,
+                    stall_limit=stall_limit)
     )
 
 
@@ -226,17 +227,19 @@ def optimize_lbfgs(
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
     direction_method: str = "compact",
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> LBFGSResult:
     """Maximize a log-density with L-BFGS(m) + backtracking line search.
 
     The O(m·n) large-n path (BASELINE.md config 5). Same callback protocol,
     line search, tolerances, and in-band status contract as `optimize`.
     ``direction_method``: 'compact' (default; MXU-friendly BNS form) or
-    'two_loop' (classic recursion).
+    'two_loop' (classic recursion). ``stall_limit=0`` disables the stall
+    detector (exact reference behavior: crawl to the iteration cap).
     """
     return _optimize_lbfgs_jit(
         obj, x0, history, ls, tol, max_iterations, value_and_grad_fn,
-        direction_method,
+        direction_method, stall_limit,
     )
 
 
@@ -248,6 +251,7 @@ def optimize_lbfgs_from_state(
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
     direction_method: str = "compact",
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> LBFGSResult:
     """Resume an L-BFGS solve from a saved state (history ring included)."""
     vag = as_value_and_grad(obj, value_and_grad_fn)
@@ -255,5 +259,6 @@ def optimize_lbfgs_from_state(
     state = state._replace(status=jnp.asarray(Status.RUNNING, jnp.int32))
     return _result_from_state(
         _lbfgs_loop(vag, f, state, ls, tol, max_iterations, jnp.dot,
-                    direction_method=direction_method)
+                    direction_method=direction_method,
+                    stall_limit=stall_limit)
     )

@@ -210,20 +210,28 @@ def backtracking_linesearch(
     return LineSearchResult(alpha, ac.fx1, ac.n_fev, ac.iteration, failed)
 
 
-def run_linesearch(ls, f, vag, x, d, f0, m):
+def run_linesearch(ls, f, vag, x, d, f0, m, dot=None):
     """Dispatch to the configured line search (trace-time on the config type).
 
     Returns ``(alpha, failed, extra_fev, extra_gev)``. BackTracking trials
     are value-only; Wolfe trials evaluate value+gradient (the curvature test
     needs the directional derivative) and so count toward both counters.
+
+    ``dot`` is the injectable contraction used for the Wolfe trial slope
+    gradᵀd. The parameter-sharded driver (parallel.mesh) substitutes a
+    local-dot + psum: without it each device would see only its partial
+    directional derivative, the Wolfe while-loop trip counts would diverge
+    across devices, and the collectives would deadlock.
     """
     from .wolfe import Wolfe, wolfe_linesearch
 
+    if dot is None:
+        dot = jnp.dot
     if isinstance(ls, Wolfe):
 
         def phi_vag(alpha):
             fv, gv = vag(x + alpha * d)
-            return fv, jnp.dot(gv, d)
+            return fv, dot(gv, d)
 
         wr = wolfe_linesearch(phi_vag, f0, m, ls)
         return wr.alpha, wr.failed, wr.n_fev, wr.n_fev

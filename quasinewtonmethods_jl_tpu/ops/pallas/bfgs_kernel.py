@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..bfgs import H0_GAMMA_CLIP
+
 __all__ = [
     "fused_bfgs_update_batched",
     "fused_bfgs_update_reference",
@@ -83,7 +85,7 @@ def fused_bfgs_update_reference(B, step, g, g_old, active, fresh=None):
         scale = jnp.ones_like(sty)
     else:
         yty = jnp.sum(y * y, axis=0, keepdims=True)
-        gamma = jnp.clip(sty / yty, 1e-3, 1e3)
+        gamma = jnp.clip(sty / yty, *H0_GAMMA_CLIP)
         scale = jnp.where((fresh > 0) & (sty > 0), gamma, one)
     By = scale * jnp.sum(B * y[:, None, :], axis=0)  # (n, batch)
     Bg = scale * jnp.sum(B * g[:, None, :], axis=0)  # (n, batch)
@@ -141,7 +143,7 @@ def _kernel(B_ref, s_ref, g_ref, gold_ref, active_ref, fresh_ref,
     # H0 scaling of fresh identities (see fused_bfgs_update_reference);
     # linear in B, so applied to the matvec results + the update's B term.
     yty = jnp.sum(y * y, axis=0, keepdims=True)
-    gamma = jnp.clip(sty / yty, 1e-3, 1e3)
+    gamma = jnp.clip(sty / yty, *H0_GAMMA_CLIP)
     scale = jnp.where((fresh > 0) & (sty > 0), gamma, one)
     By = By * scale
     Bg = Bg * scale

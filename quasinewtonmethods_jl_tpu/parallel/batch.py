@@ -32,6 +32,7 @@ from ..lbfgs_solve import _result_from_state as _lbfgs_result_from_state
 from ..ops.linesearch import BackTracking
 from ..solve import (
     MAX_ITERATIONS_DEFAULT,
+    STALL_LIMIT_DEFAULT,
     OptimizeResult,
     _result_from_state,
     _solve_loop,
@@ -43,15 +44,22 @@ __all__ = ["optimize_batched", "optimize_lbfgs_batched"]
 
 @partial(
     jax.jit,
-    static_argnames=("obj", "ls", "max_iterations", "value_and_grad_fn"),
+    static_argnames=("obj", "ls", "max_iterations", "value_and_grad_fn",
+                     "stall_limit"),
 )
-def _optimize_batched_jit(obj, x0s, ls, tol, max_iterations, value_and_grad_fn):
+def _optimize_batched_jit(
+    obj, x0s, ls, tol, max_iterations, value_and_grad_fn,
+    stall_limit=STALL_LIMIT_DEFAULT,
+):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
 
     def solve_one(x0):
         state = init_bfgs_state(x0)
-        return _result_from_state(_solve_loop(vag, f, state, ls, tol, max_iterations))
+        return _result_from_state(
+            _solve_loop(vag, f, state, ls, tol, max_iterations,
+                        stall_limit=stall_limit, peel_first=True)
+        )
 
     return jax.vmap(solve_one)(x0s)
 
@@ -65,6 +73,7 @@ def optimize_batched(
     value_and_grad_fn: Optional[Callable] = None,
     backend: str = "auto",
     kernel: str = "auto",
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> OptimizeResult:
     """Run ``x0s.shape[0]`` independent BFGS solves in one XLA computation.
 
@@ -97,23 +106,26 @@ def optimize_batched(
             kernel = "pallas" if on_tpu else "xla"
             # feasibility fallback handled inside optimize_batched_fused
         return optimize_batched_fused(
-            obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel=kernel
+            obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel=kernel,
+            stall_limit=stall_limit,
         )
     if backend != "vmap":
         raise ValueError(f"unknown backend {backend!r}; use 'auto', 'fused' or 'vmap'")
-    return _optimize_batched_jit(obj, x0s, ls, tol, max_iterations, value_and_grad_fn)
+    return _optimize_batched_jit(
+        obj, x0s, ls, tol, max_iterations, value_and_grad_fn, stall_limit
+    )
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "obj", "history", "ls", "max_iterations", "value_and_grad_fn",
-        "direction_method",
+        "direction_method", "stall_limit",
     ),
 )
 def _optimize_lbfgs_batched_jit(
     obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-    direction_method,
+    direction_method, stall_limit=STALL_LIMIT_DEFAULT,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -122,7 +134,8 @@ def _optimize_lbfgs_batched_jit(
         state = init_lbfgs_state(x0, history)
         return _lbfgs_result_from_state(
             _lbfgs_loop(vag, f, state, ls, tol, max_iterations, jnp.dot,
-                        direction_method=direction_method)
+                        direction_method=direction_method,
+                        stall_limit=stall_limit)
         )
 
     return jax.vmap(solve_one)(x0s)
@@ -138,6 +151,7 @@ def optimize_lbfgs_batched(
     value_and_grad_fn: Optional[Callable] = None,
     direction_method: str = "compact",
     backend: str = "fused",
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ):
     """Batched L-BFGS fleet: many independent large-n solves in one XLA
     computation (O(batch * m * n) memory — the regime where per-lane dense
@@ -159,11 +173,12 @@ def optimize_lbfgs_batched(
         from ..lbfgs_batched_solve import optimize_lbfgs_batched_fused
 
         return optimize_lbfgs_batched_fused(
-            obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn
+            obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
+            stall_limit,
         )
     if backend != "vmap":
         raise ValueError(f"unknown backend {backend!r}; use 'fused' or 'vmap'")
     return _optimize_lbfgs_batched_jit(
         obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-        direction_method,
+        direction_method, stall_limit,
     )

@@ -33,12 +33,23 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35: public API; jax.experimental alias deprecated in 0.8
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+        # public signature renamed check_rep -> check_vma
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..api import as_value_and_grad, as_value_fn
 from ..lbfgs_solve import LBFGSResult, _lbfgs_loop, _result_from_state
 from ..ops.linesearch import BackTracking
-from ..solve import MAX_ITERATIONS_DEFAULT, OptimizeResult
+from ..solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT, OptimizeResult
 from ..state import LBFGSState, init_lbfgs_state
 
 __all__ = [
@@ -109,6 +120,7 @@ def optimize_lbfgs_sharded(
     tol: float = 1e-8,
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> LBFGSResult:
     """One large-n L-BFGS solve with the parameter axis sharded over `axis`.
 
@@ -184,7 +196,7 @@ def optimize_lbfgs_sharded(
         # would need their own collective plumbing)
         final = _lbfgs_loop(
             vag_local, f_local, state, ls, tol_arr, max_iterations, dot,
-            max_abs, direction_method="two_loop",
+            max_abs, direction_method="two_loop", stall_limit=stall_limit,
         )
         return _result_from_state(final)
 

@@ -83,7 +83,15 @@ def _solve_loop(
     max_iterations: int,
     h0_scale: bool = True,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    peel_first: bool = False,
 ) -> BFGSState:
+    """``peel_first=True`` (fresh solves, k == 0 guaranteed) peels iteration
+    1 out of the while loop at trace time: the reference's m = -1 sentinel
+    (:263-264) otherwise costs a per-iteration ``lax.cond`` whose operands
+    include the (n, n) inverse Hessian — XLA copies conditional operands in
+    and out every iteration just to select a branch whose predicate is true
+    exactly once (the same copy the batched engine peels,
+    batched_solve.py). Resume paths (runtime k) keep the cond."""
     n = state.x.shape[0]
     dtype = state.x.dtype
     tol = jnp.asarray(tol, dtype)
@@ -92,6 +100,37 @@ def _solve_loop(
     def cond(s: BFGSState):
         return jnp.logical_and(s.status == Status.RUNNING, s.k < max_iterations)
 
+    def make_body(mode: str):
+        return _make_solve_body(
+            vag, f, ls, tol, h0_scale, stall_limit, eye, dtype, mode
+        )
+
+    if peel_first:
+        if max_iterations < 1:
+            return state._replace(
+                status=jnp.where(
+                    state.status == Status.RUNNING,
+                    jnp.int32(Status.MAX_ITERATIONS),
+                    state.status,
+                )
+            )
+        state1 = make_body("first")(state)
+        final = lax.while_loop(cond, make_body("update"), state1)
+    else:
+        final = lax.while_loop(cond, make_body("cond"), state)
+    # Loop exhausted while still RUNNING -> iteration cap (reference falls
+    # off the for-loop and returns NaN, :288-291).
+    final = final._replace(
+        status=jnp.where(
+            final.status == Status.RUNNING,
+            jnp.int32(Status.MAX_ITERATIONS),
+            final.status,
+        )
+    )
+    return final
+
+
+def _make_solve_body(vag, f, ls, tol, h0_scale, stall_limit, eye, dtype, mode):
     def body(s: BFGSState):
         f0, g = vag(s.x)
         n_fev = s.n_fev + 1
@@ -138,7 +177,12 @@ def _solve_loop(
                     fresh=s.fresh if h0_scale else None,
                 )
 
-            B1, d, m = lax.cond(s.k == 0, first, update, None)
+            if mode == "cond":  # resume path: k is a runtime value
+                B1, d, m = lax.cond(s.k == 0, first, update, None)
+            elif mode == "first":  # peeled iteration 1
+                B1, d, m = first(None)
+            else:  # every post-peel iteration
+                B1, d, m = update(None)
 
             # m <= 0: indefinite curvature — reset to identity and take the
             # steepest-ascent direction (:272-280). NaN m deliberately does
@@ -183,17 +227,7 @@ def _solve_loop(
 
         return lax.cond(status_pre != Status.RUNNING, finish, advance, None)
 
-    final = lax.while_loop(cond, body, state)
-    # Loop exhausted while still RUNNING -> iteration cap (reference falls
-    # off the for-loop and returns NaN, :288-291).
-    final = final._replace(
-        status=jnp.where(
-            final.status == Status.RUNNING,
-            jnp.int32(Status.MAX_ITERATIONS),
-            final.status,
-        )
-    )
-    return final
+    return body
 
 
 def _result_from_state(state: BFGSState) -> OptimizeResult:
@@ -214,14 +248,20 @@ def _result_from_state(state: BFGSState) -> OptimizeResult:
 
 @partial(
     jax.jit,
-    static_argnames=("obj", "ls", "max_iterations", "value_and_grad_fn", "h0_scale"),
+    static_argnames=(
+        "obj", "ls", "max_iterations", "value_and_grad_fn", "h0_scale",
+        "stall_limit",
+    ),
 )
-def _optimize_jit(obj, x0, ls, tol, max_iterations, value_and_grad_fn, h0_scale):
+def _optimize_jit(
+    obj, x0, ls, tol, max_iterations, value_and_grad_fn, h0_scale, stall_limit
+):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
     state = init_bfgs_state(x0)
     return _result_from_state(
-        _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale)
+        _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale,
+                    stall_limit, peel_first=True)
     )
 
 
@@ -234,6 +274,7 @@ def optimize(
     value_and_grad_fn: Optional[Callable] = None,
     jit: bool = True,
     h0_scale: bool = True,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> OptimizeResult:
     """Maximize a log-density with BFGS + backtracking line search.
 
@@ -256,13 +297,15 @@ def optimize(
     """
     if jit:
         return _optimize_jit(
-            obj, x0, ls, tol, max_iterations, value_and_grad_fn, h0_scale
+            obj, x0, ls, tol, max_iterations, value_and_grad_fn, h0_scale,
+            stall_limit,
         )
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
     state = init_bfgs_state(x0)
     return _result_from_state(
-        _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale)
+        _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale,
+                    stall_limit, peel_first=True)
     )
 
 
@@ -274,6 +317,7 @@ def optimize_from_state(
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
     h0_scale: bool = True,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> OptimizeResult:
     """Resume a solve from a saved/checkpointed BFGSState.
 
@@ -287,5 +331,6 @@ def optimize_from_state(
     f = as_value_fn(obj, value_and_grad_fn)
     state = state._replace(status=jnp.asarray(Status.RUNNING, jnp.int32))
     return _result_from_state(
-        _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale)
+        _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale,
+                    stall_limit)
     )

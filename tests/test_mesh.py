@@ -128,3 +128,26 @@ def test_distributed_helpers_single_host():
     assert dist.host_count() == 1
     assert dist.process_index() == 0
     assert not dist.is_distributed()
+
+
+def test_lbfgs_sharded_wolfe_slope_psum(rng):
+    """Regression (round-1 advisor, medium): the Wolfe trial slope gradᵀd
+    must be the injected psum dot under shard_map — a local jnp.dot gives
+    each device a different partial directional derivative, the Wolfe
+    while-loop trip counts diverge across devices, and the collectives
+    deadlock. Must match the unsharded Wolfe solve exactly."""
+    n = 16
+    x0 = jnp.asarray(rng.standard_normal(n))
+    mesh = make_mesh({"model": 4})
+    res_sh = optimize_lbfgs_sharded(
+        quad_logdensity, x0, mesh, ls=qnm.Wolfe(), tol=1e-8
+    )
+    res_un = qnm.optimize_lbfgs(
+        quad_logdensity, x0, ls=qnm.Wolfe(), tol=1e-8,
+        direction_method="two_loop",
+    )
+    assert int(res_sh.status) == qnm.Status.CONVERGED
+    assert int(res_sh.iterations) == int(res_un.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_un.x), atol=1e-12
+    )
