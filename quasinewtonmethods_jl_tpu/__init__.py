@@ -24,6 +24,11 @@ maximized; ascent directions are +B⁻¹∇.
 """
 
 from .api import ProbabilityModel
+from .batched_solve import (
+    optimize_batched_compacted,
+    optimize_batched_fused,
+    optimize_batched_fused_from_state,
+)
 from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
 from .ops.wolfe import Wolfe, WolfeResult, wolfe_linesearch
@@ -54,6 +59,9 @@ __all__ = [
     "initial_inv_hessian",
     "optimize",
     "optimize_batched",
+    "optimize_batched_compacted",
+    "optimize_batched_fused",
+    "optimize_batched_fused_from_state",
     "optimize_from_state",
     "optimize_lbfgs",
     "optimize_lbfgs_batched",

@@ -22,6 +22,22 @@ Semantics are lane-for-lane those of `solve.optimize` (itself matching the
 reference optimize!, src/QuasiNewtonMethods.jl:237-292): same line search,
 same reset rule, same in-band status codes; `k` is global (all lanes start
 together and run lockstep until every lane finishes or the cap hits).
+
+Two throughput options beyond the reference's semantics (both default-off,
+both trajectory-preserving):
+
+  * ``fold_eval=True``: line-search trials evaluate value+gradient, so the
+    ACCEPTED trial seeds the next iteration and the separate
+    top-of-iteration evaluation disappears — the reference re-evaluates at
+    the accepted point every iteration (:254 after linesearch! already
+    evaluated there, :283). Saves ~1 objective evaluation per iteration
+    when trials usually accept at the first alpha; costs a backward pass
+    per *rejected* trial, so keep it off for objectives whose gradient is
+    much more expensive than their value.
+  * `optimize_batched_compacted`: run in chunks, and between chunks gather
+    the still-running lanes into a smaller dense fleet — stragglers stop
+    costing full-fleet-width iterations (lockstep wall time follows the
+    compacted width, not the original batch).
 """
 
 from __future__ import annotations
@@ -31,6 +47,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
@@ -43,16 +60,22 @@ from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT, OptimizeResult
 from .state import BFGSState, Status
 from .utils.scalars import finite_halving_limit, nanmax, nanmin, sqrt_tolerance
 
-__all__ = ["optimize_batched_fused", "optimize_batched_fused_from_state"]
+__all__ = [
+    "optimize_batched_fused",
+    "optimize_batched_fused_from_state",
+    "optimize_batched_compacted",
+    "pallas_feasible_block",
+]
 
 
 class _Carry(NamedTuple):
     X: jax.Array  # (n, batch) iterates
-    G: jax.Array  # (n, batch) gradient at X (last evaluated)
+    G: jax.Array  # (n, batch) gradient at X (last evaluated / carried)
     G_old: jax.Array  # (n, batch)
     STEP: jax.Array  # (n, batch) last accepted step (alpha * d)
     B: jax.Array  # (n, n, batch) inverse Hessians
-    fun: jax.Array  # (batch,)
+    fun: jax.Array  # (batch,) objective at X (last evaluated / carried)
+    fprev: jax.Array  # (batch,) previous iteration's objective (stall test)
     k: jax.Array  # () global iteration counter
     status: jax.Array  # (batch,) int32
     iterations: jax.Array  # (batch,) int32
@@ -72,6 +95,53 @@ class _LSCarry(NamedTuple):
     n_fev: jax.Array  # (batch,) int32
 
 
+class _LSFoldCarry(NamedTuple):
+    a1: jax.Array
+    a2: jax.Array
+    fx0: jax.Array
+    fx1: jax.Array
+    G1: jax.Array  # (n, batch) gradient at the current trial
+    it: jax.Array
+    n_ev: jax.Array
+
+
+def _armijo_propose(m, f0, a1, a2, fx0, fx1, it, lane, ls, eps, sqrttol,
+                    rho_hi, rho_lo):
+    """One Armijo backtracking proposal, per-lane (reference :205-225):
+    quadratic (order 2 / first round) or cubic interpolation with the
+    degenerate-cubic fallback and the NaN-robust [rho_lo*a, rho_hi*a]
+    clamps. Returns (a1_new, a2_new) with frozen lanes untouched."""
+    quad = -(m * a2 * a2) / (2.0 * (fx1 - f0 - m * a2))
+    if ls.order == 2:
+        at = quad
+    else:
+        denom = 1.0 / (a1 * a1 * a2 * a2 * (a2 - a1))
+        r1 = fx1 - f0 - m * a2
+        r0 = fx0 - f0 - m * a1
+        a = (a1 * a1 * r1 - a2 * a2 * r0) * denom
+        b = (-a1 * a1 * a1 * r1 + a2 * a2 * a2 * r0) * denom
+        degenerate = jnp.abs(a) <= eps + sqrttol * jnp.abs(a)
+        disc = nanmax(b * b - 3.0 * a * m, jnp.zeros_like(b))
+        cubic = jnp.where(
+            degenerate, m / (2.0 * b), (jnp.sqrt(disc) + b) / (-3.0 * a)
+        )
+        at = jnp.where(it == 1, quad, cubic)
+    a1_new = jnp.where(lane, a2, a1)
+    at = nanmin(at, a2 * rho_hi)
+    a2_new = jnp.where(lane, nanmax(at, a2 * rho_lo), a2)
+    return a1_new, a2_new
+
+
+def _ls_consts(ls, dtype):
+    return (
+        jnp.asarray(ls.c1, dtype),
+        jnp.asarray(ls.rho_hi, dtype),
+        jnp.asarray(ls.rho_lo, dtype),
+        jnp.asarray(jnp.finfo(dtype).eps, dtype),
+        jnp.asarray(sqrt_tolerance(dtype), dtype),
+    )
+
+
 def _batched_linesearch(phi, f0, m, active, ls: BackTracking, dtype):
     """Masked lockstep backtracking line search over a lane batch.
 
@@ -81,11 +151,7 @@ def _batched_linesearch(phi, f0, m, active, ls: BackTracking, dtype):
     (batch,) objective values at X + alpha*d.
     """
     batch = f0.shape[0]
-    c1 = jnp.asarray(ls.c1, dtype)
-    rho_hi = jnp.asarray(ls.rho_hi, dtype)
-    rho_lo = jnp.asarray(ls.rho_lo, dtype)
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    sqrttol = jnp.asarray(sqrt_tolerance(dtype), dtype)
+    c1, rho_hi, rho_lo, eps, sqrttol = _ls_consts(ls, dtype)
     one = jnp.ones((batch,), dtype)
     zero_i = jnp.zeros((batch,), jnp.int32)
 
@@ -100,7 +166,6 @@ def _batched_linesearch(phi, f0, m, active, ls: BackTracking, dtype):
     # (= 0.5 by default — exactly the reference's halving, :182) inside the
     # single Armijo loop. The only behavioral difference vs the two-phase
     # form is the shared iteration budget and a x0.1 shrink for -inf trials.
-    fc = _LSCarry(one, one, f0, fx1, zero_i, n_fev)
     budget = ls.iterations + finite_halving_limit(dtype)
     # doomed-lane fast-fail: NaN m/f0 can never satisfy Armijo (see
     # ops/linesearch.py) — exclude such lanes from the loop mask entirely.
@@ -118,27 +183,17 @@ def _batched_linesearch(phi, f0, m, active, ls: BackTracking, dtype):
     def arm_body(c: _LSCarry):
         lane = arm_lane(c)
         it = c.it + lane
-        quad = -(m * c.a2 * c.a2) / (2.0 * (c.fx1 - f0 - m * c.a2))
-        if ls.order == 2:
-            at = quad
-        else:
-            denom = 1.0 / (c.a1 * c.a1 * c.a2 * c.a2 * (c.a2 - c.a1))
-            r1 = c.fx1 - f0 - m * c.a2
-            r0 = c.fx0 - f0 - m * c.a1
-            a = (c.a1 * c.a1 * r1 - c.a2 * c.a2 * r0) * denom
-            b = (-c.a1 * c.a1 * c.a1 * r1 + c.a2 * c.a2 * c.a2 * r0) * denom
-            degenerate = jnp.abs(a) <= eps + sqrttol * jnp.abs(a)
-            disc = nanmax(b * b - 3.0 * a * m, jnp.zeros_like(b))
-            cubic = jnp.where(degenerate, m / (2.0 * b), (jnp.sqrt(disc) + b) / (-3.0 * a))
-            at = jnp.where(it == 1, quad, cubic)
-        a1 = jnp.where(lane, c.a2, c.a1)
-        at = nanmin(at, c.a2 * rho_hi)
-        a2 = jnp.where(lane, nanmax(at, c.a2 * rho_lo), c.a2)
+        a1, a2 = _armijo_propose(
+            m, f0, c.a1, c.a2, c.fx0, c.fx1, it, lane, ls, eps, sqrttol,
+            rho_hi, rho_lo,
+        )
         fx0 = jnp.where(lane, c.fx1, c.fx0)
         fx1 = jnp.where(lane, phi(a2), c.fx1)
         return _LSCarry(a1, a2, fx0, fx1, it, c.n_fev + lane)
 
-    ac = lax.while_loop(arm_cond, arm_body, fc._replace(it=zero_i))
+    ac = lax.while_loop(
+        arm_cond, arm_body, _LSCarry(one, one, f0, fx1, zero_i, n_fev)
+    )
 
     ok = suff(ac)
     alpha = jnp.where(active & ok, ac.a2, jnp.zeros((), dtype))
@@ -148,27 +203,82 @@ def _batched_linesearch(phi, f0, m, active, ls: BackTracking, dtype):
     return alpha, ac.n_fev, ac.it, failed
 
 
+def _batched_linesearch_fold(phi_vag, f0, m, active, ls: BackTracking, dtype):
+    """Value+gradient variant of `_batched_linesearch` for ``fold_eval``:
+    identical trial points and acceptance (same proposals, same clamps,
+    same budget), but every trial evaluates value_and_grad so the ACCEPTED
+    trial's (value, gradient) can seed the next outer iteration — no
+    separate top-of-iteration evaluation. Returns
+    ``(alpha, n_ev, it, failed, f_acc, G_acc)``; (f_acc, G_acc) are the
+    value/gradient at the final trial (valid where not failed)."""
+    batch = f0.shape[0]
+    c1, rho_hi, rho_lo, eps, sqrttol = _ls_consts(ls, dtype)
+    one = jnp.ones((batch,), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+
+    fx1, G1 = phi_vag(one)
+    n_ev = active.astype(jnp.int32)
+    budget = ls.iterations + finite_halving_limit(dtype)
+    doomed = ~(jnp.isfinite(m) & jnp.isfinite(f0))
+
+    def suff(c: _LSFoldCarry):
+        return c.fx1 >= f0 + c.a2 * c1 * m
+
+    def arm_lane(c: _LSFoldCarry):
+        return active & ~doomed & ~suff(c) & (c.it < budget)
+
+    def arm_cond(c: _LSFoldCarry):
+        return jnp.any(arm_lane(c))
+
+    def arm_body(c: _LSFoldCarry):
+        lane = arm_lane(c)
+        it = c.it + lane
+        a1, a2 = _armijo_propose(
+            m, f0, c.a1, c.a2, c.fx0, c.fx1, it, lane, ls, eps, sqrttol,
+            rho_hi, rho_lo,
+        )
+        fx0 = jnp.where(lane, c.fx1, c.fx0)
+        f_new, G_new = phi_vag(a2)
+        fx1 = jnp.where(lane, f_new, c.fx1)
+        G1 = jnp.where(lane[None, :], G_new, c.G1)
+        return _LSFoldCarry(a1, a2, fx0, fx1, G1, it, c.n_ev + lane)
+
+    ac = lax.while_loop(
+        arm_cond, arm_body, _LSFoldCarry(one, one, f0, fx1, G1, zero_i, n_ev)
+    )
+
+    ok = suff(ac)
+    alpha = jnp.where(active & ok, ac.a2, jnp.zeros((), dtype))
+    failed = active & (alpha == 0.0)
+    return alpha, ac.n_ev, ac.it, failed, ac.fx1, ac.G1
+
+
 class _WLSCarry(NamedTuple):
     lo: jax.Array
     hi: jax.Array
     a: jax.Array
     fa: jax.Array
     sa: jax.Array
+    Ga: jax.Array  # (n, batch) gradient at a (zeros when with_grad=False)
     it: jax.Array
     n_ev: jax.Array
 
 
-def _batched_wolfe(phi_vag, f0, m, active, ls, dtype):
+def _batched_wolfe(phi_vag, f0, m, active, ls, dtype, with_grad=False):
     """Masked lockstep weak-Wolfe search (per-lane semantics of
     ops.wolfe.wolfe_linesearch). phi_vag maps (batch,) alphas to
-    ((batch,) values, (batch,) slopes along the ray)."""
+    ((batch,) values, (batch,) slopes, (n, batch) gradients along the ray).
+    With ``with_grad`` the accepted trial's (value, gradient) are returned
+    for ``fold_eval``."""
     batch = f0.shape[0]
     c1 = jnp.asarray(ls.c1, dtype)
     c2 = jnp.asarray(ls.c2, dtype)
     one = jnp.ones((batch,), dtype)
     zero_i = jnp.zeros((batch,), jnp.int32)
 
-    fa0, sa0 = phi_vag(one)
+    fa0, sa0, Ga0 = phi_vag(one)
+    if not with_grad:
+        Ga0 = jnp.zeros((0, batch), dtype)  # empty: carried but free
 
     def conds(c: _WLSCarry):
         armijo = c.fa >= f0 + c1 * c.a * m
@@ -191,27 +301,32 @@ def _batched_wolfe(phi_vag, f0, m, active, ls, dtype):
         lo = jnp.where(lane & armijo, c.a, c.lo)
         a_next = jnp.where(jnp.isinf(hi), 2.0 * lo, 0.5 * (lo + hi))
         a = jnp.where(lane, a_next, c.a)
-        fa_n, sa_n = phi_vag(a)
+        fa_n, sa_n, Ga_n = phi_vag(a)
+        Ga = (
+            jnp.where(lane[None, :], Ga_n, c.Ga) if with_grad else c.Ga
+        )
         return _WLSCarry(
             lo=lo,
             hi=hi,
             a=a,
             fa=jnp.where(lane, fa_n, c.fa),
             sa=jnp.where(lane, sa_n, c.sa),
+            Ga=Ga,
             it=c.it + lane,
             n_ev=c.n_ev + lane,
         )
 
     init = _WLSCarry(
         lo=jnp.zeros((batch,), dtype), hi=jnp.full((batch,), jnp.inf, dtype),
-        a=one, fa=fa0, sa=sa0, it=zero_i, n_ev=active.astype(jnp.int32),
+        a=one, fa=fa0, sa=sa0, Ga=Ga0, it=zero_i,
+        n_ev=active.astype(jnp.int32),
     )
     fc = lax.while_loop(cond, body, init)
     armijo, curv = conds(fc)
     ok = armijo & curv
     alpha = jnp.where(active & ok, fc.a, jnp.zeros((), dtype))
     failed = active & (alpha == 0.0)
-    return alpha, fc.n_ev, fc.it, failed
+    return alpha, fc.n_ev, fc.it, failed, fc.fa, fc.Ga
 
 
 def _solve_loop_batched(
@@ -224,6 +339,8 @@ def _solve_loop_batched(
     update_fn: Callable,
     h0_scale: bool = True,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    fold_eval: bool = False,
+    resume: bool = False,
 ) -> _Carry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
@@ -239,13 +356,29 @@ def _solve_loop_batched(
     # conditional copies its (n, n, batch)-sized operands in and out every
     # iteration (~190 us/iter measured at batch=4096) just to select a
     # branch whose predicate is true exactly once.
-    def make_body(first: bool):
+    #
+    # Three body flavors:
+    #   "first"  — fresh-fleet peel: steepest ascent with m = ||g||^2;
+    #   "resume" — resume peel: real update, but lanes that have never
+    #              stepped (iterations == 0: step = 0 would give sty = 0 ->
+    #              NaN) take the steepest first step instead — the batched
+    #              analog of the scalar driver's runtime k == 0 cond. A
+    #              resumed fleet therefore CONTINUES its BFGS trajectory
+    #              (like optimize_from_state) rather than restarting.
+    #   "loop"   — every post-peel iteration: pure update path; with
+    #              fold_eval the evaluation comes from the carry.
+    def make_body(mode: str):
         def body(c: _Carry):
-            f0, g = vag_b(c.X)  # (batch,), (n, batch)
+            if fold_eval and mode == "loop":
+                # carried from the accepted line-search trial (fold_eval
+                # invariant: c.fun/c.G are the objective/gradient at c.X)
+                f0, g = c.fun, c.G
+            else:
+                f0, g = vag_b(c.X)  # (batch,), (n, batch)
             was_active = c.status == Status.RUNNING
             nonfinite = ~jnp.isfinite(f0)
             converged = jnp.max(jnp.abs(g), axis=0) < tol
-            improved = jnp.where(jnp.isnan(c.fun), True, f0 > c.fun)
+            improved = jnp.where(jnp.isnan(c.fprev), True, f0 > c.fprev)
             stall = jnp.where(
                 was_active & ~improved, c.stall + 1, jnp.zeros_like(c.stall)
             )
@@ -275,7 +408,7 @@ def _solve_loop_batched(
             active = status_pre == Status.RUNNING
             amask = active.astype(dtype)[None, :]  # (1, batch)
 
-            if first:
+            if mode == "first":
                 # steepest ascent with m = ||g||^2 (the sentinel path)
                 gg = jnp.sum(g * g, axis=0)
                 d = g * amask
@@ -289,19 +422,38 @@ def _solve_loop_batched(
                 )
                 B_new, d, m, r = update_fn(c.B, c.STEP, g, c.G_old, amask, fmask)
                 m, reset = m[0], r[0] > 0
+                if mode == "resume":
+                    # never-stepped lanes: steepest first step (see above).
+                    # The B-sized select runs ONCE (peel), not per iteration.
+                    never = (c.iterations == 0) & active
+                    gg = jnp.sum(g * g, axis=0)
+                    d = jnp.where(never[None, :], g * amask, d)
+                    m = jnp.where(never, gg, m)
+                    B_new = jnp.where(never[None, None, :], c.B, B_new)
+                    reset = reset | never
 
             from .ops.wolfe import Wolfe
 
+            fresh_eval = not (fold_eval and mode == "loop")
             if isinstance(ls, Wolfe):
 
-                def phi_vag(alpha):
+                def phi_vag3(alpha):
                     fv, gv = vag_b(c.X + alpha[None, :] * d)
-                    return fv, jnp.sum(gv * d, axis=0)
+                    return fv, jnp.sum(gv * d, axis=0), gv
 
-                alpha, ls_fev, _ls_it, ls_failed = _batched_wolfe(
-                    phi_vag, f0, m, active, ls, dtype
+                alpha, ls_ev, _ls_it, ls_failed, f_acc, G_acc = _batched_wolfe(
+                    phi_vag3, f0, m, active, ls, dtype, with_grad=fold_eval
                 )
-                ls_gev = ls_fev  # every Wolfe trial is a value+grad eval
+                ls_fev = ls_gev = ls_ev  # every Wolfe trial is value+grad
+            elif fold_eval:
+
+                def phi_vag(alpha):
+                    return vag_b(c.X + alpha[None, :] * d)
+
+                alpha, ls_ev, _ls_it, ls_failed, f_acc, G_acc = (
+                    _batched_linesearch_fold(phi_vag, f0, m, active, ls, dtype)
+                )
+                ls_fev = ls_gev = ls_ev  # fold trials are value+grad
             else:
 
                 def phi(alpha):
@@ -311,27 +463,45 @@ def _solve_loop_batched(
                     phi, f0, m, active, ls, dtype
                 )
                 ls_gev = jnp.zeros_like(ls_fev)
+                f_acc = G_acc = None
             # failed/frozen lanes take no step — explicit mask, because
             # alpha == 0 times a NaN direction (degenerate update) is NaN
             # and would destroy the lane's last good iterate.
-            take = (active & ~ls_failed)[None, :]
-            step = jnp.where(take, alpha[None, :] * d, jnp.zeros_like(d))
+            take = active & ~ls_failed
+            take_v = take[None, :]
+            step = jnp.where(take_v, alpha[None, :] * d, jnp.zeros_like(d))
             new_status = jnp.where(
-                active & ls_failed, jnp.int32(Status.LINESEARCH_FAILURE), status_pre
+                active & ls_failed, jnp.int32(Status.LINESEARCH_FAILURE),
+                status_pre,
             )
             wmask = was_active[None, :]
+            if fold_eval:
+                # carry the accepted trial's evaluation to the next iteration
+                fun_new = jnp.where(
+                    take, f_acc, jnp.where(was_active, f0, c.fun)
+                )
+                G_new = jnp.where(take_v, G_acc, jnp.where(wmask, g, c.G))
+            else:
+                fun_new = jnp.where(was_active, f0, c.fun)
+                G_new = jnp.where(wmask, g, c.G)
+            top_ev = (
+                was_active.astype(jnp.int32)
+                if fresh_eval
+                else jnp.zeros_like(c.n_fev)
+            )
             return _Carry(
                 X=c.X + step,
-                G=jnp.where(wmask, g, c.G),
+                G=G_new,
                 G_old=jnp.where(active[None, :], g, c.G_old),
                 STEP=jnp.where(active[None, :], step, c.STEP),
                 B=B_new,
-                fun=jnp.where(was_active, f0, c.fun),
+                fun=fun_new,
+                fprev=jnp.where(was_active, f0, c.fprev),
                 k=c.k + 1,
                 status=new_status,
                 iterations=c.iterations + active.astype(jnp.int32),
-                n_fev=c.n_fev + was_active.astype(jnp.int32) + ls_fev,
-                n_gev=c.n_gev + was_active.astype(jnp.int32) + ls_gev,
+                n_fev=c.n_fev + top_ev + ls_fev,
+                n_gev=c.n_gev + top_ev + ls_gev,
                 n_resets=c.n_resets + reset.astype(jnp.int32),
                 fresh=jnp.where(active, reset, c.fresh),
                 stall=stall,
@@ -340,8 +510,8 @@ def _solve_loop_batched(
         return body
 
     if max_iterations >= 1:
-        carry1 = make_body(True)(carry0)
-        final = lax.while_loop(cond, make_body(False), carry1)
+        carry1 = make_body("resume" if resume else "first")(carry0)
+        final = lax.while_loop(cond, make_body("loop"), carry1)
     else:
         final = carry0
     return final._replace(
@@ -365,6 +535,28 @@ def _make_update_fn(kernel: str, block_batch: int):
     raise ValueError(f"unknown kernel {kernel!r}; use 'xla' or 'pallas'")
 
 
+# VMEM feasibility for the fused Pallas kernel: it holds roughly 4
+# (n, n, block) tiles (in + out + expression temporaries) of the ~16 MB
+# VMEM. Measured: n=60/block=128 fits, n=60/block=256 and n=128/block=128
+# fail to compile.
+_PALLAS_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def pallas_feasible_block(n: int, itemsize: int, requested: int = 128) -> int:
+    """Largest power-of-two block_batch <= `requested` whose (n, n, block)
+    working set fits the Pallas VMEM budget; 0 when none does (caller falls
+    back to the fused XLA update). The batch axis is the minor (lane)
+    dimension and Mosaic requires the minor block dim to be a multiple of
+    128 (measured on v5e: block 32/8 fail to lower with "last two
+    dimensions of your block shape [must be] divisible by 8 and 128"), so
+    the smallest usable block is 128 — which bounds the kernel to
+    n <= ~95 f32 / ~67 f64. Larger n takes the fused XLA update."""
+    block = 1 << int(requested).bit_length() - 1  # round down to pow2
+    while block >= 128 and 4 * n * n * block * itemsize > _PALLAS_VMEM_BUDGET:
+        block //= 2
+    return block if block >= 128 else 0
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -376,11 +568,12 @@ def _make_update_fn(kernel: str, block_batch: int):
         "block_batch",
         "h0_scale",
         "stall_limit",
+        "fold_eval",
     ),
 )
 def _optimize_batched_fused_jit(
     obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel, block_batch,
-    h0_scale, stall_limit=STALL_LIMIT_DEFAULT,
+    h0_scale, stall_limit=STALL_LIMIT_DEFAULT, fold_eval=False,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -414,6 +607,7 @@ def _optimize_batched_fused_jit(
         STEP=zero_v,
         B=jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, batch)),
         fun=jnp.full((batch,), jnp.nan, dtype),
+        fprev=jnp.full((batch,), jnp.nan, dtype),
         k=jnp.zeros((), jnp.int32),
         status=status0,
         iterations=zero_i,
@@ -426,7 +620,7 @@ def _optimize_batched_fused_jit(
     fc = _solve_loop_batched(
         vag_b, f_b, carry0, ls, tol, max_iterations,
         _make_update_fn(kernel, block_batch),
-        h0_scale, stall_limit,
+        h0_scale, stall_limit, fold_eval,
     )
     if pad:
         fc = jax.tree_util.tree_map(
@@ -467,6 +661,18 @@ def _result_from_batched_carry(fc: _Carry) -> OptimizeResult:
     )
 
 
+def _auto_kernel(kernel: str, n: int, itemsize: int, block_batch: int):
+    """Resolve the (kernel, block_batch) pair: shrink the Pallas block to
+    the VMEM-feasible size instead of falling all the way back to XLA
+    (round-1 behavior lost the 1-read-1-write HBM win for every n >~ 88)."""
+    if kernel != "pallas":
+        return kernel, block_batch
+    block = pallas_feasible_block(n, itemsize, block_batch)
+    if block == 0:
+        return "xla", block_batch
+    return "pallas", block
+
+
 def optimize_batched_fused(
     obj,
     x0s: jax.Array,
@@ -478,6 +684,7 @@ def optimize_batched_fused(
     block_batch: int = 128,
     h0_scale: bool = True,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    fold_eval: bool = False,
 ) -> OptimizeResult:
     """Throughput-path batched BFGS: native batch-minor driver.
 
@@ -486,24 +693,20 @@ def optimize_batched_fused(
     ~44k vs ~7k solves/s at batch=4096, n=60). ``kernel`` selects the fused
     update implementation: 'xla' (closed-form jnp) or 'pallas' (explicit
     VMEM-resident kernel with donated B buffers; the lane axis is padded to
-    a ``block_batch`` multiple automatically).
+    a ``block_batch`` multiple automatically, and the block is shrunk to
+    the VMEM-feasible size for large n). ``fold_eval=True`` folds the
+    accepted line-search trial's value+gradient into the next iteration
+    (see module docstring).
     """
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
-    if kernel == "pallas":
-        # VMEM feasibility: the kernel holds roughly 4 (n, n, block) f32
-        # tiles (in + out + expression temporaries) in ~16 MB of VMEM.
-        # Measured: n=60/block=128 fits comfortably; n=128/block=128 needs
-        # 32.5 MB and fails to compile. Fall back to the fused XLA
-        # formulation (same math, same layout) past the feasible size.
-        n = x0s.shape[1]
-        est_bytes = 4 * n * n * block_batch * x0s.dtype.itemsize
-        if est_bytes > 14 * 1024 * 1024:
-            kernel = "xla"
+    kernel, block_batch = _auto_kernel(
+        kernel, x0s.shape[1], x0s.dtype.itemsize, block_batch
+    )
     return _optimize_batched_fused_jit(
         obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel,
-        block_batch, h0_scale, stall_limit,
+        block_batch, h0_scale, stall_limit, fold_eval,
     )
 
 
@@ -518,11 +721,12 @@ def optimize_batched_fused(
         "block_batch",
         "h0_scale",
         "stall_limit",
+        "fold_eval",
     ),
 )
 def _optimize_batched_fused_resume_jit(
     obj, state, ls, tol, max_iterations, value_and_grad_fn, kernel, block_batch,
-    h0_scale, stall_limit=STALL_LIMIT_DEFAULT,
+    h0_scale, stall_limit=STALL_LIMIT_DEFAULT, fold_eval=False,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -536,6 +740,7 @@ def _optimize_batched_fused_resume_jit(
         STEP=state.step.T,
         B=jnp.moveaxis(state.B, 0, -1),
         fun=state.fun,
+        fprev=state.fun,  # last recorded value: stall comparison continues
         k=jnp.zeros((), jnp.int32),
         status=jnp.full(state.fun.shape, Status.RUNNING, jnp.int32),
         iterations=state.k,
@@ -548,6 +753,7 @@ def _optimize_batched_fused_resume_jit(
     fc = _solve_loop_batched(
         vag_b, f_b, carry0, ls, tol, max_iterations,
         _make_update_fn(kernel, block_batch), h0_scale, stall_limit,
+        fold_eval, resume=True,
     )
     return _result_from_batched_carry(fc)
 
@@ -563,6 +769,7 @@ def optimize_batched_fused_from_state(
     block_batch: int = 128,
     h0_scale: bool = True,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    fold_eval: bool = False,
 ) -> OptimizeResult:
     """Resume a batched fleet from a (possibly checkpointed) batched
     BFGSState — every leaf carries the leading batch axis, exactly as an
@@ -570,16 +777,118 @@ def optimize_batched_fused_from_state(
     (so converged lanes can also be re-solved under a tighter tol);
     iteration/eval counters continue from the saved values.
     ``max_iterations`` bounds the additional iterations of this resume leg.
+
+    A resumed lane CONTINUES its BFGS trajectory (its first iteration is a
+    genuine rank-2 update from the saved step/gradient pair, matching the
+    scalar ``optimize_from_state``); only lanes that have never stepped
+    (``state.k == 0``) take a steepest-ascent first step. Chunked solves
+    are therefore trajectory-identical to one long solve — the property
+    `optimize_batched_compacted` is built on.
     """
     if state.x.ndim != 2:
         raise ValueError("expected a batched BFGSState (leaves with batch axis)")
-    if kernel == "pallas":
-        n = state.x.shape[1]
-        if 4 * n * n * block_batch * state.x.dtype.itemsize > 14 * 1024 * 1024:
-            kernel = "xla"
-        if state.x.shape[0] % block_batch != 0:
-            kernel = "xla"  # resume path does not re-pad the lane axis
+    kernel, block_batch = _auto_kernel(
+        kernel, state.x.shape[1], state.x.dtype.itemsize, block_batch
+    )
+    if kernel == "pallas" and state.x.shape[0] % block_batch != 0:
+        kernel = "xla"  # resume path does not re-pad the lane axis
     return _optimize_batched_fused_resume_jit(
         obj, state, ls, tol, max_iterations, value_and_grad_fn, kernel,
-        block_batch, h0_scale, stall_limit,
+        block_batch, h0_scale, stall_limit, fold_eval,
     )
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (int(x) - 1).bit_length()
+
+
+@jax.jit
+def _gather_tree(tree, idx):
+    """One fused gather of every (batch, ...) leaf — a single device call
+    per compaction leg instead of ~19 eager per-leaf gathers (each eager op
+    pays a host round trip through the axon tunnel; measured ~280 ms/leg of
+    pure dispatch overhead for the eager form)."""
+    return jax.tree_util.tree_map(lambda a: a[idx] if a.ndim else a, tree)
+
+
+@jax.jit
+def _scatter_tree(full, sub, idx):
+    """One fused scatter-back; `idx` entries >= batch are dropped (the
+    cyclic padding lanes), so the call caches per compacted width only."""
+    return jax.tree_util.tree_map(
+        lambda acc, s: acc.at[idx].set(s, mode="drop") if acc.ndim else acc,
+        full, sub,
+    )
+
+
+def optimize_batched_compacted(
+    obj,
+    x0s: jax.Array,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    kernel: str = "xla",
+    block_batch: int = 128,
+    h0_scale: bool = True,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
+    fold_eval: bool = False,
+    chunk: int = 64,
+    min_width: int = 128,
+) -> OptimizeResult:
+    """Lockstep fleet with straggler compaction — the fastest fleet driver.
+
+    A lockstep fleet runs at full batch width until its SLOWEST lane
+    finishes, so a handful of stragglers (max iterations ~2-3x the median
+    on the benchmark fleet) dominate wall time. This driver runs the fused
+    engine ``chunk`` iterations at a time and, between chunks, gathers the
+    still-running lanes into the smallest power-of-two fleet >= min_width
+    and resumes only those — per-iteration cost then tracks the number of
+    UNFINISHED lanes instead of the original batch (the B-update is HBM
+    bandwidth-bound, so cost is ~linear in width).
+
+    Lane trajectories are bit-identical to `optimize_batched_fused`: each
+    lane's arithmetic never depends on its neighbors, and the resume path
+    continues a lane's BFGS trajectory exactly (see
+    `optimize_batched_fused_from_state`). Only wall time changes.
+
+    The host syncs once per chunk (to read lane statuses); each distinct
+    compacted width compiles once (widths walk a fixed power-of-two ladder,
+    so at most log2(batch/min_width) + 1 compilations ever happen).
+    """
+    x0s = jnp.asarray(x0s)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    batch = x0s.shape[0]
+    common = dict(
+        ls=ls, tol=tol, value_and_grad_fn=value_and_grad_fn, kernel=kernel,
+        block_batch=block_batch, h0_scale=h0_scale, stall_limit=stall_limit,
+        fold_eval=fold_eval,
+    )
+
+    res = optimize_batched_fused(
+        obj, x0s, max_iterations=min(chunk, max_iterations), **common
+    )
+    done = min(chunk, max_iterations)
+    # full-width accumulated result (leaves updated in place per chunk)
+    full = res
+
+    while done < max_iterations:
+        status = np.asarray(full.status)  # the one host sync per chunk
+        alive = np.flatnonzero(status == Status.MAX_ITERATIONS)
+        if alive.size == 0:
+            break
+        width = min(batch, max(min_width, _next_pow2(alive.size)))
+        gather_idx = np.resize(alive, width)  # cyclic pad (unique prefix)
+        # scatter drops the padding lanes via out-of-bounds indices, so the
+        # jitted scatter caches on the compacted width alone
+        scatter_idx = np.full(width, batch, np.int64)
+        scatter_idx[: alive.size] = alive
+        sub_state = _gather_tree(full.state, jnp.asarray(gather_idx))
+        leg = min(chunk, max_iterations - done)
+        sub = optimize_batched_fused_from_state(
+            obj, sub_state, max_iterations=leg, **common
+        )
+        full = _scatter_tree(full, sub, jnp.asarray(scatter_idx))
+        done += leg
+    return full

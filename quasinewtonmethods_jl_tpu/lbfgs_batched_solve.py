@@ -193,9 +193,9 @@ def _lbfgs_loop_batched(
 
             def phi_vag(alpha):
                 fv, gv = vag_b(c.X + alpha[None, :] * d)
-                return fv, jnp.sum(gv * d, axis=0)
+                return fv, jnp.sum(gv * d, axis=0), gv
 
-            alpha, ls_fev, _it, ls_failed = _batched_wolfe(
+            alpha, ls_fev, _it, ls_failed, _f_acc, _G_acc = _batched_wolfe(
                 phi_vag, f0, m, active, ls, dtype
             )
             ls_gev = ls_fev
