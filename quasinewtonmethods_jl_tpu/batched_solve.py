@@ -52,6 +52,7 @@ from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
 from .ops.linesearch import BackTracking
+from .ops.wolfe import wolfe_propose
 from .ops.pallas.bfgs_kernel import (
     fused_bfgs_update_batched,
     fused_bfgs_update_reference,
@@ -255,7 +256,11 @@ def _batched_linesearch_fold(phi_vag, f0, m, active, ls: BackTracking, dtype):
 
 class _WLSCarry(NamedTuple):
     lo: jax.Array
+    flo: jax.Array
+    slo: jax.Array
     hi: jax.Array
+    fhi: jax.Array
+    shi: jax.Array
     a: jax.Array
     fa: jax.Array
     sa: jax.Array
@@ -297,17 +302,27 @@ def _batched_wolfe(phi_vag, f0, m, active, ls, dtype, with_grad=False):
     def body(c: _WLSCarry):
         lane = lane_mask(c)
         armijo, _curv = conds(c)
-        hi = jnp.where(lane & ~armijo, c.a, c.hi)
-        lo = jnp.where(lane & armijo, c.a, c.lo)
-        a_next = jnp.where(jnp.isinf(hi), 2.0 * lo, 0.5 * (lo + hi))
+        shrink = lane & ~armijo
+        hi = jnp.where(shrink, c.a, c.hi)
+        fhi = jnp.where(shrink, c.fa, c.fhi)
+        shi = jnp.where(shrink, c.sa, c.shi)
+        growlo = lane & armijo
+        lo = jnp.where(growlo, c.a, c.lo)
+        flo = jnp.where(growlo, c.fa, c.flo)
+        slo = jnp.where(growlo, c.sa, c.slo)
+        a_next = jnp.where(
+            jnp.isinf(hi),
+            2.0 * lo,
+            wolfe_propose(lo, flo, slo, hi, fhi, shi, ls.interp),
+        )
         a = jnp.where(lane, a_next, c.a)
         fa_n, sa_n, Ga_n = phi_vag(a)
         Ga = (
             jnp.where(lane[None, :], Ga_n, c.Ga) if with_grad else c.Ga
         )
         return _WLSCarry(
-            lo=lo,
-            hi=hi,
+            lo=lo, flo=flo, slo=slo,
+            hi=hi, fhi=fhi, shi=shi,
             a=a,
             fa=jnp.where(lane, fa_n, c.fa),
             sa=jnp.where(lane, sa_n, c.sa),
@@ -316,8 +331,10 @@ def _batched_wolfe(phi_vag, f0, m, active, ls, dtype, with_grad=False):
             n_ev=c.n_ev + lane,
         )
 
+    nan_b = jnp.full((batch,), jnp.nan, dtype)
     init = _WLSCarry(
-        lo=jnp.zeros((batch,), dtype), hi=jnp.full((batch,), jnp.inf, dtype),
+        lo=jnp.zeros((batch,), dtype), flo=f0, slo=m,
+        hi=jnp.full((batch,), jnp.inf, dtype), fhi=nan_b, shi=nan_b,
         a=one, fa=fa0, sa=sa0, Ga=Ga0, it=zero_i,
         n_ev=active.astype(jnp.int32),
     )

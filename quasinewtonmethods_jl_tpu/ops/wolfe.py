@@ -1,4 +1,4 @@
-"""Weak-Wolfe line search (bisection bracketing), maximization form.
+"""Weak-Wolfe line search (bracketing + safeguarded cubic), maximization form.
 
 Capability beyond the reference (which ships only backtracking,
 README.md:108: "QuasiNewtonMethods.jl only provides a backtracking
@@ -8,16 +8,25 @@ linesearch at the moment"). The weak Wolfe conditions for maximization of
     Armijo (sufficient increase):   φ(a) >= φ(0) + c1·a·m
     curvature:                      φ'(a) <= c2·m
 
-An accepted step therefore guarantees sᵀy = a·(φ'(0) − φ'(a))·?? > 0 — more
-precisely φ'(a) < φ'(0), hence the BFGS curvature pair is positive and the
-L-BFGS cautious-rejection path never triggers. The classic
-bisection-with-expansion scheme (Lewis & Overton) is expressed as one
-`lax.while_loop`:
+An accepted step guarantees φ'(a) < φ'(0), hence the BFGS curvature pair
+sᵀy > 0 and the L-BFGS cautious-rejection path never triggers. The classic
+bracketing scheme (Lewis & Overton) is expressed as one `lax.while_loop`:
 
     lo = 0, hi = +inf, a = 1
-    if Armijo fails:      hi = a, a = (lo + hi)/2
-    elif curvature fails: lo = a, a = 2a if hi = inf else (lo + hi)/2
+    if Armijo fails:      hi = a   (overshot)
+    elif curvature fails: lo = a   (still ascending)
     else accept
+    next a: 2·lo while hi = inf (expansion), else an interior proposal
+
+The interior proposal is, by default (``interp="cubic"``), the maximizer of
+the cubic Hermite interpolant through (lo, φ(lo), φ'(lo)) and
+(hi, φ(hi), φ'(hi)) — both bracket ends carry value AND slope since every
+Wolfe trial is a value+grad evaluation anyway, so the cubic is free. It is
+safeguarded into the central [lo + 0.1w, hi - 0.1w] interval (w = hi - lo)
+and falls back to bisection on a NaN/degenerate proposal, so worst-case
+behavior equals ``interp="bisection"`` (pure midpoint; the round-1 scheme,
+kept for comparison). Cubic proposals need measurably fewer evaluations on
+curved objectives at identical acceptance conditions (tested).
 
 Each trial costs one value_and_grad evaluation (the curvature test needs
 φ'(a)), vs value-only for backtracking — use Wolfe when update quality
@@ -38,16 +47,26 @@ __all__ = ["Wolfe", "WolfeResult", "wolfe_linesearch"]
 
 @dataclasses.dataclass(frozen=True)
 class Wolfe:
-    """Weak-Wolfe hyperparameters. c1 < c2 required (standard: 1e-4, 0.9)."""
+    """Weak-Wolfe hyperparameters. c1 < c2 required (standard: 1e-4, 0.9).
+
+    ``interp``: interior-proposal rule once a finite bracket exists —
+    "cubic" (default; safeguarded Hermite, fewer evals) or "bisection"
+    (pure midpoint). Static (trace-time) like BackTracking.order.
+    """
 
     c1: float = 1e-4
     c2: float = 0.9
     iterations: int = 50
+    interp: str = "cubic"
 
     def __post_init__(self):
         if not (0.0 < self.c1 < self.c2 < 1.0):
             raise ValueError(
                 f"need 0 < c1 < c2 < 1, got c1={self.c1}, c2={self.c2}"
+            )
+        if self.interp not in ("cubic", "bisection"):
+            raise ValueError(
+                f"interp must be 'cubic' or 'bisection', got {self.interp!r}"
             )
 
 
@@ -60,9 +79,35 @@ class WolfeResult(NamedTuple):
     failed: jax.Array
 
 
+def wolfe_propose(lo, flo, slo, hi, fhi, shi, interp: str):
+    """Next trial inside a finite bracket [lo, hi] (maximization form).
+
+    "cubic": maximizer of the Hermite cubic through (lo, flo, slo) and
+    (hi, fhi, shi) — the minimization formula (Nocedal & Wright eq. 3.59)
+    applied to -φ — safeguarded into [lo + 0.1w, hi - 0.1w] with a
+    bisection fallback for NaN/degenerate cases (complex discriminant,
+    zero denominator). "bisection": the midpoint.
+    Expansion (hi = inf) is handled by the caller, not here.
+    """
+    mid = 0.5 * (lo + hi)
+    if interp == "bisection":
+        return mid
+    w = hi - lo
+    d1 = -(slo + shi) + 3.0 * (flo - fhi) / (lo - hi)
+    disc = d1 * d1 - slo * shi
+    d2 = jnp.sqrt(jnp.maximum(disc, 0.0))  # lo < hi: sign(hi - lo) = +1
+    a = hi - w * (-shi + d2 - d1) / (-shi + slo + 2.0 * d2)
+    a = jnp.clip(a, lo + 0.1 * w, hi - 0.1 * w)
+    return jnp.where(jnp.isfinite(a) & (disc >= 0.0), a, mid)
+
+
 class _WCarry(NamedTuple):
     lo: jax.Array
+    flo: jax.Array
+    slo: jax.Array
     hi: jax.Array
+    fhi: jax.Array
+    shi: jax.Array
     a: jax.Array
     fa: jax.Array
     sa: jax.Array  # slope at a
@@ -114,15 +159,30 @@ def wolfe_linesearch(
         armijo, curv = conds(c.a, c.fa, c.sa)
         # NaN trial values fail Armijo (NaN >= t is False) -> shrink: the
         # same robustness direction as backtracking's finite-phase halving.
-        hi = jnp.where(~armijo, c.a, c.hi)
-        lo = jnp.where(armijo & ~curv, c.a, c.lo)
-        grow = jnp.isinf(hi)
-        a_next = jnp.where(grow, 2.0 * lo, 0.5 * (lo + hi))
+        shrink = ~armijo
+        hi = jnp.where(shrink, c.a, c.hi)
+        fhi = jnp.where(shrink, c.fa, c.fhi)
+        shi = jnp.where(shrink, c.sa, c.shi)
+        growlo = armijo & ~curv
+        lo = jnp.where(growlo, c.a, c.lo)
+        flo = jnp.where(growlo, c.fa, c.flo)
+        slo = jnp.where(growlo, c.sa, c.slo)
+        a_next = jnp.where(
+            jnp.isinf(hi),
+            2.0 * lo,
+            wolfe_propose(lo, flo, slo, hi, fhi, shi, ls.interp),
+        )
         fa, sa = phi_vag(a_next)
-        return _WCarry(lo=lo, hi=hi, a=a_next, fa=fa, sa=sa, it=c.it + 1)
+        return _WCarry(
+            lo=lo, flo=flo, slo=slo, hi=hi, fhi=fhi, shi=shi,
+            a=a_next, fa=fa, sa=sa, it=c.it + 1,
+        )
 
+    nan = jnp.asarray(jnp.nan, dtype)
     init = _WCarry(
-        lo=jnp.zeros((), dtype), hi=inf, a=one, fa=fa0, sa=sa0,
+        lo=jnp.zeros((), dtype), flo=f0, slo=m,
+        hi=inf, fhi=nan, shi=nan,
+        a=one, fa=fa0, sa=sa0,
         it=jnp.zeros((), jnp.int32),
     )
     fc = lax.while_loop(cond, body, init)

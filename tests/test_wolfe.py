@@ -119,3 +119,43 @@ def test_batched_wolfe_matches_scalar_on_quadratic(rng):
             np.asarray(res_b.x[b]), np.asarray(res_s.x), atol=1e-8
         )
         assert int(res_b.iterations[b]) == int(res_s.iterations)
+
+
+def test_cubic_interp_beats_bisection_on_model_zoo(rng):
+    """Round-2 upgrade bar: safeguarded-cubic Wolfe proposals must need
+    strictly fewer evaluations than pure bisection across the model zoo at
+    the same acceptance conditions (every Wolfe trial pays value+grad, so
+    evals are the real currency)."""
+    from quasinewtonmethods_jl_tpu.models import (
+        IllConditionedQuadratic,
+        LogisticRegressionMAP,
+    )
+
+    zoo = [
+        (rosenbrock_logdensity, jnp.asarray(rng.standard_normal((12, 10)))),
+        (
+            IllConditionedQuadratic(16, condition=1e4, dtype=jnp.float64),
+            jnp.asarray(rng.standard_normal((12, 16))),
+        ),
+        (
+            LogisticRegressionMAP(dimension=12, n_obs=200, dtype=jnp.float64),
+            jnp.asarray(rng.standard_normal((12, 12))),
+        ),
+    ]
+    tot = {"cubic": 0, "bisection": 0}
+    for obj, X0 in zoo:
+        for interp in ("cubic", "bisection"):
+            res = qnm.optimize_batched(
+                obj, X0, ls=qnm.Wolfe(interp=interp), backend="fused",
+                kernel="xla", tol=1e-6,
+            )
+            st = np.asarray(res.status)
+            assert np.all(
+                (st == qnm.Status.CONVERGED)
+                | (st == qnm.Status.LINESEARCH_FAILURE)
+            ), f"{obj} {interp}: {st}"
+            # s'y > 0 guarantee intact: no steepest-ascent resets beyond
+            # the first-iteration one
+            assert np.all(np.asarray(res.n_resets) <= 1)
+            tot[interp] += int(np.asarray(res.n_fev).sum())
+    assert tot["cubic"] < tot["bisection"], tot
