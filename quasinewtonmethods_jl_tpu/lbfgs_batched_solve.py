@@ -46,10 +46,11 @@ class _LCarry(NamedTuple):
     G: jax.Array  # (n, batch)
     G_old: jax.Array  # (n, batch)
     STEP: jax.Array  # (n, batch)
-    S: jax.Array  # (m, n, batch) ring, oldest..newest in 0..hist-1
+    S: jax.Array  # (m, n, batch) CIRCULAR ring (per-lane head, no shifts)
     Y: jax.Array  # (m, n, batch)
     rho: jax.Array  # (m, batch)
-    hist: jax.Array  # (batch,) int32
+    hist: jax.Array  # (batch,) int32 valid-pair count
+    head: jax.Array  # (batch,) int32 next write slot
     gamma: jax.Array  # (batch,)
     fun: jax.Array  # (batch,)
     k: jax.Array  # ()
@@ -61,8 +62,15 @@ class _LCarry(NamedTuple):
     stall: jax.Array
 
 
-def _batched_push(S, Y, rho, hist, gamma, step, y, active):
-    """Vectorized cautious ring push (per-lane semantics of ops.lbfgs.lbfgs_push)."""
+def _batched_push_shift(S, Y, rho, hist, gamma, step, y, active):
+    """Vectorized cautious SHIFT-ring push (per-lane semantics of
+    ops.lbfgs.lbfgs_push; ring stays in canonical time order). Costs 4+
+    full-ring materializations per iteration, but for SMALL rings
+    (m*n*batch below ~30 MB) those are cheap while the circular variant's
+    extra per-iteration rotation kernels are not — the engine dispatches
+    on ring size (see _RING_CIRCULAR_MIN_N). Measured at 4096x60:
+    shift 51.9k vs circular 31.4k solves/s; at 1024x512 circular wins
+    1.29x and at 256x4096 2.05x."""
     mh = S.shape[0]
     dtype = S.dtype
     sty = jnp.sum(step * y, axis=0)  # (batch,)
@@ -95,9 +103,8 @@ def _batched_push(S, Y, rho, hist, gamma, step, y, active):
     return S_out, Y_out, rho_out, hist_out, gamma_out
 
 
-def _batched_compact_direction(S, Y, hist, gamma, g):
-    """Batched BNS compact direction (per-lane semantics of
-    ops.lbfgs_compact.lbfgs_direction_compact)."""
+def _batched_compact_direction_shift(S, Y, hist, gamma, g):
+    """Batched BNS compact direction over the canonical shift ring."""
     mh, n, batch = S.shape
     dtype = g.dtype
 
@@ -129,9 +136,126 @@ def _batched_compact_direction(S, Y, hist, gamma, g):
     return d, m_dir
 
 
+def _batched_push_circular(S, Y, rho, hist, head, gamma, step, y, active):
+    """Vectorized cautious CIRCULAR ring push (per-lane content identical to
+    ops.lbfgs.lbfgs_push, stored rotated). The round-1 shift ring cost 4+
+    full ring materializations per iteration (slice/concat/select chains —
+    the `slice` kernels at 52-205 us/iter in the round-2 traces); a
+    circular ring with per-lane heads is ONE masked write per ring (1 read
+    + 1 write, the XLA-visible minimum). Time order lives in (head, hist)
+    and is applied to the SMALL (m, m)/(m,) tensors only (see
+    `_batched_compact_direction`)."""
+    mh = S.shape[0]
+    dtype = S.dtype
+    sty = jnp.sum(step * y, axis=0)  # (batch,)
+    yty = jnp.sum(y * y, axis=0)
+    accept = (sty > 0.0) & active  # (batch,)
+
+    ids = jnp.arange(mh)  # (m,)
+    onehot = (ids[:, None] == head[None, :]) & accept[None, :]  # (m, batch)
+
+    S_out = jnp.where(onehot[:, None, :], step[None], S)
+    Y_out = jnp.where(onehot[:, None, :], y[None], Y)
+    rho_out = jnp.where(onehot, 1.0 / sty, rho)
+    head_out = jnp.where(accept, (head + 1) % mh, head)
+    hist_out = jnp.where(accept, jnp.minimum(hist + 1, mh), hist)
+    gamma_out = jnp.where(accept, sty / yty, gamma).astype(dtype)
+    return S_out, Y_out, rho_out, hist_out, head_out, gamma_out
+
+
+def _time_order_idx(head, hist, mh):
+    """(m, batch) slot index for each time position t (t = 0 oldest valid,
+    t = hist-1 newest; t >= hist walks the stale slots): a per-lane
+    rotation slot(t) = (t + head - hist) mod m."""
+    t = jnp.arange(mh)[:, None]
+    return (t + head[None, :] - hist[None, :]) % mh
+
+
+def _time_order_perm(head, hist, mh, dtype):
+    """One-hot rotation matrix P (time, slot, batch): P[t, p, b] = 1 iff
+    slot p holds time position t for lane b. Rotations are applied as tiny
+    einsum contractions with P instead of take_along_axis — per-lane
+    gathers lower to serialized TPU gather kernels (measured: 0.39 ->
+    3.09 ms/iter at 4096x60, an 8x engine regression), while the one-hot
+    contraction is plain VPU work on (m, m, batch) tensors."""
+    idx = _time_order_idx(head, hist, mh)  # (m, batch)
+    return (idx[:, None, :] == jnp.arange(mh)[None, :, None]).astype(dtype)
+
+
+def _batched_compact_direction(S, Y, hist, head, gamma, g):
+    """Batched BNS compact direction over the circular ring (per-lane
+    semantics of ops.lbfgs_compact.lbfgs_direction_compact).
+
+    The O(m·n·batch) contractions (SY, YY, Sg, Yg, and the final d) run on
+    the RAW rings — contraction results are permutation-covariant, so the
+    time ordering the triangular structure needs is applied as a per-lane
+    rotation of the (m, m, batch)/(m, batch) SMALLS (take_along_axis
+    gathers, ~m^2 per lane), and the solved coefficients rotate back
+    before the d contraction. Unlike the shift ring (where stale slots
+    were guaranteed zero), stale circular slots hold old pairs, so
+    validity is masked explicitly."""
+    mh, n, batch = S.shape
+    dtype = g.dtype
+
+    SY = jnp.einsum("inb,jnb->ijb", S, Y)  # (m, m, batch)
+    YY = jnp.einsum("inb,jnb->ijb", Y, Y)
+    Sg = jnp.einsum("inb,nb->ib", S, g)  # (m, batch)
+    Yg = jnp.einsum("inb,nb->ib", Y, g)
+
+    P = _time_order_perm(head, hist, mh, dtype)  # (m_time, m_slot, batch)
+    SY_t = jnp.einsum("tpb,pqb,uqb->tub", P, SY, P)
+    YY_t = jnp.einsum("tpb,pqb,uqb->tub", P, YY, P)
+    Sg_t = jnp.einsum("tpb,pb->tb", P, Sg)
+    Yg_t = jnp.einsum("tpb,pb->tb", P, Yg)
+
+    ids = jnp.arange(mh)
+    valid = ids[:, None] < hist[None, :]  # (m, batch) in TIME order
+    vmask2 = (valid[:, None, :] & valid[None, :, :]).astype(dtype)
+    inval = (~valid).astype(dtype)
+
+    triu = jnp.triu(jnp.ones((mh, mh), dtype))[:, :, None]
+    eye = jnp.eye(mh, dtype=dtype)[:, :, None]
+    R = SY_t * triu * vmask2 + eye * inval[:, None, :]  # unit diag on stale
+    D = jnp.einsum("iib->ib", SY_t) * valid + inval  # (m, batch)
+    Sg_t = Sg_t * valid
+    Yg_t = Yg_t * valid
+
+    Rb = jnp.transpose(R, (2, 0, 1))  # (batch, m, m)
+    a = solve_triangular(Rb, Sg_t.T[..., None], lower=False)[..., 0].T
+    t = (
+        D * a
+        + gamma[None, :] * jnp.einsum("ijb,jb->ib", YY_t * vmask2, a)
+        - gamma[None, :] * Yg_t
+    )
+    top = solve_triangular(Rb, t.T[..., None], lower=False, trans=1)[..., 0].T
+
+    # coefficients back to slot order for the raw-ring contraction
+    # (P is a permutation: its transpose is its inverse)
+    a_s = jnp.einsum("tpb,tb->pb", P, a)
+    top_s = jnp.einsum("tpb,tb->pb", P, top)
+
+    d = (
+        gamma[None, :] * g
+        + jnp.einsum("inb,ib->nb", S, top_s)
+        - gamma[None, :] * jnp.einsum("inb,ib->nb", Y, a_s)
+    )
+    m_dir = jnp.sum(d * g, axis=0)
+    return d, m_dir
+
+
+# Ring-implementation dispatch (trace-time, on n): the circular ring's
+# one-masked-write push wins once the rings are big enough that HBM
+# traffic dominates; below that the shift ring's canonical order avoids
+# the circular variant's extra per-iteration rotation kernels (the loop is
+# launch-bound there). Measured crossover on a v5e: 4096x60 shift 51.9k vs
+# circular 31.4k solves/s; 1024x512 circular 1.29x; 256x4096 2.05x.
+_RING_CIRCULAR_MIN_N = 192
+
+
 def _lbfgs_loop_batched(
     vag_b, f_b, carry0: _LCarry, ls, tol, max_iterations: int,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    circular: bool = True,
 ) -> _LCarry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
@@ -174,10 +298,18 @@ def _lbfgs_loop_batched(
         active = status_pre == Status.RUNNING
 
         y_pair = c.G_old - g
-        S, Y, rho, hist, gamma = _batched_push(
-            c.S, c.Y, c.rho, c.hist, c.gamma, c.STEP, y_pair, active
-        )
-        d, m = _batched_compact_direction(S, Y, hist, gamma, g)
+        if circular:
+            S, Y, rho, hist, head, gamma = _batched_push_circular(
+                c.S, c.Y, c.rho, c.hist, c.head, c.gamma, c.STEP, y_pair,
+                active,
+            )
+            d, m = _batched_compact_direction(S, Y, hist, head, gamma, g)
+        else:
+            S, Y, rho, hist, gamma = _batched_push_shift(
+                c.S, c.Y, c.rho, c.hist, c.gamma, c.STEP, y_pair, active
+            )
+            head = c.head  # unused in shift mode
+            d, m = _batched_compact_direction_shift(S, Y, hist, gamma, g)
 
         # reset: clear history, steepest ascent (per-lane)
         gg = jnp.sum(g * g, axis=0)
@@ -225,6 +357,7 @@ def _lbfgs_loop_batched(
             Y=Y,
             rho=rho,
             hist=hist,
+            head=head,
             gamma=gamma,
             fun=jnp.where(was_active, f0, c.fun),
             k=c.k + 1,
@@ -275,6 +408,7 @@ def _optimize_lbfgs_batched_fused_jit(
         Y=jnp.zeros((history, n, batch), dtype),
         rho=jnp.zeros((history, batch), dtype),
         hist=zero_i,
+        head=zero_i,
         gamma=jnp.ones((batch,), dtype),
         fun=jnp.full((batch,), jnp.nan, dtype),
         k=jnp.zeros((), jnp.int32),
@@ -285,17 +419,31 @@ def _optimize_lbfgs_batched_fused_jit(
         n_resets=zero_i,
         stall=zero_i,
     )
+    circular = n >= _RING_CIRCULAR_MIN_N
     fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
-                             stall_limit)
+                             stall_limit, circular)
 
+    # Export the ring in the canonical time order (oldest..newest in
+    # 0..hist-1, zeros elsewhere) so the saved LBFGSState is interchangeable
+    # with the scalar engine's convention — one rotation, once per solve
+    # (the shift ring is already canonical).
+    mh = fc.S.shape[0]
+    if circular:
+        P = _time_order_perm(fc.head, fc.hist, mh, fc.S.dtype)
+        valid = (jnp.arange(mh)[:, None] < fc.hist[None, :])
+        S_t = jnp.einsum("tpb,pnb->tnb", P, fc.S) * valid[:, None, :]
+        Y_t = jnp.einsum("tpb,pnb->tnb", P, fc.Y) * valid[:, None, :]
+        rho_t = jnp.einsum("tpb,pb->tb", P, fc.rho) * valid
+    else:
+        S_t, Y_t, rho_t = fc.S, fc.Y, fc.rho
     state = LBFGSState(
         x=fc.X.T,
         grad=fc.G.T,
         grad_old=fc.G_old.T,
         step=fc.STEP.T,
-        S=jnp.moveaxis(fc.S, -1, 0),
-        Y=jnp.moveaxis(fc.Y, -1, 0),
-        rho=fc.rho.T,
+        S=jnp.moveaxis(S_t, -1, 0),
+        Y=jnp.moveaxis(Y_t, -1, 0),
+        rho=rho_t.T,
         hist=fc.hist,
         gamma=fc.gamma,
         fun=fc.fun,

@@ -207,3 +207,90 @@ def test_compact_direction_matches_two_loop(rng):
         s = jnp.asarray(rng.standard_normal(n) * 0.1)
         y = s * rng.uniform(0.5, 2.0) + 0.01 * jnp.asarray(rng.standard_normal(n))
         S, Y, rho, hist, gamma = lbfgs_push(S, Y, rho, hist, gamma, s, y)
+
+
+def test_circular_direction_matches_shift_direction(rng):
+    """Unit A/B of the two ring layouts' compact directions: for every
+    (hist, head) configuration — partial window, full ring, wrapped head,
+    empty history — the circular form (raw-ring contractions + one-hot
+    rotation of the smalls, stale slots holding garbage) must reproduce
+    the canonical shift form to fp roundoff."""
+    from quasinewtonmethods_jl_tpu.lbfgs_batched_solve import (
+        _batched_compact_direction,
+        _batched_compact_direction_shift,
+    )
+
+    m, n, batch = 4, 8, 3
+    for hist_val, head_val in [(2, 2), (4, 0), (4, 2), (3, 1), (0, 0)]:
+        S_can = np.zeros((m, n, batch))
+        Y_can = np.zeros((m, n, batch))
+        S_circ = rng.standard_normal((m, n, batch))  # stale garbage
+        Y_circ = rng.standard_normal((m, n, batch))
+        for t in range(hist_val):
+            s_ = rng.standard_normal((n, batch))
+            y_ = rng.standard_normal((n, batch))
+            y_ += s_ * (
+                np.abs((s_ * y_).sum(0)) / (s_ * s_).sum(0) + 1.0
+            )  # sty > 0
+            S_can[t], Y_can[t] = s_, y_
+            p = (t + head_val - hist_val) % m
+            S_circ[p], Y_circ[p] = s_, y_
+        g = jnp.asarray(rng.standard_normal((n, batch)))
+        gamma = jnp.asarray(np.abs(rng.standard_normal(batch)) + 0.5)
+        hist = jnp.full((batch,), hist_val, jnp.int32)
+        head = jnp.full((batch,), head_val, jnp.int32)
+        d_s, m_s = _batched_compact_direction_shift(
+            jnp.asarray(S_can), jnp.asarray(Y_can), hist, gamma, g
+        )
+        d_c, m_c = _batched_compact_direction(
+            jnp.asarray(S_circ), jnp.asarray(Y_circ), hist, head, gamma, g
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_c), np.asarray(d_s), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_c), np.asarray(m_s), rtol=1e-12, atol=1e-12
+        )
+
+
+def test_fused_circular_ring_equals_shift_engine(rng, monkeypatch):
+    """Whole-solve invariant of the round-2 ring refactor: the circular
+    engine (selected for n >= 192) must be bit-for-bit equal in statuses
+    and iteration counts to the shift engine, including ring wraparound
+    (history=3, hundreds of iterations) — and converge. (The fused engines
+    are NOT iteration-identical to the scalar driver at this scale: its
+    differently-ordered contractions round differently and trajectories
+    drift over ~200 chaotic Rosenbrock iterations; both reach the optimum.)
+    """
+    import quasinewtonmethods_jl_tpu.lbfgs_batched_solve as lbs
+
+    n = 256
+    assert n >= lbs._RING_CIRCULAR_MIN_N
+    X0 = jnp.asarray(rng.standard_normal((4, n)))
+    circ = lbs.optimize_lbfgs_batched_fused(
+        rosenbrock_logdensity, X0, history=3, tol=1e-6
+    )
+    monkeypatch.setattr(lbs, "_RING_CIRCULAR_MIN_N", 10**9)
+    lbs._optimize_lbfgs_batched_fused_jit._clear_cache()
+    shift = lbs.optimize_lbfgs_batched_fused(
+        rosenbrock_logdensity, X0, history=3, tol=1e-6
+    )
+    lbs._optimize_lbfgs_batched_fused_jit._clear_cache()
+    np.testing.assert_array_equal(
+        np.asarray(circ.status), np.asarray(shift.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(circ.iterations), np.asarray(shift.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(circ.x), np.asarray(shift.x), rtol=1e-10, atol=1e-10
+    )
+    assert np.all(np.asarray(circ.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(circ.x), 1.0, atol=1e-5)
+    # exported state is in the canonical time order: resuming the scalar
+    # engine from a fused lane's state must work
+    lane_state = jax.tree_util.tree_map(lambda a: a[0], circ.state)
+    res = qnm.optimize_lbfgs_from_state(
+        rosenbrock_logdensity, lane_state, tol=1e-9
+    )
+    assert int(res.status) == qnm.Status.CONVERGED
