@@ -15,6 +15,12 @@ import numpy as np
 
 import quasinewtonmethods_jl_tpu as qnm
 
+# f64 parity mode off-TPU: examples assume float64 semantics on CPU (the
+# reference's native precision); jax keeps x64 off by default.
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_enable_x64", True)
+
+
 
 def main():
     rng = np.random.default_rng(0)

@@ -22,6 +22,12 @@ import numpy as np
 import quasinewtonmethods_jl_tpu as qnm
 from quasinewtonmethods_jl_tpu.models import LogisticRegressionMAP
 
+# f64 parity mode off-TPU: examples assume float64 semantics on CPU (the
+# reference's native precision); jax keeps x64 off by default.
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_enable_x64", True)
+
+
 
 def main():
     n_chains = 64

@@ -24,6 +24,12 @@ from quasinewtonmethods_jl_tpu.utils import (
 )
 
 
+# f64 parity mode off-TPU: examples assume float64 semantics on CPU (the
+# reference's native precision); jax keeps x64 off by default.
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_enable_x64", True)
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32 if on_tpu else jnp.float64

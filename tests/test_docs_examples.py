@@ -32,15 +32,14 @@ def test_readme_has_executable_blocks():
     assert len(README_BLOCKS) >= 1
 
 
-@pytest.mark.parametrize("i", range(len(README_BLOCKS)))
-def test_readme_python_block_executes(i):
-    """Each README code block must run as written (shared namespace per
-    block; blocks are self-contained by construction). The quick-start
-    block asserts the reference README's exact quality bars
+def test_readme_python_blocks_execute_in_order():
+    """The README's ```python blocks form one executable session (like the
+    reference's doctests): run them in order in a shared namespace. The
+    quick-start block asserts the reference README's exact quality bars
     (/root/reference/README.md:59-75)."""
-    code = README_BLOCKS[i]
-    ns = {"__name__": f"readme_block_{i}"}
-    exec(compile(code, f"README.md#block{i}", "exec"), ns)
+    ns = {"__name__": "readme_session"}
+    for i, code in enumerate(README_BLOCKS):
+        exec(compile(code, f"README.md#block{i}", "exec"), ns)
 
 
 @pytest.mark.parametrize(
