@@ -50,21 +50,21 @@ def main():
     rng = np.random.default_rng(20260816)
 
     def solve(X):
-        # fold_eval: the accepted line-search trial's value+gradient seed
-        # the next iteration (no separate top-of-iteration evaluation) —
-        # measured 2x on this workload (26.0k -> 52.6k solves/s under
-        # identical host conditions).
         return qnm.optimize_batched_fused(
             rosenbrock_logdensity,
             X,
             tol=TOL,
             max_iterations=MAX_ITERS,
             kernel=kernel,
-            fold_eval=True,
         )
 
     def fetch(r):
-        return float(jnp.sum(r.x)) + int(jnp.sum(r.status))
+        # ONE device->host readback: every extra sync through the axon
+        # tunnel costs ~30 ms regardless of payload (measured: a second
+        # int(jnp.sum(status)) readback alone dropped the reported rate
+        # from ~76k to ~49k solves/s). The combined scalar still forces
+        # materialization of the full result by data dependency.
+        return float(jnp.sum(r.x) + jnp.sum(r.status).astype(jnp.float32))
 
     X = jnp.asarray(rng.standard_normal((BATCH, N)), jnp.float32)
     t0 = time.perf_counter()
@@ -74,7 +74,7 @@ def main():
 
     times = []
     conv = 0
-    for rep in range(3):
+    for rep in range(6):
         X = jnp.asarray(rng.standard_normal((BATCH, N)), jnp.float32)
         float(jnp.sum(X))  # materialize input before timing
         t0 = time.perf_counter()

@@ -87,8 +87,20 @@ def fused_bfgs_update_reference(B, step, g, g_old, active, fresh=None):
         yty = jnp.sum(y * y, axis=0, keepdims=True)
         gamma = jnp.clip(sty / yty, *H0_GAMMA_CLIP)
         scale = jnp.where((fresh > 0) & (sty > 0), gamma, one)
-    By = scale * jnp.sum(B * y[:, None, :], axis=0)  # (n, batch)
-    Bg = scale * jnp.sum(B * g[:, None, :], axis=0)  # (n, batch)
+    # Both matvecs from ONE stacked contraction — a single read of the
+    # (n, n, batch) tensor instead of two (XLA does not merge the separate
+    # reductions; this is the n > ~95 path where the Pallas kernel cannot
+    # run, so every B pass counts).
+    # Precision.HIGHEST: the einsum lowers to dot_general, and the TPU
+    # default dot precision is bf16 passes — measured to cost ~2% of lanes
+    # their convergence at tol 1e-3 (1005/1024 at n=128). HIGHEST restores
+    # f32-equivalent accuracy; the op stays bandwidth-bound.
+    yg = jnp.stack([y, g], axis=1)  # (n, 2, batch)
+    ByBg = scale[None] * jnp.einsum(
+        "rcb,rkb->kcb", B, yg, preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (2, n, batch)
+    By, Bg = ByBg[0], ByBg[1]
     ytBy = jnp.sum(By * y, axis=0, keepdims=True)
     u = By * rho  # scaled B⁻¹y (reference :50)
     c1 = (one + ytBy * rho) * rho  # (reference :54)
