@@ -27,7 +27,13 @@ RNG = np.random.default_rng(20260816)
 
 
 def fetch(tree):
-    return float(sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree_util.tree_leaves(tree)))
+    # ONE device->host readback: sum all leaves into a single device
+    # scalar first — each separate float() sync through the axon tunnel
+    # costs ~30 ms regardless of payload (the round-1 per-leaf fetch
+    # inflated every timing here by ~0.5 s).
+    total = sum(jnp.sum(x).astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(tree))
+    return float(total)
 
 
 def timed(fn, *args, reps=3):
@@ -107,14 +113,27 @@ def main():
     emit("lbfgs_m10_n4096", t, {"status": int(res.status),
                                 "iterations": int(res.iterations)})
 
-    # 6. Batched L-BFGS fleet (masked-lockstep engine) — beyond-reference
-    X = jnp.asarray(RNG.standard_normal((1024, 512)), jnp.float32)
+    # 6. Batched L-BFGS fleets (masked-lockstep engine; circular ring for
+    # n >= 192) — beyond-reference
+    for b, n6 in ((1024, 512), (256, 4096)):
+        X = jnp.asarray(RNG.standard_normal((b, n6)), jnp.float32)
+        t, res = timed(
+            lambda X: qnm.optimize_lbfgs_batched(rosenbrock_logdensity, X,
+                                                 history=10, tol=1e-3,
+                                                 max_iterations=3000), X)
+        conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
+        emit(f"lbfgs_fleet_{b}x{n6}", t, {
+            "solves_per_sec": round(b / t, 1), "converged": conv})
+
+    # 7. Mid-size n (Pallas-infeasible: Mosaic 128-lane block minimum):
+    # the stacked-matvec XLA update path
+    X = jnp.asarray(RNG.standard_normal((1024, 128)), jnp.float32)
     t, res = timed(
-        lambda X: qnm.optimize_lbfgs_batched(rosenbrock_logdensity, X,
-                                             history=10, tol=1e-3,
-                                             max_iterations=3000), X)
+        lambda X: qnm.optimize_batched(rosenbrock_logdensity, X, tol=1e-3,
+                                       max_iterations=3000, backend="fused",
+                                       kernel="xla"), X)
     conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
-    emit("lbfgs_fleet_1024x512", t, {
+    emit("batched_rosenbrock_1024x128_xla", t, {
         "solves_per_sec": round(1024 / t, 1), "converged": conv})
 
 
