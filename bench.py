@@ -45,7 +45,6 @@ def main():
     log(f"device: {dev} (platform {dev.platform})")
     on_tpu = jax.default_backend() == "tpu"
     kernel = "pallas" if on_tpu else "xla"
-    backend = "fused"
 
     rng = np.random.default_rng(20260816)
 

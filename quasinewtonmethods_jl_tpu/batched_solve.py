@@ -393,7 +393,11 @@ def _solve_loop_batched(
                 f0, g = c.fun, c.G
             else:
                 f0, g = vag_b(c.X)  # (batch,), (n, batch)
-            was_active = c.status == Status.RUNNING
+            # k < max_iterations keeps the cap exact under unroll > 1: the
+            # chain's trailing bodies past the cap become full no-ops
+            # (scalar compare; free for unroll == 1, where the while cond
+            # already guarantees it)
+            was_active = (c.status == Status.RUNNING) & (c.k < max_iterations)
             nonfinite = ~jnp.isfinite(f0)
             converged = jnp.max(jnp.abs(g), axis=0) < tol
             improved = jnp.where(jnp.isnan(c.fprev), True, f0 > c.fprev)
@@ -532,10 +536,10 @@ def _solve_loop_batched(
         # unroll > 1 amortizes the PER-WHILE-STEP host round trip of the
         # axon tunnel (measured at 4096x60: 102 us/iter device compute vs
         # 235 us/iter wall — ~133 us/iter of step dispatch). The body is a
-        # no-op for finished lanes (every carry write is active-masked), so
-        # chaining k bodies per step is trajectory-identical; the only
-        # semantic change is that max_iterations rounds up to a multiple of
-        # unroll (the cap is checked once per chain).
+        # no-op for finished lanes (every carry write is active-masked) and
+        # for bodies past the iteration cap (was_active folds in
+        # k < max_iterations), so chaining k bodies per step is
+        # trajectory-identical and the cap stays exact.
         body_fn = make_body("loop")
         if unroll > 1:
             def chain(c):
@@ -874,7 +878,7 @@ def optimize_batched_compacted(
     chunk: int = 64,
     min_width: int = 128,
 ) -> OptimizeResult:
-    """Lockstep fleet with straggler compaction — the fastest fleet driver.
+    """Lockstep fleet with straggler compaction.
 
     A lockstep fleet runs at full batch width until its SLOWEST lane
     finishes, so a handful of stragglers (max iterations ~2-3x the median
@@ -884,6 +888,13 @@ def optimize_batched_compacted(
     and resumes only those — per-iteration cost then tracks the number of
     UNFINISHED lanes instead of the original batch (the B-update is HBM
     bandwidth-bound, so cost is ~linear in width).
+
+    When it wins: extreme straggler tails (multimodal fleets, mixed
+    conditioning) and runtimes with cheap dispatch. On this machine's
+    tunneled TPU runtime the per-leg dispatch (~30-60 ms for
+    gather + resume + scatter + one status readback) exceeds the straggler
+    savings of the benchmark fleet (itmax ~2.2x median), so
+    `optimize_batched_fused` is faster there — measure your workload.
 
     Lane trajectories are bit-identical to `optimize_batched_fused`: each
     lane's arithmetic never depends on its neighbors, and the resume path
@@ -897,6 +908,8 @@ def optimize_batched_compacted(
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     batch = x0s.shape[0]
     common = dict(
         ls=ls, tol=tol, value_and_grad_fn=value_and_grad_fn, kernel=kernel,

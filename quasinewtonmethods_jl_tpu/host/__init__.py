@@ -84,13 +84,19 @@ def _build() -> str:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except subprocess.CalledProcessError as e:  # retry without tuning flags
-        if arch_flags:
+    except subprocess.CalledProcessError as e:
+        # Retry without the AUTO-DETECTED tuning flags only; explicit
+        # QNM_HOST_CXXFLAGS are the user's contract — never silently
+        # replaced with host defaults.
+        if arch_flags and extra is None:
             cmd = [
                 "g++", "-O3", "-funroll-loops", "-fopenmp-simd",
                 "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
             ]
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, text=True)
+            except subprocess.CalledProcessError as e2:
+                raise RuntimeError(f"native build failed: {e2.stderr}") from e2
         else:
             raise RuntimeError(f"native build failed: {e.stderr}") from e
     return _LIB

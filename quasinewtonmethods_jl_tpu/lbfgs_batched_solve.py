@@ -31,6 +31,23 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
+# Precision policy. jnp.einsum lowers to dot_general and the TPU default
+# dot precision is bf16 passes. Two classes of contractions here:
+#   * the BIG Gram/direction contractions (SY/YY/Sg/Yg/d, O(m n batch)) —
+#     MXU-bound: HIGHEST costs ~30% wall (measured: 11.3k -> 7.7k solves/s
+#     at 1024x512). Unlike the BFGS stacked matvec (where bf16 noise
+#     compounds in the persistent B state and measurably cost lanes their
+#     convergence), these are recomputed fresh from exact S/Y every
+#     iteration and the line search still guards ascent — measured full
+#     convergence at f32 tol=1e-3 on all benchmark fleets at default
+#     precision. Configurable via ``gram_precision`` for ill-conditioned
+#     f32 fleets.
+#   * the SMALL one-hot rotation einsums (O(m^2 batch)) and the state
+#     export — pinned HIGHEST always: they are effectively permutations/
+#     copies, bf16 would truncate the copied VALUES, and their cost is
+#     negligible.
+_HI = jax.lax.Precision.HIGHEST
+
 from .api import as_value_and_grad, as_value_fn
 from .batched_solve import _batched_linesearch, _batched_wolfe
 from .lbfgs_solve import LBFGSResult
@@ -103,13 +120,13 @@ def _batched_push_shift(S, Y, rho, hist, gamma, step, y, active):
     return S_out, Y_out, rho_out, hist_out, gamma_out
 
 
-def _batched_compact_direction_shift(S, Y, hist, gamma, g):
+def _batched_compact_direction_shift(S, Y, hist, gamma, g, prec=None):
     """Batched BNS compact direction over the canonical shift ring."""
     mh, n, batch = S.shape
     dtype = g.dtype
 
-    SY = jnp.einsum("inb,jnb->ijb", S, Y)  # (m, m, batch)
-    YY = jnp.einsum("inb,jnb->ijb", Y, Y)
+    SY = jnp.einsum("inb,jnb->ijb", S, Y, precision=prec)  # (m, m, batch)
+    YY = jnp.einsum("inb,jnb->ijb", Y, Y, precision=prec)
     ids = jnp.arange(mh)
     valid = ids[:, None] < hist[None, :]  # (m, batch)
     inval = (~valid).astype(dtype)
@@ -119,18 +136,18 @@ def _batched_compact_direction_shift(S, Y, hist, gamma, g):
     R = SY * triu + eye * inval[:, None, :]  # unit diag on empty slots
     D = jnp.einsum("iib->ib", SY) + inval  # (m, batch)
 
-    Sg = jnp.einsum("inb,nb->ib", S, g)  # (m, batch)
-    Yg = jnp.einsum("inb,nb->ib", Y, g)
+    Sg = jnp.einsum("inb,nb->ib", S, g, precision=prec)  # (m, batch)
+    Yg = jnp.einsum("inb,nb->ib", Y, g, precision=prec)
 
     Rb = jnp.transpose(R, (2, 0, 1))  # (batch, m, m)
     a = solve_triangular(Rb, Sg.T[..., None], lower=False)[..., 0].T  # (m, batch)
-    t = D * a + gamma[None, :] * jnp.einsum("ijb,jb->ib", YY, a) - gamma[None, :] * Yg
+    t = D * a + gamma[None, :] * jnp.einsum("ijb,jb->ib", YY, a, precision=prec) - gamma[None, :] * Yg
     top = solve_triangular(Rb, t.T[..., None], lower=False, trans=1)[..., 0].T
 
     d = (
         gamma[None, :] * g
-        + jnp.einsum("inb,ib->nb", S, top)
-        - gamma[None, :] * jnp.einsum("inb,ib->nb", Y, a)
+        + jnp.einsum("inb,ib->nb", S, top, precision=prec)
+        - gamma[None, :] * jnp.einsum("inb,ib->nb", Y, a, precision=prec)
     )
     m_dir = jnp.sum(d * g, axis=0)
     return d, m_dir
@@ -182,7 +199,7 @@ def _time_order_perm(head, hist, mh, dtype):
     return (idx[:, None, :] == jnp.arange(mh)[None, :, None]).astype(dtype)
 
 
-def _batched_compact_direction(S, Y, hist, head, gamma, g):
+def _batched_compact_direction(S, Y, hist, head, gamma, g, prec=None):
     """Batched BNS compact direction over the circular ring (per-lane
     semantics of ops.lbfgs_compact.lbfgs_direction_compact).
 
@@ -197,16 +214,16 @@ def _batched_compact_direction(S, Y, hist, head, gamma, g):
     mh, n, batch = S.shape
     dtype = g.dtype
 
-    SY = jnp.einsum("inb,jnb->ijb", S, Y)  # (m, m, batch)
-    YY = jnp.einsum("inb,jnb->ijb", Y, Y)
-    Sg = jnp.einsum("inb,nb->ib", S, g)  # (m, batch)
-    Yg = jnp.einsum("inb,nb->ib", Y, g)
+    SY = jnp.einsum("inb,jnb->ijb", S, Y, precision=prec)  # (m, m, batch)
+    YY = jnp.einsum("inb,jnb->ijb", Y, Y, precision=prec)
+    Sg = jnp.einsum("inb,nb->ib", S, g, precision=prec)  # (m, batch)
+    Yg = jnp.einsum("inb,nb->ib", Y, g, precision=prec)
 
     P = _time_order_perm(head, hist, mh, dtype)  # (m_time, m_slot, batch)
-    SY_t = jnp.einsum("tpb,pqb,uqb->tub", P, SY, P)
-    YY_t = jnp.einsum("tpb,pqb,uqb->tub", P, YY, P)
-    Sg_t = jnp.einsum("tpb,pb->tb", P, Sg)
-    Yg_t = jnp.einsum("tpb,pb->tb", P, Yg)
+    SY_t = jnp.einsum("tpb,pqb,uqb->tub", P, SY, P, precision=_HI)
+    YY_t = jnp.einsum("tpb,pqb,uqb->tub", P, YY, P, precision=_HI)
+    Sg_t = jnp.einsum("tpb,pb->tb", P, Sg, precision=_HI)
+    Yg_t = jnp.einsum("tpb,pb->tb", P, Yg, precision=_HI)
 
     ids = jnp.arange(mh)
     valid = ids[:, None] < hist[None, :]  # (m, batch) in TIME order
@@ -224,20 +241,20 @@ def _batched_compact_direction(S, Y, hist, head, gamma, g):
     a = solve_triangular(Rb, Sg_t.T[..., None], lower=False)[..., 0].T
     t = (
         D * a
-        + gamma[None, :] * jnp.einsum("ijb,jb->ib", YY_t * vmask2, a)
+        + gamma[None, :] * jnp.einsum("ijb,jb->ib", YY_t * vmask2, a, precision=prec)
         - gamma[None, :] * Yg_t
     )
     top = solve_triangular(Rb, t.T[..., None], lower=False, trans=1)[..., 0].T
 
     # coefficients back to slot order for the raw-ring contraction
     # (P is a permutation: its transpose is its inverse)
-    a_s = jnp.einsum("tpb,tb->pb", P, a)
-    top_s = jnp.einsum("tpb,tb->pb", P, top)
+    a_s = jnp.einsum("tpb,tb->pb", P, a, precision=_HI)
+    top_s = jnp.einsum("tpb,tb->pb", P, top, precision=_HI)
 
     d = (
         gamma[None, :] * g
-        + jnp.einsum("inb,ib->nb", S, top_s)
-        - gamma[None, :] * jnp.einsum("inb,ib->nb", Y, a_s)
+        + jnp.einsum("inb,ib->nb", S, top_s, precision=prec)
+        - gamma[None, :] * jnp.einsum("inb,ib->nb", Y, a_s, precision=prec)
     )
     m_dir = jnp.sum(d * g, axis=0)
     return d, m_dir
@@ -256,6 +273,7 @@ def _lbfgs_loop_batched(
     vag_b, f_b, carry0: _LCarry, ls, tol, max_iterations: int,
     stall_limit: int = STALL_LIMIT_DEFAULT,
     circular: bool = True,
+    gram_precision=None,
 ) -> _LCarry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
@@ -303,13 +321,15 @@ def _lbfgs_loop_batched(
                 c.S, c.Y, c.rho, c.hist, c.head, c.gamma, c.STEP, y_pair,
                 active,
             )
-            d, m = _batched_compact_direction(S, Y, hist, head, gamma, g)
+            d, m = _batched_compact_direction(S, Y, hist, head, gamma, g,
+                                              gram_precision)
         else:
             S, Y, rho, hist, gamma = _batched_push_shift(
                 c.S, c.Y, c.rho, c.hist, c.gamma, c.STEP, y_pair, active
             )
             head = c.head  # unused in shift mode
-            d, m = _batched_compact_direction_shift(S, Y, hist, gamma, g)
+            d, m = _batched_compact_direction_shift(S, Y, hist, gamma, g,
+                                                    gram_precision)
 
         # reset: clear history, steepest ascent (per-lane)
         gg = jnp.sum(g * g, axis=0)
@@ -383,12 +403,12 @@ def _lbfgs_loop_batched(
     jax.jit,
     static_argnames=(
         "obj", "history", "ls", "max_iterations", "value_and_grad_fn",
-        "stall_limit",
+        "stall_limit", "gram_precision",
     ),
 )
 def _optimize_lbfgs_batched_fused_jit(
     obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-    stall_limit=STALL_LIMIT_DEFAULT,
+    stall_limit=STALL_LIMIT_DEFAULT, gram_precision=None,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -421,7 +441,7 @@ def _optimize_lbfgs_batched_fused_jit(
     )
     circular = n >= _RING_CIRCULAR_MIN_N
     fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
-                             stall_limit, circular)
+                             stall_limit, circular, gram_precision)
 
     # Export the ring in the canonical time order (oldest..newest in
     # 0..hist-1, zeros elsewhere) so the saved LBFGSState is interchangeable
@@ -431,9 +451,9 @@ def _optimize_lbfgs_batched_fused_jit(
     if circular:
         P = _time_order_perm(fc.head, fc.hist, mh, fc.S.dtype)
         valid = (jnp.arange(mh)[:, None] < fc.hist[None, :])
-        S_t = jnp.einsum("tpb,pnb->tnb", P, fc.S) * valid[:, None, :]
-        Y_t = jnp.einsum("tpb,pnb->tnb", P, fc.Y) * valid[:, None, :]
-        rho_t = jnp.einsum("tpb,pb->tb", P, fc.rho) * valid
+        S_t = jnp.einsum("tpb,pnb->tnb", P, fc.S, precision=_HI) * valid[:, None, :]
+        Y_t = jnp.einsum("tpb,pnb->tnb", P, fc.Y, precision=_HI) * valid[:, None, :]
+        rho_t = jnp.einsum("tpb,pb->tb", P, fc.rho, precision=_HI) * valid
     else:
         S_t, Y_t, rho_t = fc.S, fc.Y, fc.rho
     state = LBFGSState(
@@ -478,12 +498,18 @@ def optimize_lbfgs_batched_fused(
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    gram_precision=None,
 ) -> LBFGSResult:
-    """Masked-lockstep batched L-BFGS (the throughput engine for fleets)."""
+    """Masked-lockstep batched L-BFGS (the throughput engine for fleets).
+
+    ``gram_precision``: jax.lax.Precision for the O(m*n*batch) Gram and
+    direction contractions (None = backend default, fastest; pass
+    jax.lax.Precision.HIGHEST for ill-conditioned f32 fleets — ~30%
+    slower at large n, see the precision-policy note in the module)."""
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
     return _optimize_lbfgs_batched_fused_jit(
         obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-        stall_limit,
+        stall_limit, gram_precision,
     )

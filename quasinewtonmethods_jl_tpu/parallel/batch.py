@@ -152,6 +152,7 @@ def optimize_lbfgs_batched(
     direction_method: str = "compact",
     backend: str = "fused",
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    gram_precision=None,
 ):
     """Batched L-BFGS fleet: many independent large-n solves in one XLA
     computation (O(batch * m * n) memory — the regime where per-lane dense
@@ -174,7 +175,7 @@ def optimize_lbfgs_batched(
 
         return optimize_lbfgs_batched_fused(
             obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-            stall_limit,
+            stall_limit, gram_precision,
         )
     if backend != "vmap":
         raise ValueError(f"unknown backend {backend!r}; use 'fused' or 'vmap'")
