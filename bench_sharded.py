@@ -26,6 +26,14 @@ import time
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax
+
+# Honor an explicit JAX_PLATFORMS=cpu: this machine's sitecustomize
+# re-asserts the TPU platform over the env var, so the post-import config
+# update is what actually pins the virtual-mesh CPU backend (same dance as
+# tests/conftest.py). On real multi-chip hardware, leave the env unset.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
