@@ -74,6 +74,8 @@ def optimize_batched(
     backend: str = "auto",
     kernel: str = "auto",
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    fold_eval: bool = False,
+    unroll: int = 1,
 ) -> OptimizeResult:
     """Run ``x0s.shape[0]`` independent BFGS solves in one XLA computation.
 
@@ -107,10 +109,12 @@ def optimize_batched(
             # feasibility fallback handled inside optimize_batched_fused
         return optimize_batched_fused(
             obj, x0s, ls, tol, max_iterations, value_and_grad_fn, kernel=kernel,
-            stall_limit=stall_limit,
+            stall_limit=stall_limit, fold_eval=fold_eval, unroll=unroll,
         )
     if backend != "vmap":
         raise ValueError(f"unknown backend {backend!r}; use 'auto', 'fused' or 'vmap'")
+    if fold_eval or unroll != 1:
+        raise ValueError("fold_eval/unroll are fused-engine options; use backend='fused'")
     return _optimize_batched_jit(
         obj, x0s, ls, tol, max_iterations, value_and_grad_fn, stall_limit
     )
