@@ -788,7 +788,9 @@ def _optimize_batched_fused_resume_jit(
         n_gev=state.n_gev,
         n_resets=state.n_resets,
         fresh=state.fresh,
-        stall=state.stall,
+        # fresh stall budget: stall-exited lanes would otherwise re-fail
+        # after one iteration without attempting a step
+        stall=jnp.zeros_like(state.stall),
     )
     fc = _solve_loop_batched(
         vag_b, f_b, carry0, ls, tol, max_iterations,

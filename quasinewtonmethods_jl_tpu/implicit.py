@@ -49,6 +49,10 @@ class ImplicitOptions:
 
 
 def _forward(obj, x0, params, opts: ImplicitOptions):
+    # The fresh closure would defeat the solver's own jit cache (static
+    # objectives hash by identity) — but optimize_implicit wraps this whole
+    # pipeline in ONE jit keyed on (obj, opts), so the closure is only ever
+    # constructed at trace time, once per (obj, opts).
     f = lambda x: obj(x, params)
     if opts.method == "lbfgs":
         res = optimize_lbfgs(
@@ -122,5 +126,15 @@ def optimize_implicit(
     On failure the forward pass carries the usual in-band NaN ``fun``; the
     backward pass is only meaningful at a converged interior maximum.
     For full diagnostics, run the plain solver separately.
+
+    Compiles once per (obj, opts): ``params`` and ``x0`` are traced
+    arguments, so hyperparameter-optimization loops (and jax.grad through
+    this function) hit the compilation cache instead of re-compiling the
+    solver every call.
     """
+    return _solve_implicit_jit(obj, x0, params, opts)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _solve_implicit_jit(obj, x0, params, opts):
     return _solve_implicit(obj, x0, params, opts)

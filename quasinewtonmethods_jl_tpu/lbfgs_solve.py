@@ -254,9 +254,30 @@ def optimize_lbfgs_from_state(
     stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> LBFGSResult:
     """Resume an L-BFGS solve from a saved state (history ring included)."""
+    return _optimize_lbfgs_from_state_jit(
+        obj, state, ls, tol, max_iterations, value_and_grad_fn,
+        direction_method, stall_limit,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "ls", "max_iterations", "value_and_grad_fn",
+        "direction_method", "stall_limit",
+    ),
+)
+def _optimize_lbfgs_from_state_jit(
+    obj, state, ls, tol, max_iterations, value_and_grad_fn,
+    direction_method, stall_limit,
+):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
-    state = state._replace(status=jnp.asarray(Status.RUNNING, jnp.int32))
+    # re-arm + fresh stall budget (see _optimize_from_state_jit)
+    state = state._replace(
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        stall=jnp.zeros_like(state.stall),
+    )
     return _result_from_state(
         _lbfgs_loop(vag, f, state, ls, tol, max_iterations, jnp.dot,
                     direction_method=direction_method,

@@ -15,10 +15,12 @@ tiny (m, m) triangular solves, and a handful of elementwise ops:
       top = R⁻ᵀ[(D + γYᵀY)a − γ(Yg)]
 
 Ring slots hold oldest..newest in 0..hist-1 (the lbfgs_push convention), so
-R is genuinely upper triangular. Invalid slots (i >= hist) carry zero S/Y
-rows; R and D get unit diagonal entries there, which keeps the triangular
-solves well-posed while every invalid contribution vanishes through the
-zero rows.
+R is genuinely upper triangular. Invalid slots (i >= hist) are masked
+EXPLICITLY out of R, D, Sg, Yg (with unit diagonal entries keeping the
+triangular solves well-posed): after a mid-run steepest-ascent reset the
+driver clears only `hist`, so slots above it hold STALE nonzero pairs, not
+zeros — unmasked they corrupted the post-reset directions by orders of
+magnitude (regression-tested against the two-loop recursion).
 """
 
 from __future__ import annotations
@@ -46,16 +48,18 @@ def lbfgs_direction_compact(
 
     ids = jnp.arange(mh)
     valid = ids < hist  # (m,)
+    vmask = valid.astype(dtype)
+    vmask2 = vmask[:, None] * vmask[None, :]
 
-    SY = S @ Y.T  # (m, m): SY[i, j] = s_iᵀ y_j
-    YY = Y @ Y.T  # (m, m)
+    SY = (S @ Y.T) * vmask2  # (m, m): SY[i, j] = s_iᵀ y_j, stale rows zeroed
+    YY = (Y @ Y.T) * vmask2  # (m, m)
 
     unit_invalid = jnp.where(valid, jnp.zeros((), dtype), jnp.ones((), dtype))
     R = jnp.triu(SY) + jnp.diag(unit_invalid)  # unit diag on empty slots
     D = jnp.diag(SY) + unit_invalid  # (m,)
 
-    Sg = S @ g  # (m,)
-    Yg = Y @ g  # (m,)
+    Sg = (S @ g) * vmask  # (m,)
+    Yg = (Y @ g) * vmask  # (m,)
 
     a = solve_triangular(R, Sg, lower=False)  # R⁻¹ Sᵀg
     t = D * a + gamma * (YY @ a) - gamma * Yg

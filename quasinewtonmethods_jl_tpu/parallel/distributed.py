@@ -35,8 +35,13 @@ def initialize(
     With no arguments, relies on cluster auto-detection (TPU pods set the
     environment automatically) and silently stays single-process when no
     cluster environment is present.
+
+    Must be callable as the first JAX call of the program: the
+    already-initialized guard inspects the distributed client directly —
+    jax.process_count() would itself initialize the XLA backends, after
+    which jax.distributed.initialize() unconditionally raises.
     """
-    if is_distributed():
+    if _client_initialized():
         return
     explicit = coordinator_address is not None
     # Conservative auto-detect: require an actual coordinator address env.
@@ -56,6 +61,18 @@ def initialize(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def _client_initialized() -> bool:
+    # Backend-neutral "has jax.distributed.initialize already run": checks
+    # the distributed service client without touching (and thereby
+    # initializing) the XLA backends.
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:  # pragma: no cover — private-API drift fallback
+        return False
 
 
 def is_distributed() -> bool:

@@ -113,29 +113,17 @@ def optimize_batched_pytree(
     pytree again has the leading batch axis and ``result`` is the flat
     batched OptimizeResult.
     """
-    import jax as _jax
-
     from .parallel.batch import optimize_batched
 
-    leaves = _jax.tree_util.tree_leaves(x0_trees)
+    leaves = jax.tree_util.tree_leaves(x0_trees)
     if not leaves or leaves[0].ndim < 1:
         raise ValueError("x0_trees leaves must carry a leading batch axis")
-    lane0 = _jax.tree_util.tree_map(lambda l: l[0], x0_trees)
-    flat0, unravel = ravel_pytree(lane0)
-    if flat0.dtype not in (jnp.float32, jnp.float64, jnp.float16, jnp.bfloat16):
-        raise TypeError(f"parameters must be floating point, got {flat0.dtype}")
-    treedef = _jax.tree_util.tree_structure(lane0)
-    shapes = tuple(
-        (tuple(l.shape), jnp.asarray(l).dtype.name)
-        for l in _jax.tree_util.tree_leaves(lane0)
-    )
-    flat_obj = _PytreeObjective(
-        obj if callable(obj) else obj.logdensity, unravel, treedef, shapes
-    )
-    flat_batch = _jax.vmap(lambda t: ravel_pytree(t)[0])(x0_trees)
+    lane0 = jax.tree_util.tree_map(lambda l: l[0], x0_trees)
+    _flat0, unravel, flat_obj = _flatten_problem(obj, lane0)
+    flat_batch = jax.vmap(lambda t: ravel_pytree(t)[0])(x0_trees)
     res = optimize_batched(
         flat_obj, flat_batch, ls=ls, tol=tol, max_iterations=max_iterations,
         **batch_kwargs,
     )
-    params = _jax.vmap(unravel)(res.x)
+    params = jax.vmap(unravel)(res.x)
     return params, res

@@ -327,9 +327,33 @@ def optimize_from_state(
     state is re-armed to RUNNING so a converged state can also be re-solved
     under a tighter tolerance.
     """
+    return _optimize_from_state_jit(
+        obj, state, ls, tol, max_iterations, value_and_grad_fn, h0_scale,
+        stall_limit,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "ls", "max_iterations", "value_and_grad_fn", "h0_scale",
+        "stall_limit",
+    ),
+)
+def _optimize_from_state_jit(
+    obj, state, ls, tol, max_iterations, value_and_grad_fn, h0_scale,
+    stall_limit,
+):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
-    state = state._replace(status=jnp.asarray(Status.RUNNING, jnp.int32))
+    # Re-arm, and clear the stall counter: a state that exited via the
+    # stall detector carries stall == stall_limit and would otherwise
+    # re-fail after exactly one iteration without attempting a step (the
+    # resume leg gets a fresh no-improvement budget).
+    state = state._replace(
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        stall=jnp.zeros_like(state.stall),
+    )
     return _result_from_state(
         _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale,
                     stall_limit)

@@ -29,6 +29,13 @@ __all__ = ["save_state", "load_state"]
 _STATE_CLASSES = {"BFGSState": BFGSState, "LBFGSState": LBFGSState}
 
 
+def _npz_path(path) -> str:
+    # np.savez silently appends ".npz" to extensionless paths, but np.load
+    # does not — normalize so save/load round-trip on the same string.
+    path = os.fspath(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: Union[str, os.PathLike], state) -> None:
     """Serialize a solver state NamedTuple to ``path`` (.npz).
 
@@ -40,7 +47,7 @@ def save_state(path: Union[str, os.PathLike], state) -> None:
         raise TypeError(f"expected BFGSState or LBFGSState, got {cls}")
     arrays = {k: np.asarray(v) for k, v in state._asdict().items()}
     arrays["__class__"] = np.asarray(cls)
-    np.savez(path, **arrays)
+    np.savez(_npz_path(path), **arrays)
 
 
 def load_state(
@@ -54,7 +61,7 @@ def load_state(
       cls: optional expected class; mismatches raise instead of silently
         reinterpreting fields.
     """
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         saved_cls = str(z["__class__"])
         if cls is not None and cls.__name__ != saved_cls:
             raise TypeError(f"checkpoint holds {saved_cls}, expected {cls.__name__}")
