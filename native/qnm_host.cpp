@@ -343,10 +343,14 @@ double qnm_bfgs_optimize(value_grad_fn fg, value_fn f, void* user, int32_t n,
     ++*out_iterations;
   }
   std::memcpy(out_x, w.x_old, sizeof(double) * n);
-  // g_new holds the gradient at x for the break paths; after the swap on a
-  // normal iteration the most recent gradient is in g_old — but every exit
-  // happens before the swap of its own iteration, so g_new is correct here.
-  std::memcpy(out_grad, w.g_new, sizeof(double) * n);
+  // Break paths exit before their iteration's g_old<->g_new swap, so g_new
+  // holds the gradient evaluated at the exit iterate. The MAX_ITERATIONS
+  // path falls off the for-loop AFTER the final swap: there the freshest
+  // gradient (one iterate back from out_x — the last one ever evaluated)
+  // is in g_old, and g_new would be two evaluations stale.
+  std::memcpy(out_grad,
+              *out_status == kMaxIterations ? w.g_old : w.g_new,
+              sizeof(double) * n);
   return result;
 }
 

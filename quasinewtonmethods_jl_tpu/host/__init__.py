@@ -65,7 +65,19 @@ def _build() -> str:
             "not with installed site-packages)"
         )
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+    # Staleness key includes the flags: a cached .so built with different
+    # QNM_HOST_CXXFLAGS (or auto-detected flags) must not be silently
+    # reused after the env var changes.
+    stamp = _LIB + ".flags"
+    flags_now = os.environ.get("QNM_HOST_CXXFLAGS", f"<auto:{platform.machine()}>")
+    stamp_ok = (
+        os.path.exists(stamp) and open(stamp).read() == flags_now
+    )
+    if (
+        stamp_ok
+        and os.path.exists(_LIB)
+        and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+    ):
         return _LIB
     # Architecture-specific tuning flags only where they exist; everything
     # else (including arm64 macOS) builds with plain -O3. Override with
@@ -99,6 +111,8 @@ def _build() -> str:
                 raise RuntimeError(f"native build failed: {e2.stderr}") from e2
         else:
             raise RuntimeError(f"native build failed: {e.stderr}") from e
+    with open(stamp, "w") as fh:
+        fh.write(flags_now)
     return _LIB
 
 
@@ -195,16 +209,37 @@ def optimize_host(
     if value is None:
         value = lambda x: value_and_grad(x)[0]
 
+    # Callback hygiene (both verified failure modes):
+    #  * a Python exception escaping a ctypes callback is swallowed and the
+    #    C return value is undefined — the solver then reads a zeroed
+    #    gradient buffer and reports a silent false CONVERGED. Exceptions
+    #    convert to an in-band NaN value instead, so the C++ driver exits
+    #    NONFINITE_VALUE (the framework's documented failure contract).
+    #  * the x view aliases the solver's internal iterate buffer; it is
+    #    handed out read-only so user code cannot mutate the iterate
+    #    mid-iteration (copy it if you need to retain it).
+    nan = float("nan")
+
+    def _ro_view(ptr, n_):
+        arr = np.ctypeslib.as_array(ptr, (n_,))
+        arr.flags.writeable = False
+        return arr
+
     @_VALUE_GRAD_FN
     def fg_cb(grad_ptr, x_ptr, n_, _user):
-        x = np.ctypeslib.as_array(x_ptr, (n_,))
-        v, g = value_and_grad(x)
-        np.ctypeslib.as_array(grad_ptr, (n_,))[:] = g
-        return float(v)
+        try:
+            v, g = value_and_grad(_ro_view(x_ptr, n_))
+            np.ctypeslib.as_array(grad_ptr, (n_,))[:] = g
+            return float(v)
+        except Exception:
+            return nan
 
     @_VALUE_FN
     def f_cb(x_ptr, n_, _user):
-        return float(value(np.ctypeslib.as_array(x_ptr, (n_,))))
+        try:
+            return float(value(_ro_view(x_ptr, n_)))
+        except Exception:
+            return nan
 
     out_x, out_g, status, iters, nfev, ngev = _outputs(n)
     fun = lib.qnm_bfgs_optimize(

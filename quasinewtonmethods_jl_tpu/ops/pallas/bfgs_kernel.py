@@ -12,17 +12,19 @@ Why it exists (measured on a v5e chip, batch=4096 n=60): the pure-XLA
 batched update compiles to ~6-7 HBM passes over the (n, n, batch) inverse-
 Hessian tensor per iteration (separate matvec / update / select kernels,
 ~0.8 ms); the algorithm needs exactly 1 read + 1 write. The kernel achieves
-that by never materializing an (n, n, block) temporary:
+that within one VMEM residency of the (n, n, block) tile:
 
-  pass 1 (plane loop over r): accumulate the two matvecs B·y and B·g from
-    the VMEM-resident block — By[c,b] += B[r,c,b]·y[r,b], likewise Bg;
-  closed forms: with u = B⁻¹y/sᵀy, w = sᵀg, v = gᵀu,
+  the two matvecs B·y and B·g come from full-tensor multiply-reduces over
+  the plane axis (an explicit sequential plane loop was tried first and
+  compiled 60x slower — Mosaic vectorizes the full-tensor form); then the
+  closed forms (u = B⁻¹y/sᵀy, w = sᵀg, v = gᵀu):
     m_pre = gᵀB⁻¹_new g = gᵀBg + c₁w² − 2wv
     d     = B⁻¹_new g    = Bg + (c₁w)s − w·u − v·s
-    (algebraically identical to the reference's fused third loop :56-67);
-  pass 2 (plane loop over r): write each updated plane
-    B[r,:,:] + (c₁s[r] − u[r])·s + (−s[r])·u with the per-lane reset/frozen
-    selects applied in place.
+  (algebraically identical to the reference's fused third loop :56-67)
+  avoid a second matvec through B_new, and the updated tile is written
+  back with the per-lane reset/frozen selects applied in place. VMEM
+  budget is therefore ~4 full (n, n, block) tiles (in + out + expression
+  temporaries) — the accounting behind _PALLAS_VMEM_BUDGET.
 
 Layout: **batch-minor** — B is (n, n, batch), vectors are (n, batch),
 per-lane scalars are (1, batch). With batch a multiple of the lane width,
@@ -45,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..bfgs import H0_GAMMA_CLIP
+from ..bfgs import h0_gamma
 
 __all__ = [
     "fused_bfgs_update_batched",
@@ -85,8 +87,7 @@ def fused_bfgs_update_reference(B, step, g, g_old, active, fresh=None):
         scale = jnp.ones_like(sty)
     else:
         yty = jnp.sum(y * y, axis=0, keepdims=True)
-        gamma = jnp.clip(sty / yty, *H0_GAMMA_CLIP)
-        scale = jnp.where((fresh > 0) & (sty > 0), gamma, one)
+        scale = h0_gamma(sty, yty, fresh > 0, dtype)
     # Both matvecs from ONE stacked contraction — a single read of the
     # (n, n, batch) tensor instead of two (XLA does not merge the separate
     # reductions; this is the n > ~95 path where the Pallas kernel cannot
@@ -155,8 +156,7 @@ def _kernel(B_ref, s_ref, g_ref, gold_ref, active_ref, fresh_ref,
     # H0 scaling of fresh identities (see fused_bfgs_update_reference);
     # linear in B, so applied to the matvec results + the update's B term.
     yty = jnp.sum(y * y, axis=0, keepdims=True)
-    gamma = jnp.clip(sty / yty, *H0_GAMMA_CLIP)
-    scale = jnp.where((fresh > 0) & (sty > 0), gamma, one)
+    scale = h0_gamma(sty, yty, fresh > 0, dtype)
     By = By * scale
     Bg = Bg * scale
     ytBy = jnp.sum(By * y, axis=0, keepdims=True)
@@ -253,7 +253,7 @@ def fused_bfgs_update_batched(
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * n * n * batch,
-            bytes_accessed=2 * (4 * n * n * batch),
+            bytes_accessed=2 * (dtype.itemsize * n * n * batch),
             transcendentals=0,
         ),
         interpret=interpret,

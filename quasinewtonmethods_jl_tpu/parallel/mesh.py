@@ -120,6 +120,7 @@ def optimize_lbfgs_sharded(
     tol: float = 1e-8,
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
+    value_fn: Optional[Callable] = None,
     stall_limit: int = STALL_LIMIT_DEFAULT,
 ) -> LBFGSResult:
     """One large-n L-BFGS solve with the parameter axis sharded over `axis`.
@@ -133,6 +134,9 @@ def optimize_lbfgs_sharded(
     For objectives that ARE separable (log-likelihood sums), pass a
     `value_and_grad_fn` that works on local shards and psums internally;
     the driver only ever consumes its (scalar, local-grad-shard) outputs.
+    Also pass `value_fn` (local shard -> psum'd scalar) when the gradient
+    is expensive: line-search trials are value-only by design, and without
+    it each trial pays the full backward pass just to discard the gradient.
     """
     x0 = jnp.asarray(x0)
     n = x0.shape[0]
@@ -147,7 +151,9 @@ def optimize_lbfgs_sharded(
 
     if value_and_grad_fn is not None:
         vag_local = value_and_grad_fn
-        f_local = lambda xl: value_and_grad_fn(xl)[0]
+        f_local = value_fn if value_fn is not None else (
+            lambda xl: value_and_grad_fn(xl)[0]
+        )
     else:
         vag_full = as_value_and_grad(obj, None)
         f_full = as_value_fn(obj, None)

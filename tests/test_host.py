@@ -14,6 +14,7 @@ import pytest
 if shutil.which("g++") is None:  # pragma: no cover
     pytest.skip("no g++ toolchain", allow_module_level=True)
 
+import quasinewtonmethods_jl_tpu as qnm
 from quasinewtonmethods_jl_tpu.host import optimize_host, rosenbrock_host
 
 
@@ -105,3 +106,70 @@ def test_native_reset_path(rng):
     res = optimize_host(vag, np.asarray([2.0, -3.0, 0.5]), tol=1e-6)
     assert res.status == 1
     np.testing.assert_allclose(res.x, 0.0, atol=1e-2)
+
+
+def test_host_callback_exception_is_in_band(rng):
+    """A Python exception inside the ctypes objective callback must surface
+    as the in-band NONFINITE_VALUE failure — previously ctypes swallowed it
+    and an undefined return + zeroed gradient buffer produced a silent
+    false CONVERGED."""
+    def bad(x):
+        raise RuntimeError("user bug")
+
+    r = optimize_host(bad, np.ones(4))
+    assert r.status == qnm.Status.NONFINITE_VALUE
+    assert np.isnan(r.fun)
+
+
+def test_host_callback_iterate_view_is_read_only(rng):
+    """The x passed to callbacks aliases the solver's internal iterate
+    buffer; it must be read-only so user code cannot corrupt the solve."""
+    saw_readonly = []
+
+    def vag(x):
+        saw_readonly.append(not x.flags.writeable)
+        return -0.5 * float(x @ x), -np.asarray(x)
+
+    r = optimize_host(vag, np.ones(4))
+    assert r.status == qnm.Status.CONVERGED
+    assert all(saw_readonly)
+
+
+def test_host_capped_exit_gradient_is_fresh(rng):
+    """On a MAX_ITERATIONS exit the returned gradient must be the LAST one
+    evaluated (one iterate behind out_x) — not two evaluations stale, which
+    the pre-fix swap bookkeeping returned."""
+    x0 = np.asarray(rng.standard_normal(12))
+    capped = rosenbrock_host(x0, max_iterations=5)
+    assert capped.status == qnm.Status.MAX_ITERATIONS
+    # reconstruct the last-evaluated gradient: continue one more iteration
+    # budget and compare against a 6-iteration run's history instead —
+    # cheaper: the gradient at the PRE-step iterate x_prev = x - step is
+    # what was evaluated last. Verify |grad| matches grad(x - step).
+    full6 = rosenbrock_host(x0, max_iterations=6)
+    # the 5-cap gradient must equal the gradient the 6th iteration would
+    # evaluate at ITS x_old — which is the capped run's out_x... that
+    # gradient is exactly what the 6-iteration run reports as its last
+    # (also capped) gradient's PREDECESSOR. Simplest strong check: the
+    # capped gradient is the true analytic gradient at SOME iterate within
+    # one step of out_x, and specifically NOT the two-stale one.
+    import jax, jax.numpy as jnp
+    from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+    g_fn = jax.grad(rosenbrock_logdensity)
+    # candidate iterates around the exit
+    g_at_x = np.asarray(g_fn(jnp.asarray(capped.x)))
+    # the freshest available evaluation is at the iterate one accepted step
+    # back; reconstruct it from the 6-run? Instead assert the documented
+    # contract directly: grad must match an analytic gradient at one of
+    # the last two iterates to 1e-12 -- with the old bug it matched only
+    # the third-to-last.
+    diffs = [float(np.max(np.abs(capped.grad - g_at_x)))]
+    ok = diffs[0] < 1e-9
+    if not ok:
+        # one step back: x_prev = x - s (s not exported; approximate via a
+        # fresh 4-iteration run whose out_x IS that iterate)
+        prev = rosenbrock_host(x0, max_iterations=4)
+        g_prev = np.asarray(g_fn(jnp.asarray(prev.x)))
+        diffs.append(float(np.max(np.abs(capped.grad - g_prev))))
+        ok = diffs[-1] < 1e-9
+    assert ok, f"capped gradient matches no recent iterate: {diffs}"
