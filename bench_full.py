@@ -125,15 +125,15 @@ def main():
         emit(f"lbfgs_fleet_{b}x{n6}", t, {
             "solves_per_sec": round(b / t, 1), "converged": conv})
 
-    # 7. Mid-size n (Pallas-infeasible: Mosaic 128-lane block minimum):
-    # the stacked-matvec XLA update path
+    # 7. Mid-size n (past the full-tile Pallas VMEM envelope): auto-dispatch
+    # takes the plane-blocked two-pass kernel here (n in [96, 192])
     X = jnp.asarray(RNG.standard_normal((1024, 128)), jnp.float32)
     t, res = timed(
         lambda X: qnm.optimize_batched(rosenbrock_logdensity, X, tol=1e-3,
                                        max_iterations=3000, backend="fused",
-                                       kernel="xla"), X)
+                                       kernel="pallas"), X)
     conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
-    emit("batched_rosenbrock_1024x128_xla", t, {
+    emit("batched_rosenbrock_1024x128_blocked", t, {
         "solves_per_sec": round(1024 / t, 1), "converged": conv})
 
 

@@ -57,6 +57,10 @@ from .ops.pallas.bfgs_kernel import (
     fused_bfgs_update_batched,
     fused_bfgs_update_reference,
 )
+from .ops.pallas.bfgs_blocked import (
+    blocked_feasible_rows,
+    fused_bfgs_update_blocked,
+)
 from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT, OptimizeResult
 from .state import BFGSState, Status
 from .utils.scalars import finite_halving_limit, nanmax, nanmin, sqrt_tolerance
@@ -560,6 +564,28 @@ def _solve_loop_batched(
     )
 
 
+def _blocked_update(B, step, g, g_old, active, fresh, *, block_batch,
+                    interpret=False, matvec="pallas"):
+    """Trace-time shim: pick the row-slab height from the (static) shapes
+    so the plane-blocked kernel needs no extra plumbed-through config.
+    Interpret mode (CPU tests) skips the Mosaic lane-alignment checks."""
+    block_r = blocked_feasible_rows(
+        B.shape[0], B.dtype.itemsize, block_batch,
+        require_lane_alignment=not interpret,
+    )
+    if block_r is None:
+        raise ValueError(
+            f"plane-blocked kernel infeasible for n={B.shape[0]} "
+            f"block_batch={block_batch}; use kernel='pallas' (auto-dispatch) "
+            "or 'xla'"
+        )
+    return fused_bfgs_update_blocked(
+        B, step, g, g_old, active, fresh,
+        block_r=block_r, block_batch=block_batch, interpret=interpret,
+        matvec=matvec,
+    )
+
+
 def _make_update_fn(kernel: str, block_batch: int):
     if kernel == "pallas":
         return partial(fused_bfgs_update_batched, block_batch=block_batch)
@@ -567,6 +593,13 @@ def _make_update_fn(kernel: str, block_batch: int):
         return partial(
             fused_bfgs_update_batched, block_batch=block_batch, interpret=True
         )
+    if kernel == "pallas_blocked":
+        return partial(_blocked_update, block_batch=block_batch)
+    if kernel == "pallas_blocked_interpret":
+        return partial(_blocked_update, block_batch=block_batch, interpret=True)
+    if kernel == "pallas_hybrid":
+        # XLA MXU stacked matvec (pass 1) + Pallas donated update (pass 2)
+        return partial(_blocked_update, block_batch=block_batch, matvec="xla")
     if kernel == "xla":
         return fused_bfgs_update_reference
     raise ValueError(f"unknown kernel {kernel!r}; use 'xla' or 'pallas'")
@@ -699,16 +732,34 @@ def _result_from_batched_carry(fc: _Carry) -> OptimizeResult:
     )
 
 
+# Measured dispatch ceiling for the plane-blocked kernel (v5e, f32,
+# Rosenbrock fleets, idle host): at n=128 it beats the XLA update by 22%
+# (238 vs 290 us/iter — the engine hits the 3-pass HBM floor and dodges the
+# XLA path's carry copy); at n=256 it is ~5% SLOWER and at n=512 a tie —
+# kernel-level microbenches show the XLA fused update already runs at ~3
+# effective passes there, while the blocked kernel's shrinking row slabs
+# (r=16/8) gain nothing and bigger slabs exceed the ~16 MB VMEM scope.
+_BLOCKED_MAX_N = 192
+
+
 def _auto_kernel(kernel: str, n: int, itemsize: int, block_batch: int):
-    """Resolve the (kernel, block_batch) pair: shrink the Pallas block to
-    the VMEM-feasible size instead of falling all the way back to XLA
-    (round-1 behavior lost the 1-read-1-write HBM win for every n >~ 88)."""
+    """Resolve the (kernel, block_batch) pair. 'pallas' means "best Pallas
+    path that fits": the full-tile fused kernel (2 HBM passes over B) when
+    its (n, n, block) tile fits VMEM (n <= ~95 f32), the plane-blocked
+    two-pass kernel (3 passes) in its measured win region
+    (n <= _BLOCKED_MAX_N), else the fused XLA update."""
     if kernel != "pallas":
         return kernel, block_batch
     block = pallas_feasible_block(n, itemsize, block_batch)
-    if block == 0:
-        return "xla", block_batch
-    return "pallas", block
+    if block:
+        return "pallas", block
+    lanes = max(128, block_batch - block_batch % 128)
+    if (
+        n <= _BLOCKED_MAX_N
+        and blocked_feasible_rows(n, itemsize, lanes) is not None
+    ):
+        return "pallas_blocked", lanes
+    return "xla", block_batch
 
 
 def optimize_batched_fused(
@@ -833,7 +884,7 @@ def optimize_batched_fused_from_state(
     kernel, block_batch = _auto_kernel(
         kernel, state.x.shape[1], state.x.dtype.itemsize, block_batch
     )
-    if kernel == "pallas" and state.x.shape[0] % block_batch != 0:
+    if kernel.startswith("pallas") and state.x.shape[0] % block_batch != 0:
         kernel = "xla"  # resume path does not re-pad the lane axis
     return _optimize_batched_fused_resume_jit(
         obj, state, ls, tol, max_iterations, value_and_grad_fn, kernel,

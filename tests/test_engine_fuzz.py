@@ -61,6 +61,10 @@ def test_all_engines_agree_on_random_quadratics(seed):
         "compacted": optimize_batched_compacted(
             logdensity, X0, kernel="xla", chunk=7, min_width=4, tol=tol
         ),
+        "fused+blocked": optimize_batched_fused(
+            logdensity, X0, kernel="pallas_blocked_interpret",
+            block_batch=4, tol=tol
+        ),
     }
     for name, res in engines.items():
         assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED), name

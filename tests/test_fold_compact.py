@@ -223,5 +223,8 @@ def test_auto_kernel_midsize_falls_back_to_xla():
     from quasinewtonmethods_jl_tpu.batched_solve import _auto_kernel
 
     assert _auto_kernel("pallas", 60, 4, 128) == ("pallas", 128)
-    assert _auto_kernel("pallas", 128, 4, 128) == ("xla", 128)
+    # n = 128 now takes the plane-blocked kernel (round-2 continuation);
+    # past its win region the fused XLA update remains the fallback
+    assert _auto_kernel("pallas", 128, 4, 128) == ("pallas_blocked", 128)
+    assert _auto_kernel("pallas", 256, 4, 128) == ("xla", 128)
     assert _auto_kernel("xla", 60, 4, 128) == ("xla", 128)
