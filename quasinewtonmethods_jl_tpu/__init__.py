@@ -33,6 +33,7 @@ from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
 from .ops.wolfe import Wolfe, WolfeResult, wolfe_linesearch
 from .implicit import ImplicitOptions, optimize_implicit
+from .lbfgs_batched_solve import optimize_lbfgs_batched_fused_from_state
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
@@ -65,6 +66,7 @@ __all__ = [
     "optimize_from_state",
     "optimize_lbfgs",
     "optimize_lbfgs_batched",
+    "optimize_lbfgs_batched_fused_from_state",
     "optimize_lbfgs_from_state",
     "optimize_implicit",
     "ImplicitOptions",

@@ -55,7 +55,10 @@ from .ops.linesearch import BackTracking
 from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT
 from .state import LBFGSState, Status
 
-__all__ = ["optimize_lbfgs_batched_fused"]
+__all__ = [
+    "optimize_lbfgs_batched_fused",
+    "optimize_lbfgs_batched_fused_from_state",
+]
 
 
 class _LCarry(NamedTuple):
@@ -442,12 +445,16 @@ def _optimize_lbfgs_batched_fused_jit(
     circular = n >= _RING_CIRCULAR_MIN_N
     fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
                              stall_limit, circular, gram_precision)
+    return _result_from_lcarry(fc, circular)
 
+
+def _result_from_lcarry(fc: _LCarry, circular: bool) -> LBFGSResult:
     # Export the ring in the canonical time order (oldest..newest in
     # 0..hist-1, zeros elsewhere) so the saved LBFGSState is interchangeable
     # with the scalar engine's convention — one rotation, once per solve
     # (the shift ring is already canonical).
     mh = fc.S.shape[0]
+    dtype = fc.X.dtype
     if circular:
         P = _time_order_perm(fc.head, fc.hist, mh, fc.S.dtype)
         valid = (jnp.arange(mh)[:, None] < fc.hist[None, :])
@@ -511,5 +518,86 @@ def optimize_lbfgs_batched_fused(
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
     return _optimize_lbfgs_batched_fused_jit(
         obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
+        stall_limit, gram_precision,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "ls", "max_iterations", "value_and_grad_fn",
+        "stall_limit", "gram_precision",
+    ),
+)
+def _optimize_lbfgs_batched_fused_resume_jit(
+    obj, state, ls, tol, max_iterations, value_and_grad_fn,
+    stall_limit=STALL_LIMIT_DEFAULT, gram_precision=None,
+):
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
+    vag_b = jax.vmap(vag, in_axes=1, out_axes=(0, 1))
+    f_b = jax.vmap(f, in_axes=1, out_axes=0)
+
+    mh = state.S.shape[1]
+    n = state.x.shape[1]
+    carry0 = _LCarry(
+        X=state.x.T,
+        G=state.grad.T,
+        G_old=state.grad_old.T,
+        STEP=state.step.T,
+        S=jnp.moveaxis(state.S, 0, -1),  # canonical order IS a valid ring
+        Y=jnp.moveaxis(state.Y, 0, -1),
+        rho=state.rho.T,
+        hist=state.hist,
+        # canonical time order: slots 0..hist-1 hold oldest..newest, so the
+        # next write goes to slot `hist` (ring not yet full) or wraps to
+        # slot 0 (the oldest) — exactly hist % m. With this head the
+        # time-order rotation (slot(t) = (t + head - hist) % m) is the
+        # identity, so a resumed ring is read back unpermuted.
+        head=state.hist % mh,
+        gamma=state.gamma,
+        fun=state.fun,
+        k=jnp.zeros((), jnp.int32),
+        status=jnp.full(state.fun.shape, Status.RUNNING, jnp.int32),
+        iterations=state.k,
+        n_fev=state.n_fev,
+        n_gev=state.n_gev,
+        n_resets=state.n_resets,
+        # fresh stall budget (same rationale as the BFGS fleet resume)
+        stall=jnp.zeros_like(state.stall),
+    )
+    circular = n >= _RING_CIRCULAR_MIN_N
+    fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
+                             stall_limit, circular, gram_precision)
+    return _result_from_lcarry(fc, circular)
+
+
+def optimize_lbfgs_batched_fused_from_state(
+    obj,
+    state,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
+    gram_precision=None,
+) -> LBFGSResult:
+    """Resume a batched L-BFGS fleet from a (possibly checkpointed) batched
+    LBFGSState — the L-BFGS analog of `optimize_batched_fused_from_state`.
+
+    All lanes are re-armed to RUNNING (converged lanes can be re-solved
+    under a tighter tol); iteration/eval counters continue from the saved
+    values and ``max_iterations`` bounds this leg. A resumed lane CONTINUES
+    its trajectory: the saved (step, grad_old) pair feeds the first
+    cautious ring push, the saved ring drives the first direction, and
+    lanes that have never stepped (step = 0 -> sᵀy = 0) are skipped by the
+    cautious-push guard and take the steepest/H0 direction naturally.
+    History capacity m is taken from the state's ring shape."""
+    if state.x.ndim != 2:
+        raise ValueError(
+            "expected a batched LBFGSState (leaves with batch axis)"
+        )
+    return _optimize_lbfgs_batched_fused_resume_jit(
+        obj, state, ls, tol, max_iterations, value_and_grad_fn,
         stall_limit, gram_precision,
     )

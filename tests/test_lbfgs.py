@@ -294,3 +294,80 @@ def test_fused_circular_ring_equals_shift_engine(rng, monkeypatch):
         rosenbrock_logdensity, lane_state, tol=1e-9
     )
     assert int(res.status) == qnm.Status.CONVERGED
+
+
+@pytest.mark.parametrize("n", [16, 200])  # shift ring / circular ring
+def test_lbfgs_batched_resume_from_state(n, rng):
+    """Stop an L-BFGS fleet early, checkpoint the batched state (rings
+    included), resume to convergence — the L-BFGS analog of
+    optimize_batched_fused_from_state, over BOTH ring implementations
+    (the engine dispatches on n at _RING_CIRCULAR_MIN_N = 192)."""
+    import os
+    import tempfile
+
+    from quasinewtonmethods_jl_tpu.lbfgs_batched_solve import (
+        optimize_lbfgs_batched_fused,
+        optimize_lbfgs_batched_fused_from_state,
+    )
+    from quasinewtonmethods_jl_tpu.utils import load_state, save_state
+
+    def quad(x):
+        diag = jnp.linspace(1.0, 4.0, x.shape[0]).astype(x.dtype)
+        return -0.5 * jnp.sum(diag * x * x)
+
+    X0 = jnp.asarray(rng.standard_normal((6, n)))
+    part = optimize_lbfgs_batched_fused(quad, X0, history=5, max_iterations=4)
+    assert np.all(np.asarray(part.status) == qnm.Status.MAX_ITERATIONS)
+    assert int(jnp.max(part.state.hist)) > 0  # rings genuinely populated
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "fleet.npz")
+        save_state(p, part.state)
+        restored = load_state(p, qnm.LBFGSState)
+    res = optimize_lbfgs_batched_fused_from_state(quad, restored)
+    assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res.x), 0.0, atol=1e-7)
+    # counters continue across the legs
+    assert np.all(np.asarray(res.iterations) > 4)
+
+    # chunked resume must match one long solve (same problem is stable
+    # enough that reassociation drift stays at rounding level)
+    full = optimize_lbfgs_batched_fused(quad, X0, history=5)
+    np.testing.assert_array_equal(
+        np.asarray(res.iterations), np.asarray(full.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(full.x), atol=1e-10
+    )
+
+
+def test_lbfgs_batched_resume_never_stepped_lane(rng):
+    """A saved state whose lanes never stepped (step = 0, empty ring) must
+    resume cleanly: the cautious push skips the degenerate pair and the
+    empty-ring direction is steepest/H0."""
+    from quasinewtonmethods_jl_tpu.lbfgs_batched_solve import (
+        optimize_lbfgs_batched_fused,
+        optimize_lbfgs_batched_fused_from_state,
+    )
+
+    def quad(x):
+        return -0.5 * jnp.sum(x * x)
+
+    X0 = jnp.asarray(rng.standard_normal((4, 12)))
+    part = optimize_lbfgs_batched_fused(quad, X0, history=4, max_iterations=0)
+    assert np.all(np.asarray(part.state.k) == 0)
+    res = optimize_lbfgs_batched_fused_from_state(quad, part.state)
+    assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res.x), 0.0, atol=1e-8)
+
+
+def test_lbfgs_batched_resume_rejects_scalar_state(rng):
+    from quasinewtonmethods_jl_tpu.lbfgs_batched_solve import (
+        optimize_lbfgs_batched_fused_from_state,
+    )
+
+    def quad(x):
+        return -0.5 * jnp.sum(x * x)
+
+    res = qnm.optimize_lbfgs(quad, jnp.asarray(rng.standard_normal(6)))
+    with pytest.raises(ValueError, match="batched"):
+        optimize_lbfgs_batched_fused_from_state(quad, res.state)
