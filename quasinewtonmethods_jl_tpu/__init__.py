@@ -34,6 +34,7 @@ from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesea
 from .ops.wolfe import Wolfe, WolfeResult, wolfe_linesearch
 from .implicit import ImplicitOptions, optimize_implicit
 from .lbfgs_batched_solve import optimize_lbfgs_batched_fused_from_state
+from .minimize import minimize
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
@@ -58,6 +59,7 @@ __all__ = [
     "wolfe_linesearch",
     "bfgs_update",
     "initial_inv_hessian",
+    "minimize",
     "optimize",
     "optimize_batched",
     "optimize_batched_compacted",

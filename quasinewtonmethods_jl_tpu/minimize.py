@@ -1,0 +1,147 @@
+"""Minimization-convention adapter.
+
+The library's native convention is MAXIMIZATION of a log-density — the
+reference's API contract (src/QuasiNewtonMethods.jl:8-9: `logdensity`,
+ascent directions, sufficient-increase Armijo; see SURVEY §3.3). Most
+optimizer users arrive from scipy.optimize / jaxopt expecting
+`minimize(fun, x0)`. This module is that thin, lossless shim: it negates
+the objective (and analytic value_and_grad, when given), runs the native
+engines unchanged, and flips the signs back on the way out (`fun`,
+`last_value`, and `grad` — the gradient of the minimized function is the
+negated log-density gradient).
+
+Everything else is the native result contract: in-band Status codes,
+`fun` NaN unless converged, resumable state, batched fleets via a
+(batch, n) x0.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .lbfgs_solve import LBFGSResult
+from .ops.linesearch import BackTracking
+from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT, OptimizeResult
+
+__all__ = ["minimize"]
+
+
+class _Negated:
+    """Hashable negation wrapper: jit caches key on the objective, so the
+    wrapper must compare/hash by the wrapped callable (a fresh lambda per
+    call would defeat the compilation cache)."""
+
+    __slots__ = ("fun",)
+
+    def __init__(self, fun: Callable):
+        self.fun = fun
+
+    def __call__(self, x):
+        return -self.fun(x)
+
+    def __hash__(self):
+        return hash((_Negated, self.fun))
+
+    def __eq__(self, other):
+        return type(other) is _Negated and other.fun == self.fun
+
+
+class _NegatedVag(_Negated):
+    """Negation of an analytic value-and-grad callable."""
+
+    def __call__(self, x):
+        v, g = self.fun(x)
+        return -v, jax.tree_util.tree_map(jnp.negative, g)
+
+    def __hash__(self):
+        return hash((_NegatedVag, self.fun))
+
+    def __eq__(self, other):
+        return type(other) is _NegatedVag and other.fun == self.fun
+
+
+def _flip_signs(res):
+    """fun/last_value/grad back to the minimization convention. The saved
+    state keeps the INTERNAL (maximization) convention so it resumes
+    through the native `*_from_state` entry points unchanged."""
+    return res._replace(
+        fun=-res.fun, last_value=-res.last_value, grad=-res.grad
+    )
+
+
+def minimize(
+    fun: Callable,
+    x0: jax.Array,
+    *,
+    method: str = "bfgs",
+    history: int = 10,
+    ls: BackTracking = BackTracking(),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    h0_scale: bool = True,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
+    **kwargs,
+):
+    """Minimize ``fun`` — the scipy-convention entry point.
+
+    ``method``: 'bfgs' (dense inverse Hessian, the reference algorithm) or
+    'lbfgs' (limited memory, large n; ``history`` applies). A rank-1 x0
+    runs a single solve; a rank-2 (batch, n) x0 runs the batched fleet
+    engine (`optimize_batched` / `optimize_lbfgs_batched`), with every
+    result leaf carrying the batch axis. Extra keyword args pass through
+    to the underlying driver (e.g. ``kernel=`` / ``fold_eval=`` for
+    batched BFGS, ``gram_precision=`` for batched L-BFGS).
+
+    Returns the native result type with ``fun``, ``last_value`` and
+    ``grad`` in the minimization convention: `res.fun` is the minimized
+    value on convergence (NaN otherwise, the in-band failure contract) and
+    `res.grad` is the gradient of ``fun`` at `res.x`. ``res.state`` stays
+    in the internal maximization convention so it feeds the native
+    ``*_from_state`` resume entry points directly.
+    """
+    from .parallel.batch import optimize_batched, optimize_lbfgs_batched
+    from .lbfgs_solve import optimize_lbfgs
+    from .solve import optimize
+
+    obj = _Negated(fun)
+    vag = _NegatedVag(value_and_grad_fn) if value_and_grad_fn else None
+    x0 = jnp.asarray(x0)
+    batched = x0.ndim == 2
+
+    if method == "bfgs":
+        if batched:
+            # the batched router keeps h0_scale at its engine default (on);
+            # pass kernel=/fold_eval=/backend= through kwargs
+            res = optimize_batched(
+                obj, x0, ls=ls, tol=tol, max_iterations=max_iterations,
+                value_and_grad_fn=vag,
+                stall_limit=stall_limit, **kwargs,
+            )
+        else:
+            res = optimize(
+                obj, x0, ls=ls, tol=tol, max_iterations=max_iterations,
+                value_and_grad_fn=vag, h0_scale=h0_scale,
+                stall_limit=stall_limit, **kwargs,
+            )
+    elif method == "lbfgs":
+        if batched:
+            res = optimize_lbfgs_batched(
+                obj, x0, history=history, ls=ls, tol=tol,
+                max_iterations=max_iterations, value_and_grad_fn=vag,
+                stall_limit=stall_limit, **kwargs,
+            )
+        else:
+            res = optimize_lbfgs(
+                obj, x0, history=history, ls=ls, tol=tol,
+                max_iterations=max_iterations, value_and_grad_fn=vag,
+                stall_limit=stall_limit, **kwargs,
+            )
+    else:
+        raise ValueError(
+            f"method must be 'bfgs' or 'lbfgs', got {method!r}"
+        )
+    return _flip_signs(res)
