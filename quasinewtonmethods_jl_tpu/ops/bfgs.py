@@ -32,6 +32,8 @@ __all__ = [
     "initial_inv_hessian",
     "bfgs_update",
     "bfgs_update_reference",
+    "dfp_update",
+    "sr1_update",
     "h0_gamma",
     "H0_GAMMA_CLIP",
 ]
@@ -95,6 +97,77 @@ def bfgs_update(
     Bys = By * rho
     c1 = (1.0 + ytBy * rho) * rho
     B_new = B + c1 * jnp.outer(s, s) - jnp.outer(Bys, s) - jnp.outer(s, Bys)
+    d = B_new @ grad_new
+    m = jnp.dot(d, grad_new, preferred_element_type=dtype)
+    return B_new, d, m
+
+
+def dfp_update(
+    B: jax.Array,
+    s: jax.Array,
+    grad_new: jax.Array,
+    grad_old: jax.Array,
+    fresh=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One inverse-DFP update; returns (B_new, direction, m).
+
+    Broyden-family breadth beyond the reference (which is BFGS-only):
+    the Davidon–Fletcher–Powell inverse update
+        B ← B − (By)(By)ᵀ/yᵀBy + ssᵀ/sᵀy
+    with the library's maximization convention (y = grad_old − grad_new,
+    d = +B∇) and the same in-band failure propagation as `bfgs_update`
+    (sᵀy == 0 → NaN m → line-search failure; the driver's m <= 0 reset
+    guards indefiniteness). Satisfies the secant equation B_new y = s.
+    ``fresh`` enables the optional H0 scaling, as in `bfgs_update`.
+    """
+    dtype = B.dtype
+    y = grad_old - grad_new
+    sty = jnp.dot(s, y, preferred_element_type=dtype)
+    if fresh is not None:
+        yty = jnp.dot(y, y, preferred_element_type=dtype)
+        B = B * h0_gamma(sty, yty, fresh, dtype)
+    By = B @ y
+    ytBy = jnp.dot(y, By, preferred_element_type=dtype)
+    B_new = B - jnp.outer(By, By) / ytBy + jnp.outer(s, s) / sty
+    d = B_new @ grad_new
+    m = jnp.dot(d, grad_new, preferred_element_type=dtype)
+    return B_new, d, m
+
+
+# SR1 safeguard (Nocedal & Wright 6.26): skip the update when the
+# denominator uᵀy is tiny relative to ||u||·||y|| — the standard r = 1e-8.
+SR1_SKIP_TOL = 1e-8
+
+
+def sr1_update(
+    B: jax.Array,
+    s: jax.Array,
+    grad_new: jax.Array,
+    grad_old: jax.Array,
+    fresh=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One inverse-SR1 (symmetric rank-1) update; returns (B_new, d, m).
+
+    B ← B + uuᵀ/uᵀy with u = s − By. Unlike BFGS/DFP, SR1 does not
+    preserve definiteness — the driver's m <= 0 steepest-ascent reset
+    (reference :272-280) is the safety net. The standard skip rule
+    (|uᵀy| < SR1_SKIP_TOL·||u||·||y||, Nocedal & Wright 6.26) leaves B
+    unchanged instead of dividing by a vanishing denominator; a skipped
+    update still yields a valid direction through the untouched B.
+    """
+    dtype = B.dtype
+    y = grad_old - grad_new
+    sty = jnp.dot(s, y, preferred_element_type=dtype)
+    if fresh is not None:
+        yty = jnp.dot(y, y, preferred_element_type=dtype)
+        B = B * h0_gamma(sty, yty, fresh, dtype)
+    u = s - B @ y
+    uty = jnp.dot(u, y, preferred_element_type=dtype)
+    norm_prod = jnp.linalg.norm(u) * jnp.linalg.norm(y)
+    skip = jnp.abs(uty) < SR1_SKIP_TOL * norm_prod
+    # guard the division so a skipped update cannot propagate inf/NaN
+    denom = jnp.where(skip, jnp.ones((), dtype), uty)
+    B_new = jnp.where(skip, B, B + jnp.outer(u, u) / denom)
     d = B_new @ grad_new
     m = jnp.dot(d, grad_new, preferred_element_type=dtype)
     return B_new, d, m

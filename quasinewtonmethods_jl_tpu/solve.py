@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
-from .ops.bfgs import bfgs_update, initial_inv_hessian
+from .ops.bfgs import bfgs_update, dfp_update, initial_inv_hessian, sr1_update
+
+# Broyden-family inverse updates selectable on the dense driver
+# (beyond-reference breadth; the reference is BFGS-only, :34-69).
+_UPDATE_FNS = {"bfgs": bfgs_update, "dfp": dfp_update, "sr1": sr1_update}
 from .ops.linesearch import BackTracking, run_linesearch
 from .state import BFGSState, Status, init_bfgs_state
 
@@ -84,6 +88,7 @@ def _solve_loop(
     h0_scale: bool = True,
     stall_limit: int = STALL_LIMIT_DEFAULT,
     peel_first: bool = False,
+    update_method: str = "bfgs",
 ) -> BFGSState:
     """``peel_first=True`` (fresh solves, k == 0 guaranteed) peels iteration
     1 out of the while loop at trace time: the reference's m = -1 sentinel
@@ -102,7 +107,8 @@ def _solve_loop(
 
     def make_body(mode: str):
         return _make_solve_body(
-            vag, f, ls, tol, h0_scale, stall_limit, eye, dtype, mode
+            vag, f, ls, tol, h0_scale, stall_limit, eye, dtype, mode,
+            update_method,
         )
 
     if peel_first:
@@ -130,7 +136,14 @@ def _solve_loop(
     return final
 
 
-def _make_solve_body(vag, f, ls, tol, h0_scale, stall_limit, eye, dtype, mode):
+def _make_solve_body(vag, f, ls, tol, h0_scale, stall_limit, eye, dtype,
+                     mode, update_method="bfgs"):
+    if update_method not in _UPDATE_FNS:
+        raise ValueError(
+            f"update_method must be one of {sorted(_UPDATE_FNS)}, "
+            f"got {update_method!r}"
+        )
+    update_fn = _UPDATE_FNS[update_method]
     def body(s: BFGSState):
         f0, g = vag(s.x)
         n_fev = s.n_fev + 1
@@ -172,7 +185,7 @@ def _make_solve_body(vag, f, ls, tol, h0_scale, stall_limit, eye, dtype, mode):
                 # H0 scaling (Nocedal 6.20) when B is a fresh identity —
                 # documented improvement over the reference; h0_scale=False
                 # restores exact reference semantics.
-                return bfgs_update(
+                return update_fn(
                     s.B, s.step, g, s.grad_old,
                     fresh=s.fresh if h0_scale else None,
                 )
@@ -250,18 +263,19 @@ def _result_from_state(state: BFGSState) -> OptimizeResult:
     jax.jit,
     static_argnames=(
         "obj", "ls", "max_iterations", "value_and_grad_fn", "h0_scale",
-        "stall_limit",
+        "stall_limit", "update_method",
     ),
 )
 def _optimize_jit(
-    obj, x0, ls, tol, max_iterations, value_and_grad_fn, h0_scale, stall_limit
+    obj, x0, ls, tol, max_iterations, value_and_grad_fn, h0_scale,
+    stall_limit, update_method="bfgs",
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
     state = init_bfgs_state(x0)
     return _result_from_state(
         _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale,
-                    stall_limit, peel_first=True)
+                    stall_limit, peel_first=True, update_method=update_method)
     )
 
 
@@ -275,6 +289,7 @@ def optimize(
     jit: bool = True,
     h0_scale: bool = True,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    update_method: str = "bfgs",
 ) -> OptimizeResult:
     """Maximize a log-density with BFGS + backtracking line search.
 
@@ -283,6 +298,11 @@ def optimize(
     ``logdensity(theta) -> scalar`` callable or a ProbabilityModel; an
     analytic value-and-gradient can be supplied via ``value_and_grad_fn``
     (the ∂logdensity! analog). Maximization convention.
+
+    ``update_method`` selects the Broyden-family inverse update:
+    ``"bfgs"`` (default — the reference algorithm), ``"dfp"``, or
+    ``"sr1"`` (rank-1, standard angle-based skip safeguard; indefinite
+    curvature is absorbed by the m <= 0 steepest-ascent reset).
 
     ``h0_scale=True`` (default) applies the Barzilai–Borwein H0 scaling to
     fresh identity inverse-Hessians (Nocedal 6.20) — a documented
@@ -298,14 +318,14 @@ def optimize(
     if jit:
         return _optimize_jit(
             obj, x0, ls, tol, max_iterations, value_and_grad_fn, h0_scale,
-            stall_limit,
+            stall_limit, update_method,
         )
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
     state = init_bfgs_state(x0)
     return _result_from_state(
         _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale,
-                    stall_limit, peel_first=True)
+                    stall_limit, peel_first=True, update_method=update_method)
     )
 
 
@@ -318,6 +338,7 @@ def optimize_from_state(
     value_and_grad_fn: Optional[Callable] = None,
     h0_scale: bool = True,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    update_method: str = "bfgs",
 ) -> OptimizeResult:
     """Resume a solve from a saved/checkpointed BFGSState.
 
@@ -329,7 +350,7 @@ def optimize_from_state(
     """
     return _optimize_from_state_jit(
         obj, state, ls, tol, max_iterations, value_and_grad_fn, h0_scale,
-        stall_limit,
+        stall_limit, update_method,
     )
 
 
@@ -337,12 +358,12 @@ def optimize_from_state(
     jax.jit,
     static_argnames=(
         "obj", "ls", "max_iterations", "value_and_grad_fn", "h0_scale",
-        "stall_limit",
+        "stall_limit", "update_method",
     ),
 )
 def _optimize_from_state_jit(
     obj, state, ls, tol, max_iterations, value_and_grad_fn, h0_scale,
-    stall_limit,
+    stall_limit, update_method="bfgs",
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -356,5 +377,5 @@ def _optimize_from_state_jit(
     )
     return _result_from_state(
         _solve_loop(vag, f, state, ls, tol, max_iterations, h0_scale,
-                    stall_limit)
+                    stall_limit, update_method=update_method)
     )
