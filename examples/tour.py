@@ -83,6 +83,19 @@ def main():
     say(f"optimize_pytree:     {qnm.Status(int(rp.status)).name:10s} "
         f"b*={float(params['b']):+.3f}")
 
+    # -- Broyden family beyond BFGS -----------------------------------------
+    for um in ("dfp", "sr1"):
+        ru = qnm.optimize(rosenbrock_logdensity, x0, tol=tol,
+                          update_method=um)
+        say(f"update_method={um}:   {qnm.Status(int(ru.status)).name:10s} "
+            f"iters={int(ru.iterations)}")
+
+    # -- scipy-convention shim ----------------------------------------------
+    rmin = qnm.minimize(lambda t: -rosenbrock_logdensity(t), x0, tol=tol)
+    say(f"minimize:            {qnm.Status(int(rmin.status)).name:10s} "
+        f"fun={float(rmin.fun):.2e} (>= 0: minimization convention)")
+    assert float(rmin.fun) >= 0.0
+
     # -- batched fleet + multistart -----------------------------------------
     X0 = jax.random.normal(key, (256, 16), dtype)
     rb = qnm.optimize_batched(rosenbrock_logdensity, X0, tol=tol)
