@@ -200,21 +200,22 @@ double bfgs_update(Workspace& w, bool h0_fresh) {
 }
 
 // Backtracking line search (maximization; reference :165-232). Returns the
-// accepted alpha, 0.0 on failure. Updates *fx_out with the last trial value.
-double linesearch(Workspace& w, value_fn f, void* user, double f0, double m,
+// accepted alpha, 0.0 on failure. Shared by the BFGS and L-BFGS drivers
+// (explicit buffers instead of a workspace so both state layouts fit).
+double linesearch(int n, int L, double* x_new_buf, const double* x_old_buf,
+                  value_fn f, void* user, double f0, double m,
                   int order, double c1p, double rho_hi, double rho_lo,
                   int iterations, const double* d, int64_t* n_fev) {
-  const int n = w.n;
   const double sqrttol = 1.0 / 67108864.0;  // 2^-26, f64 (reference :155)
   const double eps = std::numeric_limits<double>::epsilon();
 
   auto step = [&](double a) {
-    double* __restrict__ xn = w.x_new;
-    const double* __restrict__ xo = w.x_old;
+    double* __restrict__ xn = x_new_buf;
+    const double* __restrict__ xo = x_old_buf;
 #pragma omp simd
-    for (int i = 0; i < w.L; ++i) xn[i] = xo[i] + a * d[i];
+    for (int i = 0; i < L; ++i) xn[i] = xo[i] + a * d[i];
     ++*n_fev;
-    return f(w.x_new, n, user);
+    return f(x_new_buf, n, user);
   };
 
   double a1 = 1.0, a2 = 1.0;
@@ -254,6 +255,88 @@ double linesearch(Workspace& w, value_fn f, void* user, double f0, double m,
     fx1 = step(a2);
   }
   return a2;
+}
+
+// ----- L-BFGS (limited memory) ---------------------------------------------
+// Native counterpart of the JAX scalar L-BFGS driver
+// (quasinewtonmethods_jl_tpu/lbfgs_solve.py / ops/lbfgs.py): cautious ring
+// push (pairs with s'y <= 0 skipped), Barzilai-Borwein gamma as H0, classic
+// two-loop recursion producing the ascent direction, and the hist = 0 /
+// m <= 0 steepest-ascent reset. The ring is genuinely circular here (cheap
+// integer indexing on the host — no shifting, no rotation).
+
+struct LWorkspace {
+  int n = 0, L = 0, m = 0;
+  double* buf = nullptr;  // slab: 6 vectors (L) + S (m*L) + Y (m*L) + 2m
+  double *x_old, *x_new, *g_new, *g_old, *d, *step, *S, *Y, *rho, *alpha;
+
+  bool resize(int n_, int m_) {
+    if (n_ == n && m_ == m && buf) return true;
+    std::free(buf);
+    n = n_;
+    m = m_;
+    L = (n_ + 7) & ~7;
+    size_t vec = static_cast<size_t>(L);
+    size_t total = 6 * vec + 2 * vec * static_cast<size_t>(m_) + 2 * m_;
+    buf = static_cast<double*>(
+        std::aligned_alloc(64, ((total * 8 + 63) / 64) * 64));
+    if (!buf) return false;
+    std::memset(buf, 0, total * 8);
+    x_old = buf;
+    x_new = x_old + vec;
+    g_new = x_new + vec;
+    g_old = g_new + vec;
+    d = g_old + vec;
+    step = d + vec;
+    S = step + vec;
+    Y = S + vec * m_;
+    rho = Y + vec * m_;
+    alpha = rho + m_;
+    return true;
+  }
+  ~LWorkspace() { std::free(buf); }
+};
+
+// Two-loop recursion over the circular ring; writes the ascent direction
+// into w.d and returns m = d'g. Slot (head - 1 - j) mod m is the j-th
+// newest pair.
+double lbfgs_direction(LWorkspace& w, int hist, int head, double gamma) {
+  const int L = w.L, mh = w.m;
+  double* __restrict__ q = w.d;
+  const double* __restrict__ g = w.g_new;
+#pragma omp simd
+  for (int i = 0; i < L; ++i) q[i] = g[i];
+
+  for (int j = 0; j < hist; ++j) {
+    const int slot = ((head - 1 - j) % mh + mh) % mh;
+    const double* __restrict__ Si = w.S + static_cast<size_t>(slot) * L;
+    const double* __restrict__ Yi = w.Y + static_cast<size_t>(slot) * L;
+    double sq = 0.0;
+#pragma omp simd reduction(+ : sq)
+    for (int i = 0; i < L; ++i) sq += Si[i] * q[i];
+    const double a = w.rho[slot] * sq;
+    w.alpha[slot] = a;
+#pragma omp simd
+    for (int i = 0; i < L; ++i) q[i] -= a * Yi[i];
+  }
+#pragma omp simd
+  for (int i = 0; i < L; ++i) q[i] *= gamma;
+  for (int j = hist - 1; j >= 0; --j) {  // oldest..newest
+    const int slot = ((head - 1 - j) % mh + mh) % mh;
+    const double* __restrict__ Si = w.S + static_cast<size_t>(slot) * L;
+    const double* __restrict__ Yi = w.Y + static_cast<size_t>(slot) * L;
+    double yq = 0.0;
+#pragma omp simd reduction(+ : yq)
+    for (int i = 0; i < L; ++i) yq += Yi[i] * q[i];
+    const double b = w.rho[slot] * yq;
+    const double coef = w.alpha[slot] - b;
+#pragma omp simd
+    for (int i = 0; i < L; ++i) q[i] += coef * Si[i];
+  }
+  double mdir = 0.0;
+#pragma omp simd reduction(+ : mdir)
+  for (int i = 0; i < L; ++i) mdir += q[i] * g[i];
+  return mdir;
 }
 
 }  // namespace
@@ -323,8 +406,9 @@ double qnm_bfgs_optimize(value_grad_fn fg, value_fn f, void* user, int32_t n,
         m += gi * gi;
       }
     }
-    const double alpha = linesearch(w, f, user, f0, m, order, ls_c1, rho_hi,
-                                    rho_lo, ls_iterations, w.s, out_nfev);
+    const double alpha = linesearch(w.n, w.L, w.x_new, w.x_old, f, user, f0,
+                                    m, order, ls_c1, rho_hi, rho_lo,
+                                    ls_iterations, w.s, out_nfev);
     if (alpha == 0.0) {
       *out_status = kLinesearchFailure;
       break;
@@ -348,6 +432,126 @@ double qnm_bfgs_optimize(value_grad_fn fg, value_fn f, void* user, int32_t n,
   // path falls off the for-loop AFTER the final swap: there the freshest
   // gradient (one iterate back from out_x — the last one ever evaluated)
   // is in g_old, and g_new would be two evaluations stale.
+  std::memcpy(out_grad,
+              *out_status == kMaxIterations ? w.g_old : w.g_new,
+              sizeof(double) * n);
+  return result;
+}
+
+// Full L-BFGS solve (history = m pairs). Same contract as qnm_bfgs_optimize:
+// maximized value on convergence, NaN on any failure; in-band status codes.
+double qnm_lbfgs_optimize(value_grad_fn fg, value_fn f, void* user, int32_t n,
+                          const double* x0, int32_t history, int32_t order,
+                          double ls_c1, double rho_hi, double rho_lo,
+                          int32_t ls_iterations, double tol,
+                          int32_t max_iterations, double* out_x,
+                          double* out_grad, int32_t* out_status,
+                          int32_t* out_iterations, int64_t* out_nfev,
+                          int64_t* out_ngev) {
+  thread_local LWorkspace w;
+  const double NaN = std::numeric_limits<double>::quiet_NaN();
+  *out_status = kMaxIterations;
+  *out_iterations = 0;
+  *out_nfev = 0;
+  *out_ngev = 0;
+  if (history < 1 || !w.resize(n, history)) {
+    *out_status = kNonfiniteValue;
+    return NaN;
+  }
+  // step/g_old start zeroed: the first iteration's candidate pair has
+  // s'y = 0 and is rejected by the cautious push, matching the JAX init.
+  std::memset(w.step, 0, sizeof(double) * w.L);
+  std::memset(w.g_old, 0, sizeof(double) * w.L);
+  std::memset(w.g_new, 0, sizeof(double) * w.L);
+  std::memcpy(w.x_old, x0, sizeof(double) * n);
+
+  int hist = 0, head = 0;
+  double gamma = 1.0;
+  double result = NaN;
+
+  for (int32_t k = 0; k < max_iterations; ++k) {
+    const double f0 = fg(w.g_new, w.x_old, n, user);
+    ++*out_nfev;
+    ++*out_ngev;
+    if (!std::isfinite(f0)) {
+      *out_status = kNonfiniteValue;
+      break;
+    }
+    double gmax = 0.0;
+    {
+      const double* __restrict__ gv = w.g_new;
+#pragma omp simd reduction(max : gmax)
+      for (int i = 0; i < n; ++i) gmax = std::fmax(gmax, std::fabs(gv[i]));
+    }
+    if (gmax < tol) {
+      *out_status = kConverged;
+      result = f0;
+      break;
+    }
+
+    // cautious push of the previous accepted step's pair (lbfgs_push)
+    {
+      double sty = 0.0, yty = 0.0;
+      const double* __restrict__ sv = w.step;
+      const double* __restrict__ go = w.g_old;
+      const double* __restrict__ gn = w.g_new;
+#pragma omp simd reduction(+ : sty) reduction(+ : yty)
+      for (int i = 0; i < w.L; ++i) {
+        const double yi = go[i] - gn[i];
+        sty += sv[i] * yi;
+        yty += yi * yi;
+      }
+      if (sty > 0.0) {
+        double* __restrict__ Ss = w.S + static_cast<size_t>(head) * w.L;
+        double* __restrict__ Ys = w.Y + static_cast<size_t>(head) * w.L;
+#pragma omp simd
+        for (int i = 0; i < w.L; ++i) {
+          Ss[i] = sv[i];
+          Ys[i] = go[i] - gn[i];
+        }
+        w.rho[head] = 1.0 / sty;
+        head = (head + 1) % w.m;
+        hist = hist < w.m ? hist + 1 : w.m;
+        gamma = sty / yty;
+      }
+    }
+
+    double m = lbfgs_direction(w, hist, head, gamma);
+    if (m <= 0.0) {  // limited-memory analog of the identity reset
+      hist = 0;
+      gamma = 1.0;
+      m = 0.0;
+      for (int i = 0; i < n; ++i) {
+        const double gi = w.g_new[i];
+        w.d[i] = gi;
+        m += gi * gi;
+      }
+      for (int i = n; i < w.L; ++i) w.d[i] = 0.0;
+    }
+
+    const double alpha = linesearch(w.n, w.L, w.x_new, w.x_old, f, user, f0,
+                                    m, order, ls_c1, rho_hi, rho_lo,
+                                    ls_iterations, w.d, out_nfev);
+    if (alpha == 0.0) {
+      *out_status = kLinesearchFailure;
+      break;
+    }
+    {
+      double* __restrict__ sv = w.step;
+      double* __restrict__ dv = w.d;
+      double* __restrict__ xo = w.x_old;
+#pragma omp simd
+      for (int i = 0; i < w.L; ++i) {
+        const double si = alpha * dv[i];
+        sv[i] = si;
+        xo[i] += si;
+      }
+    }
+    std::swap(w.g_old, w.g_new);
+    ++*out_iterations;
+  }
+  std::memcpy(out_x, w.x_old, sizeof(double) * n);
+  // same freshest-gradient bookkeeping as qnm_bfgs_optimize
   std::memcpy(out_grad,
               *out_status == kMaxIterations ? w.g_old : w.g_new,
               sizeof(double) * n);
@@ -407,6 +611,19 @@ double qnm_bfgs_optimize_rosenbrock(int32_t n, const double* x0, int32_t order,
                            nullptr, n, x0, order, 1e-4, 0.5, 0.1, 1000, tol,
                            max_iterations, h0_scale, out_x, out_grad,
                            out_status, out_iterations, out_nfev, out_ngev);
+}
+
+double qnm_lbfgs_optimize_rosenbrock(int32_t n, const double* x0,
+                                     int32_t history, int32_t order,
+                                     double tol, int32_t max_iterations,
+                                     double* out_x, double* out_grad,
+                                     int32_t* out_status,
+                                     int32_t* out_iterations,
+                                     int64_t* out_nfev, int64_t* out_ngev) {
+  return qnm_lbfgs_optimize(&qnm_rosenbrock_value_grad, &qnm_rosenbrock_value,
+                            nullptr, n, x0, history, order, 1e-4, 0.5, 0.1,
+                            1000, tol, max_iterations, out_x, out_grad,
+                            out_status, out_iterations, out_nfev, out_ngev);
 }
 
 }  // extern "C"

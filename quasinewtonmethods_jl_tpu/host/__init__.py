@@ -21,7 +21,15 @@ from typing import Callable, NamedTuple, Optional
 
 import numpy as np
 
-__all__ = ["optimize_host", "rosenbrock_host", "HostResult", "lib_path", "load"]
+__all__ = [
+    "optimize_host",
+    "optimize_lbfgs_host",
+    "rosenbrock_host",
+    "rosenbrock_lbfgs_host",
+    "HostResult",
+    "lib_path",
+    "load",
+]
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_ROOT, "native", "qnm_host.cpp")
@@ -141,6 +149,24 @@ def load() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.qnm_lbfgs_optimize.restype = ctypes.c_double
+            lib.qnm_lbfgs_optimize.argtypes = [
+                _VALUE_GRAD_FN, _VALUE_FN, ctypes.c_void_p, ctypes.c_int32, D,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_int32, D, D,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.qnm_lbfgs_optimize_rosenbrock.restype = ctypes.c_double
+            lib.qnm_lbfgs_optimize_rosenbrock.argtypes = [
+                ctypes.c_int32, D, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_int32, D, D,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             _lib = lib
     return _lib
 
@@ -245,6 +271,88 @@ def optimize_host(
     fun = lib.qnm_bfgs_optimize(
         fg_cb, f_cb, None, n, _as_c(x0), order, c1, rho_hi, rho_lo,
         ls_iterations, tol, max_iterations, int(h0_scale),
+        _as_c(out_x), _as_c(out_g),
+        ctypes.byref(status), ctypes.byref(iters),
+        ctypes.byref(nfev), ctypes.byref(ngev),
+    )
+    return HostResult(out_x, fun, out_g, status.value, iters.value,
+                      nfev.value, ngev.value)
+
+
+def rosenbrock_lbfgs_host(
+    x0: np.ndarray,
+    history: int = 10,
+    order: int = 2,
+    tol: float = 1e-8,
+    max_iterations: int = 10_000,
+) -> HostResult:
+    """Fully-native L-BFGS solve of the built-in Rosenbrock fixture."""
+    lib = load()
+    x0 = np.ascontiguousarray(x0, np.float64)
+    n = x0.shape[0]
+    out_x, out_g, status, iters, nfev, ngev = _outputs(n)
+    fun = lib.qnm_lbfgs_optimize_rosenbrock(
+        n, _as_c(x0), history, order, tol, max_iterations,
+        _as_c(out_x), _as_c(out_g),
+        ctypes.byref(status), ctypes.byref(iters),
+        ctypes.byref(nfev), ctypes.byref(ngev),
+    )
+    return HostResult(out_x, fun, out_g, status.value, iters.value,
+                      nfev.value, ngev.value)
+
+
+def optimize_lbfgs_host(
+    value_and_grad: Callable[[np.ndarray], tuple],
+    x0: np.ndarray,
+    value: Optional[Callable[[np.ndarray], float]] = None,
+    history: int = 10,
+    order: int = 2,
+    c1: float = 1e-4,
+    rho_hi: float = 0.5,
+    rho_lo: float = 0.1,
+    ls_iterations: int = 1000,
+    tol: float = 1e-8,
+    max_iterations: int = 10_000,
+) -> HostResult:
+    """Native L-BFGS solve with Python objective callbacks — the large-n
+    counterpart of `optimize_host` (O(history*n) memory, circular ring,
+    cautious push, BB gamma H0; same semantics as the JAX scalar L-BFGS
+    driver). Callback hygiene identical to `optimize_host` (exceptions
+    become an in-band NaN value; x views are read-only)."""
+    lib = load()
+    x0 = np.ascontiguousarray(x0, np.float64)
+    n = x0.shape[0]
+
+    if value is None:
+        value = lambda x: value_and_grad(x)[0]
+
+    nan = float("nan")
+
+    def _ro_view(ptr, n_):
+        arr = np.ctypeslib.as_array(ptr, (n_,))
+        arr.flags.writeable = False
+        return arr
+
+    @_VALUE_GRAD_FN
+    def fg_cb(grad_ptr, x_ptr, n_, _user):
+        try:
+            v, g = value_and_grad(_ro_view(x_ptr, n_))
+            np.ctypeslib.as_array(grad_ptr, (n_,))[:] = g
+            return float(v)
+        except Exception:
+            return nan
+
+    @_VALUE_FN
+    def f_cb(x_ptr, n_, _user):
+        try:
+            return float(value(_ro_view(x_ptr, n_)))
+        except Exception:
+            return nan
+
+    out_x, out_g, status, iters, nfev, ngev = _outputs(n)
+    fun = lib.qnm_lbfgs_optimize(
+        fg_cb, f_cb, None, n, _as_c(x0), history, order, c1, rho_hi, rho_lo,
+        ls_iterations, tol, max_iterations,
         _as_c(out_x), _as_c(out_g),
         ctypes.byref(status), ctypes.byref(iters),
         ctypes.byref(nfev), ctypes.byref(ngev),

@@ -173,3 +173,82 @@ def test_host_capped_exit_gradient_is_fresh(rng):
         diffs.append(float(np.max(np.abs(capped.grad - g_prev))))
         ok = diffs[-1] < 1e-9
     assert ok, f"capped gradient matches no recent iterate: {diffs}"
+
+
+# ----- native L-BFGS ---------------------------------------------------------
+
+from quasinewtonmethods_jl_tpu.host import (  # noqa: E402
+    optimize_lbfgs_host,
+    rosenbrock_lbfgs_host,
+)
+
+
+@pytest.mark.parametrize("n", [13, 60, 61, 513])
+def test_native_lbfgs_rosenbrock(n, rng):
+    res = rosenbrock_lbfgs_host(rng.standard_normal(n), history=10)
+    assert res.status == 1
+    assert abs(res.fun) < 1e-12
+    np.testing.assert_allclose(res.x, 1.0, rtol=1e-5)
+    assert np.abs(res.grad).max() < 1e-8
+
+
+def test_native_lbfgs_matches_jax_two_loop(rng):
+    """Independent-implementation parity: the C++ two-loop L-BFGS against
+    the JAX scalar driver with direction_method='two_loop' (same formulas,
+    different language/compiler). On a stable quadratic both must take the
+    same trajectory to rounding level."""
+    import jax.numpy as jnp
+
+    n = 24
+    diag = np.linspace(0.5, 4.0, n)
+    x_star = rng.standard_normal(n)
+
+    def jax_obj(x):
+        return -0.5 * jnp.sum(jnp.asarray(diag) * (x - jnp.asarray(x_star)) ** 2)
+
+    def np_vag(x):
+        r = x - x_star
+        return float(-0.5 * np.sum(diag * r * r)), -(diag * r)
+
+    x0 = rng.standard_normal(n)
+    rj = qnm.optimize_lbfgs(jax_obj, jnp.asarray(x0), history=6,
+                            direction_method="two_loop")
+    rc = optimize_lbfgs_host(np_vag, x0, history=6)
+    assert rc.status == 1 and int(rj.status) == 1
+    assert abs(rc.iterations - int(rj.iterations)) <= 1
+    np.testing.assert_allclose(rc.x, x_star, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rj.x), rc.x, atol=1e-7)
+
+
+def test_native_lbfgs_ring_wraparound(rng):
+    """history smaller than the iteration count forces circular wraparound;
+    the solve must still converge (ring bookkeeping correctness)."""
+    res = rosenbrock_lbfgs_host(rng.standard_normal(30), history=3)
+    assert res.status == 1
+    assert res.iterations > 3  # the ring definitely wrapped
+    np.testing.assert_allclose(res.x, 1.0, rtol=1e-5)
+
+
+def test_native_lbfgs_failure_paths():
+    # non-finite objective at x0
+    def bad_vag(x):
+        return float("nan"), np.zeros_like(x)
+
+    r = optimize_lbfgs_host(bad_vag, np.ones(5))
+    assert r.status == 4 and np.isnan(r.fun)  # NONFINITE_VALUE
+
+    # iteration cap
+    def slow_vag(x):
+        return float(-np.sum(x**4)), -4 * x**3
+
+    r2 = optimize_lbfgs_host(slow_vag, np.full(4, 2.0), max_iterations=2)
+    assert r2.status == 2 and np.isnan(r2.fun)  # MAX_ITERATIONS
+    # capped exit still reports the freshest evaluated gradient (finite)
+    assert np.all(np.isfinite(r2.grad))
+
+
+def test_native_lbfgs_invalid_history():
+    r = optimize_lbfgs_host(
+        lambda x: (float(-x @ x), -2 * x), np.ones(3), history=0
+    )
+    assert r.status == 4  # in-band rejection, no crash
