@@ -77,6 +77,26 @@ def main():
     print(f"chain start positions: {chain_starts.shape}, "
           f"logdensity at mode {float(res.last_value[converged.argmax()]):.4f}")
 
+    # 4. sample: batched preconditioned HMC (qnm.hmc_sample) — B as the
+    # mass-matrix preconditioner, all chains in one jitted scan. This is
+    # the full workflow the reference library was built to serve.
+    hmc = qnm.hmc_sample(
+        model,
+        jax.random.PRNGKey(2),
+        jnp.asarray(chain_starts, dtype),
+        mass=jnp.asarray(B_inv, dtype),
+        n_samples=300,
+        n_warmup=150,
+        n_leapfrog=8,
+    )
+    draws = np.asarray(hmc.samples).reshape(-1, dim)
+    post_mean = draws.mean(axis=0)
+    print(
+        f"HMC: {hmc.samples.shape[0]} draws x {n_chains} chains, "
+        f"mean acceptance {float(np.mean(np.asarray(hmc.accept_rate))):.2f}, "
+        f"|posterior mean - MAP| max {np.abs(post_mean - modes.mean(axis=0)).max():.3f}"
+    )
+
 
 if __name__ == "__main__":
     main()

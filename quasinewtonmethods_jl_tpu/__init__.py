@@ -39,6 +39,7 @@ from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
+from .sampling import HMCResult, chain_init_from_map, hmc_sample
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
     OptimizeResult,
@@ -59,6 +60,9 @@ __all__ = [
     "wolfe_linesearch",
     "bfgs_update",
     "initial_inv_hessian",
+    "HMCResult",
+    "chain_init_from_map",
+    "hmc_sample",
     "minimize",
     "optimize",
     "optimize_batched",

@@ -1,0 +1,143 @@
+"""Batched HMC sampler: correctness on known targets + the MAP handoff.
+
+The sampler completes the reference's intended workflow (MAP engine for
+HMC chain initialization, reference README.md:14): these tests pin the
+invariant distribution on Gaussian targets (moment checks within MC
+error), the mass-matrix preconditioning path (dense B from the MAP
+fleet), step-size adaptation, and NaN-robust divergence rejection.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+
+
+def _corr_gaussian(n):
+    """Correlated Gaussian logdensity with known covariance."""
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((n, n)) * 0.4
+    cov = A @ A.T + np.eye(n)
+    prec = np.linalg.inv(cov)
+    prec_j = jnp.asarray(prec)
+
+    def logdensity(x):
+        return -0.5 * x @ (prec_j @ x)
+
+    return logdensity, cov
+
+
+def test_hmc_standard_normal_moments():
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    n, chains = 4, 32
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.zeros((chains, n))
+    res = qnm.hmc_sample(logdensity, key, x0s, n_samples=800, n_warmup=300,
+                        n_leapfrog=8)
+    draws = np.asarray(res.samples).reshape(-1, n)  # pooled over chains
+    assert draws.shape[0] == 800 * chains
+    # MC error with ~25k (correlated) draws: generous but meaningful bars
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.15)
+    # adaptation worked: acceptance near the 0.8 target on average
+    acc = float(np.mean(np.asarray(res.accept_rate)))
+    assert 0.6 < acc <= 1.0
+
+
+def test_hmc_preconditioned_correlated_gaussian():
+    """Dense mass = true covariance must sample the correlated target well
+    at a modest leapfrog budget (the whole point of preconditioning)."""
+    logdensity, cov = _corr_gaussian(3)
+    chains = 48
+    key = jax.random.PRNGKey(1)
+    x0s = jnp.zeros((chains, 3))
+    res = qnm.hmc_sample(logdensity, key, x0s, mass=jnp.asarray(cov),
+                        n_samples=700, n_warmup=300, n_leapfrog=8)
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    emp_cov = np.cov(draws.T)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.35 * np.abs(cov).max())
+    assert float(np.mean(np.asarray(res.accept_rate))) > 0.6
+
+
+def test_map_to_hmc_handoff():
+    """The full intended pipeline: batched MAP solve -> B as mass ->
+    batched chains. B at the mode of a Gaussian IS the covariance, so the
+    handoff gives an ~ideally preconditioned sampler."""
+    logdensity, cov = _corr_gaussian(3)
+    rng = np.random.default_rng(2)
+    X0 = jnp.asarray(rng.standard_normal((16, 3)) * 3.0)
+    fleet = qnm.optimize_batched(logdensity, X0, tol=1e-10)
+    assert np.all(np.asarray(fleet.status) == qnm.Status.CONVERGED)
+
+    x0s, mass = qnm.chain_init_from_map(
+        fleet, jitter=0.1, key=jax.random.PRNGKey(3)
+    )
+    # the converged inverse Hessian approximates the covariance
+    np.testing.assert_allclose(np.asarray(mass), cov, atol=0.2 * np.abs(cov).max())
+
+    res = qnm.hmc_sample(logdensity, jax.random.PRNGKey(4), x0s, mass=mass,
+                        n_samples=600, n_warmup=250, n_leapfrog=8)
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.15)
+    emp_cov = np.cov(draws.T)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.35 * np.abs(cov).max())
+
+
+def test_hmc_diag_mass_and_no_warmup():
+    def logdensity(x):
+        scales = jnp.asarray([1.0, 100.0])  # badly scaled
+        return -0.5 * jnp.sum(x * x / scales)
+
+    chains = 32
+    res = qnm.hmc_sample(
+        logdensity, jax.random.PRNGKey(5), jnp.zeros((chains, 2)),
+        mass=jnp.asarray([1.0, 100.0]),  # diagonal covariance
+        n_samples=600, n_warmup=0, step_size=0.5, n_leapfrog=8,
+    )
+    draws = np.asarray(res.samples).reshape(-1, 2)
+    v = draws.var(axis=0)
+    np.testing.assert_allclose(v[0], 1.0, rtol=0.3)
+    np.testing.assert_allclose(v[1], 100.0, rtol=0.3)
+    # no warmup: step size is exactly the requested one
+    np.testing.assert_allclose(np.asarray(res.step_size), 0.5)
+
+
+def test_hmc_divergence_is_rejected_not_propagated():
+    """A wildly too-large step size produces non-finite trajectories; they
+    must be rejected (chain stays finite), not accepted into the samples."""
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x) - 0.1 * jnp.sum(x ** 4)
+
+    res = qnm.hmc_sample(
+        logdensity, jax.random.PRNGKey(6), jnp.ones((4, 3)),
+        n_samples=50, n_warmup=0, step_size=1e6, n_leapfrog=4,
+    )
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert np.all(np.asarray(res.accept_rate) == 0.0)
+
+
+def test_hmc_reproducible_and_chains_differ():
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    kw = dict(n_samples=50, n_warmup=10, n_leapfrog=4)
+    a = qnm.hmc_sample(logdensity, jax.random.PRNGKey(7), jnp.zeros((3, 2)), **kw)
+    b = qnm.hmc_sample(logdensity, jax.random.PRNGKey(7), jnp.zeros((3, 2)), **kw)
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
+    # distinct chains take distinct paths under one key
+    assert not np.allclose(
+        np.asarray(a.samples[:, 0]), np.asarray(a.samples[:, 1])
+    )
+
+
+def test_hmc_bad_mass_shape():
+    with pytest.raises(ValueError, match="mass"):
+        qnm.hmc_sample(
+            lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
+            jnp.zeros((2, 3)), mass=jnp.zeros((3, 3, 3)),
+            n_samples=2, n_warmup=0,
+        )
