@@ -68,6 +68,9 @@ class _LCarry(NamedTuple):
     STEP: jax.Array  # (n, batch)
     S: jax.Array  # (m, n, batch) CIRCULAR ring (per-lane head, no shifts)
     Y: jax.Array  # (m, n, batch)
+    SY: jax.Array  # (m, m, batch) incremental Gram S_i·Y_j (circular mode;
+    #                (1, 1, 1) dummy in shift mode — see _batched_push_incr)
+    YY: jax.Array  # (m, m, batch) incremental Gram Y_i·Y_j (same)
     rho: jax.Array  # (m, batch)
     hist: jax.Array  # (batch,) int32 valid-pair count
     head: jax.Array  # (batch,) int32 next write slot
@@ -183,6 +186,69 @@ def _batched_push_circular(S, Y, rho, hist, head, gamma, step, y, active):
     return S_out, Y_out, rho_out, hist_out, head_out, gamma_out
 
 
+def _batched_push_incr(S, Y, rho, hist, head, gamma, SY, YY, step, y, g,
+                       active, prec=None):
+    """Circular push + INCREMENTAL Gram maintenance — the bandwidth-minimal
+    form of the large-n iteration.
+
+    The full-recompute path (`_batched_compact_direction`) reads both rings
+    ~3 extra times per iteration to rebuild SY/YY from scratch, but a ring
+    push only changes ONE slot: row h and column h of each Gram matrix.
+    This function carries SY[i,j] = S_i·Y_j and YY[i,j] = Y_i·Y_j in the
+    loop state (slot order; stale slots hold garbage that the direction's
+    validity mask already ignores) and computes the changed row/column from
+    the SAME two stacked contractions that produce Sg/Yg — so the whole
+    Gram + gradient-dot phase costs exactly one read of each ring:
+
+        RA = S_out · [g, y]        (Sg and the SY column S_i·y_new)
+        RB = Y_out · [g, step, y]  (Yg, the SY row s_new·Y_j, and the YY
+                                    row/column Y_j·y_new)
+
+    Per-iteration ring passes drop from ~7 to ~5 (push write x2, these two
+    reads, and the two d-contraction reads), which is the XLA-visible floor
+    without a fused Mosaic Gram kernel (verified impossible today — see
+    STATUS.md). Numerics: each Gram entry is computed ONCE, at push time,
+    from the exact pair — identical values to the recompute path at
+    HIGHEST precision, and strictly less bf16 re-rounding at default
+    precision (regression-tested against the recompute oracle)."""
+    mh = S.shape[0]
+    dtype = S.dtype
+    sty = jnp.sum(step * y, axis=0)  # (batch,)
+    yty = jnp.sum(y * y, axis=0)
+    accept = (sty > 0.0) & active  # (batch,)
+
+    ids = jnp.arange(mh)  # (m,)
+    onehot = (ids[:, None] == head[None, :]) & accept[None, :]  # (m, batch)
+
+    S_out = jnp.where(onehot[:, None, :], step[None], S)
+    Y_out = jnp.where(onehot[:, None, :], y[None], Y)
+    rho_out = jnp.where(onehot, 1.0 / sty, rho)
+    head_out = jnp.where(accept, (head + 1) % mh, head)
+    hist_out = jnp.where(accept, jnp.minimum(hist + 1, mh), hist)
+    gamma_out = jnp.where(accept, sty / yty, gamma).astype(dtype)
+
+    # one read of each ring for ALL Gram/gradient dots of this iteration
+    RA = jnp.einsum(
+        "pnb,rnb->prb", S_out, jnp.stack([g, y]), precision=prec
+    )  # (m, 2, batch)
+    RB = jnp.einsum(
+        "pnb,rnb->prb", Y_out, jnp.stack([g, step, y]), precision=prec
+    )  # (m, 3, batch)
+    Sg, Sy_new = RA[:, 0], RA[:, 1]
+    Yg, Ys_new, Yy_new = RB[:, 0], RB[:, 1], RB[:, 2]
+
+    # SY[i, j] = S_i·Y_j: column h gets S_out·y_new, row h gets s_new·Y_out
+    # (the (h, h) corner is sᵀy via either — both writes agree).
+    col = onehot[None, :, :]  # j == h
+    row = onehot[:, None, :]  # i == h
+    SY_out = jnp.where(row, Ys_new[None, :, :],
+                       jnp.where(col, Sy_new[:, None, :], SY))
+    YY_out = jnp.where(row, Yy_new[None, :, :],
+                       jnp.where(col, Yy_new[:, None, :], YY))
+    return (S_out, Y_out, rho_out, hist_out, head_out, gamma_out,
+            SY_out, YY_out, Sg, Yg)
+
+
 def _time_order_idx(head, hist, mh):
     """(m, batch) slot index for each time position t (t = 0 oldest valid,
     t = hist-1 newest; t >= hist walks the stale slots): a per-lane
@@ -214,13 +280,21 @@ def _batched_compact_direction(S, Y, hist, head, gamma, g, prec=None):
     before the d contraction. Unlike the shift ring (where stale slots
     were guaranteed zero), stale circular slots hold old pairs, so
     validity is masked explicitly."""
-    mh, n, batch = S.shape
-    dtype = g.dtype
-
     SY = jnp.einsum("inb,jnb->ijb", S, Y, precision=prec)  # (m, m, batch)
     YY = jnp.einsum("inb,jnb->ijb", Y, Y, precision=prec)
     Sg = jnp.einsum("inb,nb->ib", S, g, precision=prec)  # (m, batch)
     Yg = jnp.einsum("inb,nb->ib", Y, g, precision=prec)
+    return _compact_direction_from_grams(
+        SY, YY, Sg, Yg, S, Y, hist, head, gamma, g, prec
+    )
+
+
+def _compact_direction_from_grams(SY, YY, Sg, Yg, S, Y, hist, head, gamma,
+                                  g, prec=None):
+    """BNS compact direction given slot-order Grams (incremental or
+    recomputed) — the shared tail of both circular paths."""
+    mh = S.shape[0]
+    dtype = g.dtype
 
     P = _time_order_perm(head, hist, mh, dtype)  # (m_time, m_slot, batch)
     SY_t = jnp.einsum("tpb,pqb,uqb->tub", P, SY, P, precision=_HI)
@@ -271,12 +345,26 @@ def _batched_compact_direction(S, Y, hist, head, gamma, g, prec=None):
 # circular 31.4k solves/s; 1024x512 circular 1.29x; 256x4096 2.05x.
 _RING_CIRCULAR_MIN_N = 192
 
+# Trace-time A/B switch for the circular path's Gram strategy (True =
+# incremental SY/YY carry, False = full recompute every iteration).
+# Measured on hardware (scripts/tpu_experiments_r2l.py, one v5e via axon):
+# WALL-NEUTRAL at both 1024x512 (381 vs 377 us/iter) and 256x4096 (688 vs
+# 690) — the circular iteration at these sizes is bound by per-invocation
+# launch/dispatch tax (~118 us, see STATUS.md axon-sync economics), not by
+# the ~3 ring passes the incremental carry saves (which would be ~60 us at
+# 1024x512). Default stays on the simpler recompute path; the incremental
+# path is kept, tested (test_incremental_gram_matches_recompute), and
+# flag-selectable for non-tunneled runtimes where HBM bandwidth actually
+# binds.
+_INCREMENTAL_GRAM = False
+
 
 def _lbfgs_loop_batched(
     vag_b, f_b, carry0: _LCarry, ls, tol, max_iterations: int,
     stall_limit: int = STALL_LIMIT_DEFAULT,
     circular: bool = True,
     gram_precision=None,
+    unroll: int = 1,
 ) -> _LCarry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
@@ -288,7 +376,10 @@ def _lbfgs_loop_batched(
 
     def body(c: _LCarry):
         f0, g = vag_b(c.X)
-        was_active = c.status == Status.RUNNING
+        # k < max_iterations keeps the cap exact under unroll > 1 (chained
+        # bodies past the cap are full no-ops — every carry write below is
+        # active-masked); free for unroll == 1 where cond guarantees it
+        was_active = (c.status == Status.RUNNING) & (c.k < max_iterations)
         nonfinite = ~jnp.isfinite(f0)
         converged = jnp.max(jnp.abs(g), axis=0) < tol
         improved = jnp.where(jnp.isnan(c.fun), True, f0 > c.fun)
@@ -316,14 +407,27 @@ def _lbfgs_loop_batched(
             ),
             c.status,
         )
-        active = status_pre == Status.RUNNING
+        # & was_active: see the BFGS engine — keeps trailing unroll bodies
+        # past the iteration cap full no-ops for still-RUNNING lanes
+        active = (status_pre == Status.RUNNING) & was_active
 
         y_pair = c.G_old - g
-        if circular:
+        if circular and _INCREMENTAL_GRAM:
+            (S, Y, rho, hist, head, gamma, SY, YY, Sg, Yg) = (
+                _batched_push_incr(
+                    c.S, c.Y, c.rho, c.hist, c.head, c.gamma, c.SY, c.YY,
+                    c.STEP, y_pair, g, active, gram_precision,
+                )
+            )
+            d, m = _compact_direction_from_grams(
+                SY, YY, Sg, Yg, S, Y, hist, head, gamma, g, gram_precision
+            )
+        elif circular:
             S, Y, rho, hist, head, gamma = _batched_push_circular(
                 c.S, c.Y, c.rho, c.hist, c.head, c.gamma, c.STEP, y_pair,
                 active,
             )
+            SY, YY = c.SY, c.YY  # carried untouched in recompute mode
             d, m = _batched_compact_direction(S, Y, hist, head, gamma, g,
                                               gram_precision)
         else:
@@ -331,6 +435,7 @@ def _lbfgs_loop_batched(
                 c.S, c.Y, c.rho, c.hist, c.gamma, c.STEP, y_pair, active
             )
             head = c.head  # unused in shift mode
+            SY, YY = c.SY, c.YY  # dummies in shift mode
             d, m = _batched_compact_direction_shift(S, Y, hist, gamma, g,
                                                     gram_precision)
 
@@ -378,6 +483,8 @@ def _lbfgs_loop_batched(
             STEP=jnp.where(amask, step, c.STEP),
             S=S,
             Y=Y,
+            SY=SY,
+            YY=YY,
             rho=rho,
             hist=hist,
             head=head,
@@ -392,7 +499,17 @@ def _lbfgs_loop_batched(
             stall=stall,
         )
 
-    final = lax.while_loop(cond, body, carry0)
+    if unroll > 1:
+        # amortize the per-while-step dispatch tax of the axon tunnel
+        # (same rationale + no-op-body proof as the BFGS engine's unroll)
+        def chain(c):
+            for _ in range(unroll):
+                c = body(c)
+            return c
+
+        final = lax.while_loop(cond, chain, carry0)
+    else:
+        final = lax.while_loop(cond, body, carry0)
     return final._replace(
         status=jnp.where(
             final.status == Status.RUNNING,
@@ -406,12 +523,12 @@ def _lbfgs_loop_batched(
     jax.jit,
     static_argnames=(
         "obj", "history", "ls", "max_iterations", "value_and_grad_fn",
-        "stall_limit", "gram_precision",
+        "stall_limit", "gram_precision", "unroll",
     ),
 )
 def _optimize_lbfgs_batched_fused_jit(
     obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-    stall_limit=STALL_LIMIT_DEFAULT, gram_precision=None,
+    stall_limit=STALL_LIMIT_DEFAULT, gram_precision=None, unroll=1,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -420,6 +537,12 @@ def _optimize_lbfgs_batched_fused_jit(
 
     batch, n = x0s.shape
     dtype = x0s.dtype
+    circular = n >= _RING_CIRCULAR_MIN_N
+    gram_shape = (
+        (history, history, batch)
+        if circular and _INCREMENTAL_GRAM
+        else (1, 1, 1)
+    )
     zero_v = jnp.zeros((n, batch), dtype)
     zero_i = jnp.zeros((batch,), jnp.int32)
     carry0 = _LCarry(
@@ -429,6 +552,8 @@ def _optimize_lbfgs_batched_fused_jit(
         STEP=zero_v,
         S=jnp.zeros((history, n, batch), dtype),
         Y=jnp.zeros((history, n, batch), dtype),
+        SY=jnp.zeros(gram_shape, dtype),
+        YY=jnp.zeros(gram_shape, dtype),
         rho=jnp.zeros((history, batch), dtype),
         hist=zero_i,
         head=zero_i,
@@ -442,9 +567,8 @@ def _optimize_lbfgs_batched_fused_jit(
         n_resets=zero_i,
         stall=zero_i,
     )
-    circular = n >= _RING_CIRCULAR_MIN_N
     fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
-                             stall_limit, circular, gram_precision)
+                             stall_limit, circular, gram_precision, unroll)
     return _result_from_lcarry(fc, circular)
 
 
@@ -506,6 +630,7 @@ def optimize_lbfgs_batched_fused(
     value_and_grad_fn: Optional[Callable] = None,
     stall_limit: int = STALL_LIMIT_DEFAULT,
     gram_precision=None,
+    unroll: int = 1,
 ) -> LBFGSResult:
     """Masked-lockstep batched L-BFGS (the throughput engine for fleets).
 
@@ -518,7 +643,7 @@ def optimize_lbfgs_batched_fused(
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
     return _optimize_lbfgs_batched_fused_jit(
         obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-        stall_limit, gram_precision,
+        stall_limit, gram_precision, unroll,
     )
 
 
@@ -526,12 +651,12 @@ def optimize_lbfgs_batched_fused(
     jax.jit,
     static_argnames=(
         "obj", "ls", "max_iterations", "value_and_grad_fn",
-        "stall_limit", "gram_precision",
+        "stall_limit", "gram_precision", "unroll",
     ),
 )
 def _optimize_lbfgs_batched_fused_resume_jit(
     obj, state, ls, tol, max_iterations, value_and_grad_fn,
-    stall_limit=STALL_LIMIT_DEFAULT, gram_precision=None,
+    stall_limit=STALL_LIMIT_DEFAULT, gram_precision=None, unroll=1,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -540,13 +665,24 @@ def _optimize_lbfgs_batched_fused_resume_jit(
 
     mh = state.S.shape[1]
     n = state.x.shape[1]
+    circular = n >= _RING_CIRCULAR_MIN_N
+    S0 = jnp.moveaxis(state.S, 0, -1)  # canonical order IS a valid ring
+    Y0 = jnp.moveaxis(state.Y, 0, -1)
+    if circular and _INCREMENTAL_GRAM:
+        # seed the incremental Grams from the loaded ring — once per resume
+        SY0 = jnp.einsum("inb,jnb->ijb", S0, Y0, precision=gram_precision)
+        YY0 = jnp.einsum("inb,jnb->ijb", Y0, Y0, precision=gram_precision)
+    else:
+        SY0 = YY0 = jnp.zeros((1, 1, 1), S0.dtype)
     carry0 = _LCarry(
         X=state.x.T,
         G=state.grad.T,
         G_old=state.grad_old.T,
         STEP=state.step.T,
-        S=jnp.moveaxis(state.S, 0, -1),  # canonical order IS a valid ring
-        Y=jnp.moveaxis(state.Y, 0, -1),
+        S=S0,
+        Y=Y0,
+        SY=SY0,
+        YY=YY0,
         rho=state.rho.T,
         hist=state.hist,
         # canonical time order: slots 0..hist-1 hold oldest..newest, so the
@@ -566,9 +702,8 @@ def _optimize_lbfgs_batched_fused_resume_jit(
         # fresh stall budget (same rationale as the BFGS fleet resume)
         stall=jnp.zeros_like(state.stall),
     )
-    circular = n >= _RING_CIRCULAR_MIN_N
     fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
-                             stall_limit, circular, gram_precision)
+                             stall_limit, circular, gram_precision, unroll)
     return _result_from_lcarry(fc, circular)
 
 
@@ -581,6 +716,7 @@ def optimize_lbfgs_batched_fused_from_state(
     value_and_grad_fn: Optional[Callable] = None,
     stall_limit: int = STALL_LIMIT_DEFAULT,
     gram_precision=None,
+    unroll: int = 1,
 ) -> LBFGSResult:
     """Resume a batched L-BFGS fleet from a (possibly checkpointed) batched
     LBFGSState — the L-BFGS analog of `optimize_batched_fused_from_state`.
@@ -599,5 +735,5 @@ def optimize_lbfgs_batched_fused_from_state(
         )
     return _optimize_lbfgs_batched_fused_resume_jit(
         obj, state, ls, tol, max_iterations, value_and_grad_fn,
-        stall_limit, gram_precision,
+        stall_limit, gram_precision, unroll,
     )

@@ -253,6 +253,128 @@ def test_circular_direction_matches_shift_direction(rng):
         )
 
 
+def test_incremental_gram_matches_recompute(rng):
+    """Unit A/B of the incremental-Gram push (the large-n bandwidth
+    optimization): carrying SY/YY in the loop state and writing only the
+    pushed row/column must reproduce the full einsum recompute exactly —
+    Gram entries to machine eps (each entry is the same dot, computed
+    once), directions/slopes to solve-amplified roundoff. Covers partial
+    windows, wraparound, and rejected pushes (inactive lanes and sᵀy <= 0
+    pairs leave the Grams untouched)."""
+    from jax.lax import Precision
+
+    from quasinewtonmethods_jl_tpu.lbfgs_batched_solve import (
+        _batched_compact_direction,
+        _batched_push_circular,
+        _batched_push_incr,
+        _compact_direction_from_grams,
+    )
+
+    HI = Precision.HIGHEST
+    m, n, batch = 5, 9, 6
+    S = jnp.zeros((m, n, batch))
+    Y = jnp.zeros((m, n, batch))
+    rho = jnp.zeros((m, batch))
+    hist = jnp.zeros((batch,), jnp.int32)
+    head = jnp.zeros((batch,), jnp.int32)
+    gamma = jnp.ones((batch,))
+    SY = jnp.zeros((m, m, batch))
+    YY = jnp.zeros((m, m, batch))
+    S2, Y2, rho2, hist2, head2, gamma2 = S, Y, rho, hist, head, gamma
+    for it in range(2 * m + 3):  # past wraparound twice
+        step = jnp.asarray(rng.standard_normal((n, batch)))
+        y = jnp.asarray(rng.standard_normal((n, batch)))
+        if it % 3 == 2:
+            y = -step  # sᵀy < 0 on every lane: cautious-push rejection
+        g = jnp.asarray(rng.standard_normal((n, batch)))
+        active = jnp.asarray(rng.random(batch) > 0.25)
+        (S, Y, rho, hist, head, gamma, SY, YY, Sg, Yg) = _batched_push_incr(
+            S, Y, rho, hist, head, gamma, SY, YY, step, y, g, active, HI
+        )
+        d_i, m_i = _compact_direction_from_grams(
+            SY, YY, Sg, Yg, S, Y, hist, head, gamma, g, HI
+        )
+        S2, Y2, rho2, hist2, head2, gamma2 = _batched_push_circular(
+            S2, Y2, rho2, hist2, head2, gamma2, step, y, active
+        )
+        d_r, m_r = _batched_compact_direction(
+            S2, Y2, hist2, head2, gamma2, g, HI
+        )
+        np.testing.assert_array_equal(np.asarray(hist), np.asarray(hist2))
+        np.testing.assert_array_equal(np.asarray(head), np.asarray(head2))
+        np.testing.assert_allclose(np.asarray(S), np.asarray(S2))
+        SY_r = jnp.einsum("inb,jnb->ijb", S2, Y2, precision=HI)
+        YY_r = jnp.einsum("inb,jnb->ijb", Y2, Y2, precision=HI)
+        np.testing.assert_allclose(
+            np.asarray(SY), np.asarray(SY_r), atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(YY), np.asarray(YY_r), atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_i), np.asarray(d_r), rtol=1e-9, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_i), np.asarray(m_r), rtol=1e-9, atol=1e-9
+        )
+
+
+@pytest.mark.parametrize("n", [16, 256])  # shift ring / circular ring
+def test_lbfgs_unroll_is_trajectory_identical(n, rng):
+    """unroll > 1 chains k masked bodies per while step to amortize the
+    axon per-step dispatch tax; since every carry write is active-masked
+    and the cap folds into was_active, it must be trajectory-identical —
+    same statuses, same per-lane iteration counts, same optima — for both
+    ring implementations, including a cap that is NOT a multiple of the
+    unroll factor."""
+    from quasinewtonmethods_jl_tpu.lbfgs_batched_solve import (
+        optimize_lbfgs_batched_fused,
+    )
+
+    X0 = jnp.asarray(rng.standard_normal((6, n)))
+    kw = dict(history=5, tol=1e-6, max_iterations=50)
+    base = optimize_lbfgs_batched_fused(rosenbrock_logdensity, X0, **kw)
+    unr = optimize_lbfgs_batched_fused(
+        rosenbrock_logdensity, X0, unroll=3, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unr.status), np.asarray(base.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unr.iterations), np.asarray(base.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(unr.n_fev), np.asarray(base.n_fev))
+    np.testing.assert_allclose(
+        np.asarray(unr.x), np.asarray(base.x), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_incremental_gram_engine_matches_default(rng, monkeypatch):
+    """Whole-solve A/B of the _INCREMENTAL_GRAM flag: the carried-Gram
+    engine must converge the same lanes in ~the same iterations as the
+    recompute engine (trajectories round differently — the Grams come from
+    differently-shaped contractions — so statuses/optima are compared, not
+    bits)."""
+    import quasinewtonmethods_jl_tpu.lbfgs_batched_solve as lbs
+
+    n = 256
+    X0 = jnp.asarray(rng.standard_normal((4, n)))
+    base = lbs.optimize_lbfgs_batched_fused(
+        rosenbrock_logdensity, X0, history=5, tol=1e-6
+    )
+    monkeypatch.setattr(lbs, "_INCREMENTAL_GRAM", True)
+    lbs._optimize_lbfgs_batched_fused_jit._clear_cache()
+    incr = lbs.optimize_lbfgs_batched_fused(
+        rosenbrock_logdensity, X0, history=5, tol=1e-6
+    )
+    lbs._optimize_lbfgs_batched_fused_jit._clear_cache()
+    np.testing.assert_array_equal(
+        np.asarray(incr.status), np.asarray(base.status)
+    )
+    assert np.all(np.asarray(incr.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(incr.x), 1.0, atol=1e-5)
+
+
 def test_fused_circular_ring_equals_shift_engine(rng, monkeypatch):
     """Whole-solve invariant of the round-2 ring refactor: the circular
     engine (selected for n >= 192) must be bit-for-bit equal in statuses
