@@ -431,7 +431,11 @@ def _solve_loop_batched(
                 ),
                 c.status,
             )
-            active = status_pre == Status.RUNNING
+            # & was_active: for a lane still RUNNING at the iteration cap,
+            # status_pre falls back to c.status (= RUNNING) — without the
+            # conjunction the trailing bodies of an unroll>1 chain would
+            # take REAL steps past the cap (and over-count iterations)
+            active = (status_pre == Status.RUNNING) & was_active
             amask = active.astype(dtype)[None, :]  # (1, batch)
 
             if mode == "first":

@@ -174,6 +174,30 @@ def test_fused_pallas_padding(rng):
     np.testing.assert_allclose(np.asarray(res.x), 0.0, atol=1e-8)
 
 
+def test_bfgs_unroll_is_trajectory_identical(rng):
+    """unroll > 1 chains masked bodies per while step; every carry write
+    is active-masked and the cap folds into was_active, so it must be
+    trajectory-identical — same statuses, per-lane iteration counts
+    (NEVER above max_iterations, the regression: trailing chain bodies
+    used to re-activate still-RUNNING lanes past the cap), and optima —
+    including a cap that is not a multiple of the unroll factor."""
+    X0 = jnp.asarray(rng.standard_normal((6, 12)))
+    kw = dict(tol=1e-6, max_iterations=50)
+    base = optimize_batched_fused(rosenbrock_logdensity, X0, **kw)
+    unr = optimize_batched_fused(rosenbrock_logdensity, X0, unroll=3, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(unr.status), np.asarray(base.status)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unr.iterations), np.asarray(base.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(unr.n_fev), np.asarray(base.n_fev))
+    assert int(np.max(np.asarray(unr.iterations))) <= 50
+    np.testing.assert_allclose(
+        np.asarray(unr.x), np.asarray(base.x), rtol=1e-9, atol=1e-9
+    )
+
+
 def test_batched_failure_lane_isolated(rng):
     """One lane with a non-finite start must not poison the others."""
     n, batch = 6, 8
