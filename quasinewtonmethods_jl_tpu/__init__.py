@@ -39,7 +39,13 @@ from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
-from .sampling import HMCResult, chain_init_from_map, hmc_sample
+from .sampling import (
+    ChEESResult,
+    HMCResult,
+    chain_init_from_map,
+    chees_sample,
+    hmc_sample,
+)
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
     OptimizeResult,
@@ -60,8 +66,10 @@ __all__ = [
     "wolfe_linesearch",
     "bfgs_update",
     "initial_inv_hessian",
+    "ChEESResult",
     "HMCResult",
     "chain_init_from_map",
+    "chees_sample",
     "hmc_sample",
     "minimize",
     "optimize",

@@ -33,7 +33,13 @@ from jax import lax
 
 from .api import as_value_and_grad
 
-__all__ = ["HMCResult", "hmc_sample", "chain_init_from_map"]
+__all__ = [
+    "HMCResult",
+    "ChEESResult",
+    "hmc_sample",
+    "chees_sample",
+    "chain_init_from_map",
+]
 
 
 class HMCResult(NamedTuple):
@@ -213,5 +219,272 @@ def hmc_sample(
         samples=samples,
         accept_rate=jnp.mean(accs.astype(dtype), axis=0),
         step_size=eps_final,
+        final_x=x,
+    )
+
+
+class ChEESResult(NamedTuple):
+    """Samples and adaptation diagnostics for a ChEES-HMC run.
+
+    samples: (n_samples, chains, n) post-warmup draws
+    accept_rate: (chains,) mean Metropolis acceptance over sampling
+    step_size: () adapted shared leapfrog step size
+    traj_length: () adapted mean trajectory length (time units)
+    mass_diag: (n,) the (possibly fleet-adapted) diagonal preconditioner
+    final_x: (chains, n) last state (resumable)
+    """
+
+    samples: jax.Array
+    accept_rate: jax.Array
+    step_size: jax.Array
+    traj_length: jax.Array
+    mass_diag: jax.Array
+    final_x: jax.Array
+
+
+def _halton(count: int) -> jnp.ndarray:
+    """Base-2 van der Corput sequence (the trajectory-length jitter grid
+    the ChEES paper uses; a low-discrepancy alternative to iid uniforms)."""
+    import numpy as _np
+
+    idx = _np.arange(1, count + 1, dtype=_np.uint64)
+    out = _np.zeros(count)
+    base = 0.5
+    while idx.any():
+        out += base * (idx & 1)
+        idx >>= 1
+        base *= 0.5
+    return jnp.asarray(out)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "value_and_grad_fn", "n_samples", "n_warmup", "step_size",
+        "traj_length", "target_accept", "max_leapfrog", "adapt_mass",
+    ),
+)
+def chees_sample(
+    obj,
+    key: jax.Array,
+    x0s: jax.Array,  # (chains, n) initial positions (e.g. the MAP fleet)
+    mass: Optional[jax.Array] = None,  # (n,) diagonal ~ cov; None = adapt
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    step_size: float = 0.1,
+    traj_length: float = 1.0,
+    target_accept: float = 0.75,
+    max_leapfrog: int = 1024,
+    adapt_mass: bool = True,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> ChEESResult:
+    """Batched HMC with ChEES-adapted trajectory lengths — the TPU-native
+    answer to NUTS.
+
+    NUTS decides the trajectory length per chain by growing a binary tree
+    until a U-turn: data-dependent, per-chain control flow that serializes
+    a lockstep fleet (every chain waits for the deepest tree) and resists
+    XLA compilation. ChEES (Hoffman, Radul & Sountsov, AISTATS 2021)
+    gets the same adaptivity *across* the fleet instead: all chains run
+    the SAME jittered trajectory each round, and the mean trajectory
+    length is learned by gradient ascent on the Change-in-Estimator of
+    the Expected Square criterion
+
+        ChEES = E[ (||x' - E x'||^2 - ||x - E x||^2)^2 ] / 4,
+
+    whose gradient signal per chain is Delta_c * <x'_c - mean(x'), p'_c>
+    (weighted by the Metropolis acceptance probability) — an expectation
+    the many-chain fleet estimates in one cross-chain reduction per round.
+    This is exactly the regime the MAP fleet hands over (thousands of
+    lanes), and the whole sampler stays two `lax.scan`s of fixed shape
+    with one shared dynamic-trip leapfrog loop per round.
+
+    Adaptation (warmup phase only):
+      * trajectory length: Adam on log T with the ChEES gradient; each
+        round uses t = u * 2T with u from a base-2 Halton sequence
+        (low-discrepancy jitter, per the paper), clamped so the leapfrog
+        count stays in [1, max_leapfrog];
+      * step size: dual averaging of the fleet-mean acceptance toward
+        ``target_accept`` (shared eps — chains are lockstep anyway);
+      * mass: with ``adapt_mass`` and no explicit ``mass``, the diagonal
+        preconditioner is the ACROSS-CHAIN variance of the fleet state
+        (EMA-smoothed, frozen after warmup/2) — with thousands of chains
+        the fleet itself is the sample the usual within-chain Welford
+        window has to accumulate; another across-fleet estimator, like
+        `chain_init_from_map`'s averaged B.
+
+    Returns post-warmup draws at frozen (eps, T, mass), trajectory still
+    Halton-jittered (recommended practice).
+    """
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    vag_b = jax.vmap(vag)
+
+    chains, n = x0s.shape
+    dtype = x0s.dtype
+
+    if mass is not None:
+        mass = jnp.asarray(mass, dtype)
+        if mass.ndim != 1:
+            raise ValueError(
+                "chees_sample supports diagonal mass only; use hmc_sample "
+                "for a dense preconditioner"
+            )
+        adapt_mass = False
+        mass0 = mass
+    else:
+        mass0 = jnp.ones((n,), dtype)
+
+    def grad_b(x):
+        return vag_b(x)[1]
+
+    def leapfrog_dyn(x, p, eps, mass_d, n_steps):
+        # velocity Verlet, shared dynamic trip count (all chains lockstep)
+        p = p + 0.5 * eps * grad_b(x)
+
+        def body(c):
+            x, p, i = c
+            x = x + eps * (mass_d[None, :] * p)
+            g = grad_b(x)
+            p = p + jnp.where(i < n_steps - 1, eps, 0.5 * eps) * g
+            return x, p, i + 1
+
+        x, p, _ = lax.while_loop(
+            lambda c: c[2] < n_steps, body, (x, p, jnp.int32(0))
+        )
+        return x, p
+
+    def kinetic(p, mass_d):
+        return 0.5 * jnp.sum(mass_d[None, :] * p * p, axis=1)
+
+    def round_(x, f, log_eps, log_T, mass_d, u, k):
+        """One jittered-trajectory HMC round shared by warmup/sampling.
+
+        Returns new (x, f), acceptance probabilities, and the ChEES
+        gradient w.r.t. log T."""
+        eps = jnp.exp(log_eps)
+        t_jit = u * 2.0 * jnp.exp(log_T)
+        n_steps = jnp.clip(
+            jnp.round(t_jit / eps).astype(jnp.int32), 1, max_leapfrog
+        )
+        z = jax.random.normal(k, (chains, n), dtype)
+        p = z / jnp.sqrt(mass_d)[None, :]  # cov(p) = mass^-1 = M
+        x_new, p_new = leapfrog_dyn(x, p, eps, mass_d, n_steps)
+        f_new, _ = vag_b(x_new)
+        log_ratio = (f_new - kinetic(p_new, mass_d)) - (f - kinetic(p, mass_d))
+        a_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
+        a_prob = jnp.where(jnp.isfinite(a_prob), a_prob, 0.0)
+        u_mh = jax.random.uniform(jax.random.fold_in(k, 7), (chains,), dtype)
+        acc = u_mh < a_prob
+        x_out = jnp.where(acc[:, None], x_new, x)
+        f_out = jnp.where(acc, f_new, f)
+
+        # ChEES gradient wrt log T (chain rule through t = u * 2T):
+        # Delta_c * <x'_c - mean(x'), dx'/dt = M^-1-velocity ~ mass*p'>,
+        # acceptance-weighted over the fleet.
+        w = x_new - jnp.mean(x_new, axis=0, keepdims=True)
+        v = x - jnp.mean(x, axis=0, keepdims=True)
+        delta = jnp.sum(w * w, axis=1) - jnp.sum(v * v, axis=1)
+        dxdt = mass_d[None, :] * p_new
+        per_chain = delta * jnp.sum(w * dxdt, axis=1)
+        wsum = jnp.maximum(jnp.sum(a_prob), 1e-6)
+        g_chees = jnp.sum(a_prob * per_chain) / wsum * t_jit
+        g_chees = jnp.where(jnp.isfinite(g_chees), g_chees, 0.0)
+        return x_out, f_out, a_prob, g_chees
+
+    f0, _ = vag_b(x0s)
+    us = _halton(n_warmup + n_samples)
+
+    # ---- warmup: joint (eps, T, mass) adaptation ----
+    mu = jnp.log(10.0 * jnp.asarray(step_size, dtype))
+    t0, kappa, gamma_da = 10.0, 0.75, 0.05
+    b1, b2, adam_lr = 0.9, 0.95, 0.025
+    log_T_min = jnp.log(jnp.asarray(step_size, dtype) * 0.5)
+    mass_freeze = max(n_warmup // 2, 1)
+
+    def warm_body(carry, xs):
+        (x, f, log_eps, log_eps_bar, h_bar, tda, log_T, m1, m2, tad,
+         var_ema) = carry
+        u, k, i = xs
+        mass_d = var_ema if adapt_mass else mass0
+        x, f, a_prob, g_chees = round_(x, f, log_eps, log_T, mass_d, u, k)
+
+        # dual averaging on the fleet-mean acceptance
+        tda = tda + 1.0
+        eta = 1.0 / (tda + t0)
+        h_bar = (1.0 - eta) * h_bar + eta * (
+            target_accept - jnp.mean(a_prob)
+        )
+        log_eps = mu - jnp.sqrt(tda) / gamma_da * h_bar
+        wda = tda ** (-kappa)
+        log_eps_bar = wda * log_eps + (1.0 - wda) * log_eps_bar
+
+        # Adam ascent on log T with the ChEES gradient
+        tad = tad + 1.0
+        m1 = b1 * m1 + (1.0 - b1) * g_chees
+        m2 = b2 * m2 + (1.0 - b2) * g_chees * g_chees
+        mhat = m1 / (1.0 - b1**tad)
+        vhat = m2 / (1.0 - b2**tad)
+        log_T = log_T + adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        log_T = jnp.clip(
+            log_T, log_T_min, jnp.log(max_leapfrog * jnp.exp(log_eps_bar))
+        )
+
+        # fleet-diagonal mass: across-chain variance, EMA, frozen at half
+        if adapt_mass:
+            var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
+            upd = i < mass_freeze
+            var_ema = jnp.where(
+                upd, 0.9 * var_ema + 0.1 * var_now, var_ema
+            )
+        return (
+            (x, f, log_eps, log_eps_bar, h_bar, tda, log_T, m1, m2, tad,
+             var_ema),
+            None,
+        )
+
+    log_eps0 = jnp.log(jnp.asarray(step_size, dtype))
+    log_T0 = jnp.log(jnp.asarray(traj_length, dtype))
+    zero = jnp.zeros((), dtype)
+    carry0 = (
+        x0s, f0, log_eps0, log_eps0, zero, zero, log_T0, zero, zero, zero,
+        jnp.ones((n,), dtype) if adapt_mass else mass0,
+    )
+    if n_warmup > 0:
+        (x, f, _le, log_eps_bar, _hb, _td, log_T, _m1, _m2, _ta,
+         var_ema), _ = lax.scan(
+            warm_body,
+            carry0,
+            (
+                us[:n_warmup],
+                jax.random.split(key, n_warmup),
+                jnp.arange(n_warmup),
+            ),
+        )
+    else:
+        x, f, log_eps_bar, log_T, var_ema = (
+            x0s, f0, log_eps0, log_T0, carry0[-1]
+        )
+    mass_final = var_ema if adapt_mass else mass0
+    eps_final = jnp.exp(log_eps_bar)
+
+    # ---- sampling at frozen (eps, T, mass), still Halton-jittered ----
+    def sample_body(carry, xs):
+        x, f = carry
+        u, k = xs
+        x, f, a_prob, _g = round_(x, f, log_eps_bar, log_T, mass_final, u, k)
+        return (x, f), (x, a_prob)
+
+    key_s = jax.random.fold_in(key, 1)
+    (x, f), (samples, a_probs) = lax.scan(
+        sample_body,
+        (x, f),
+        (us[n_warmup:], jax.random.split(key_s, n_samples)),
+    )
+    return ChEESResult(
+        samples=samples,
+        accept_rate=jnp.mean(a_probs, axis=0),
+        step_size=eps_final,
+        traj_length=jnp.exp(log_T),
+        mass_diag=mass_final,
         final_x=x,
     )

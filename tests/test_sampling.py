@@ -141,3 +141,106 @@ def test_hmc_bad_mass_shape():
             jnp.zeros((2, 3)), mass=jnp.zeros((3, 3, 3)),
             n_samples=2, n_warmup=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# ChEES-HMC (adaptive trajectory length — the TPU-native NUTS alternative)
+# ---------------------------------------------------------------------------
+
+
+def test_chees_standard_normal_moments():
+    """Invariant-distribution check with full joint adaptation on: the
+    adapted sampler must reproduce N(0, I) moments within MC error and
+    accept near the 0.75 target."""
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    n, chains = 4, 64
+    res = qnm.chees_sample(
+        logdensity, jax.random.PRNGKey(0), jnp.zeros((chains, n)),
+        n_samples=600, n_warmup=400,
+    )
+    draws = np.asarray(res.samples).reshape(-1, n)
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.15)
+    acc = float(np.mean(np.asarray(res.accept_rate)))
+    assert 0.55 < acc <= 0.95
+    assert float(res.step_size) > 0.0 and np.isfinite(float(res.step_size))
+
+
+def test_chees_learns_longer_trajectories_for_wide_targets():
+    """The point of ChEES: on a badly scaled Gaussian (widest scale 10) a
+    tiny initial trajectory length must GROW during warmup — and the
+    widest coordinate's variance must still come out right, which plain
+    HMC at the same tiny fixed path length cannot deliver."""
+    scales = jnp.asarray([1.0, 25.0, 100.0])  # var 1, 25, 100
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x / scales)
+
+    chains = 64
+    res = qnm.chees_sample(
+        logdensity, jax.random.PRNGKey(1), jnp.zeros((chains, 3)),
+        n_samples=800, n_warmup=500, traj_length=0.1, adapt_mass=False,
+    )
+    assert float(res.traj_length) > 0.5  # grew by > 5x
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        draws.var(axis=0), np.asarray(scales), rtol=0.35
+    )
+
+
+def test_chees_fleet_mass_adaptation():
+    """With adapt_mass (the default) the across-chain variance EMA must
+    recover a badly scaled diagonal to within a factor ~3 and equalize
+    sampling quality across scales."""
+    scales = jnp.asarray([0.25, 1.0, 64.0])
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x / scales)
+
+    chains = 128
+    res = qnm.chees_sample(
+        logdensity, jax.random.PRNGKey(2), jnp.zeros((chains, 3)),
+        n_samples=600, n_warmup=600,
+    )
+    ratio = np.asarray(res.mass_diag) / np.asarray(scales)
+    assert np.all(ratio > 1 / 4) and np.all(ratio < 4.0)
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        draws.var(axis=0), np.asarray(scales), rtol=0.4
+    )
+
+
+def test_chees_explicit_mass_and_reproducible():
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    kw = dict(n_samples=40, n_warmup=20, mass=jnp.ones(2))
+    a = qnm.chees_sample(logdensity, jax.random.PRNGKey(3),
+                         jnp.zeros((4, 2)), **kw)
+    b = qnm.chees_sample(logdensity, jax.random.PRNGKey(3),
+                         jnp.zeros((4, 2)), **kw)
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
+    # explicit mass is honored verbatim
+    np.testing.assert_array_equal(np.asarray(a.mass_diag), 1.0)
+
+
+def test_chees_divergence_rejected():
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x) - 0.1 * jnp.sum(x ** 4)
+
+    res = qnm.chees_sample(
+        logdensity, jax.random.PRNGKey(4), jnp.ones((4, 3)),
+        n_samples=30, n_warmup=0, step_size=1e6,
+    )
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert np.all(np.asarray(res.accept_rate) == 0.0)
+
+
+def test_chees_rejects_dense_mass():
+    with pytest.raises(ValueError, match="diagonal"):
+        qnm.chees_sample(
+            lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
+            jnp.zeros((2, 3)), mass=jnp.eye(3), n_samples=2, n_warmup=0,
+        )
