@@ -97,6 +97,26 @@ def main():
         f"|posterior mean - MAP| max {np.abs(post_mean - modes.mean(axis=0)).max():.3f}"
     )
 
+    # 5. alternative: ChEES-HMC (qnm.chees_sample) — trajectory length and
+    # diagonal mass learned ACROSS the chain fleet (no per-chain U-turn
+    # trees; the TPU-native take on NUTS adaptivity). Useful when no dense
+    # B is on hand or n is too big to want one.
+    chees = qnm.chees_sample(
+        model,
+        jax.random.PRNGKey(3),
+        jnp.asarray(chain_starts, dtype),
+        n_samples=300,
+        n_warmup=200,
+    )
+    cdraws = np.asarray(chees.samples).reshape(-1, dim)
+    print(
+        f"ChEES: adapted trajectory length {float(chees.traj_length):.3f}, "
+        f"step {float(chees.step_size):.3f}, mean acceptance "
+        f"{float(np.mean(np.asarray(chees.accept_rate))):.2f}, "
+        f"|posterior mean - MAP| max "
+        f"{np.abs(cdraws.mean(axis=0) - modes.mean(axis=0)).max():.3f}"
+    )
+
 
 if __name__ == "__main__":
     main()
