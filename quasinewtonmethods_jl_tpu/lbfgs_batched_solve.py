@@ -637,7 +637,14 @@ def optimize_lbfgs_batched_fused(
     ``gram_precision``: jax.lax.Precision for the O(m*n*batch) Gram and
     direction contractions (None = backend default, fastest; pass
     jax.lax.Precision.HIGHEST for ill-conditioned f32 fleets — ~30%
-    slower at large n, see the precision-policy note in the module)."""
+    slower at large n, see the precision-policy note in the module).
+
+    ``unroll``: chain this many masked iteration bodies per while step to
+    amortize per-step dispatch (trajectory-identical in exact arithmetic;
+    f32 rounding differs because XLA fuses across the chain). Measured on
+    a v5e via axon: unroll=2 is +16%/iter at 256x4096 (rings >= ~40 MB),
+    NEUTRAL at 4096x60 and SLOWER at 1024x512 — leave at 1 except for
+    very-large-n fleets."""
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
