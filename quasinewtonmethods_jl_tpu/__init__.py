@@ -39,6 +39,7 @@ from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
+from .diagnostics import ChainDiagnostics, diagnose_chains, ess, split_rhat
 from .sampling import (
     ChEESResult,
     HMCResult,
@@ -67,6 +68,10 @@ __all__ = [
     "bfgs_update",
     "initial_inv_hessian",
     "ChEESResult",
+    "ChainDiagnostics",
+    "diagnose_chains",
+    "ess",
+    "split_rhat",
     "HMCResult",
     "chain_init_from_map",
     "chees_sample",
