@@ -117,13 +117,18 @@ def main():
     # n >= 192) — beyond-reference
     for b, n6 in ((1024, 512), (256, 4096)):
         X = jnp.asarray(RNG.standard_normal((b, n6)), jnp.float32)
+        # unroll=2 pays only in the >= ~40 MB-ring regime (measured sweep:
+        # +16%/iter at 256x4096, slower at 1024x512 — STATUS.md)
+        unroll = 2 if n6 >= 2048 else 1
         t, res = timed(
             lambda X: qnm.optimize_lbfgs_batched(rosenbrock_logdensity, X,
                                                  history=10, tol=1e-3,
-                                                 max_iterations=3000), X)
+                                                 max_iterations=3000,
+                                                 unroll=unroll), X)
         conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
         emit(f"lbfgs_fleet_{b}x{n6}", t, {
-            "solves_per_sec": round(b / t, 1), "converged": conv})
+            "solves_per_sec": round(b / t, 1), "converged": conv,
+            "unroll": unroll})
 
     # 7. Mid-size n (past the full-tile Pallas VMEM envelope): auto-dispatch
     # takes the plane-blocked two-pass kernel here (n in [96, 192])

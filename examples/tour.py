@@ -128,6 +128,15 @@ def main():
     else:
         say("batched_sharded:     skipped (single device)")
 
+    # -- sampling + diagnostics (the MAP -> HMC workflow tail) --------------
+    gauss = lambda t: -0.5 * jnp.sum(t * t)
+    ch = qnm.chees_sample(gauss, key, jnp.zeros((16, 3), dtype),
+                          n_samples=150, n_warmup=100)
+    diag = qnm.diagnose_chains(ch.samples)
+    say(f"chees_sample:        traj {float(ch.traj_length):.2f}, "
+        f"max rhat {float(diag.rhat.max()):.3f}, "
+        f"min ess {float(diag.ess.min()):.0f}")
+
     # -- native host runtime -------------------------------------------------
     try:
         from quasinewtonmethods_jl_tpu.host import rosenbrock_host

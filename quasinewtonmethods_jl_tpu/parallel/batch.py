@@ -157,6 +157,7 @@ def optimize_lbfgs_batched(
     backend: str = "fused",
     stall_limit: int = STALL_LIMIT_DEFAULT,
     gram_precision=None,
+    unroll: int = 1,
 ):
     """Batched L-BFGS fleet: many independent large-n solves in one XLA
     computation (O(batch * m * n) memory — the regime where per-lane dense
@@ -179,10 +180,12 @@ def optimize_lbfgs_batched(
 
         return optimize_lbfgs_batched_fused(
             obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-            stall_limit, gram_precision,
+            stall_limit, gram_precision, unroll,
         )
     if backend != "vmap":
         raise ValueError(f"unknown backend {backend!r}; use 'fused' or 'vmap'")
+    if unroll != 1:
+        raise ValueError("unroll is a fused-engine option; use backend='fused'")
     return _optimize_lbfgs_batched_jit(
         obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
         direction_method, stall_limit,
