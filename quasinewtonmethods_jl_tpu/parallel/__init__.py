@@ -7,6 +7,7 @@ from .mesh import (
     optimize_batched_sharded,
     optimize_lbfgs_sharded,
     psum_dot,
+    sample_sharded,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "optimize_batched_sharded",
     "optimize_lbfgs_sharded",
     "psum_dot",
+    "sample_sharded",
 ]

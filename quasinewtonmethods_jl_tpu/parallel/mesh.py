@@ -57,6 +57,7 @@ __all__ = [
     "psum_dot",
     "optimize_batched_sharded",
     "optimize_lbfgs_sharded",
+    "sample_sharded",
 ]
 
 
@@ -108,6 +109,45 @@ def optimize_batched_sharded(
     x0s = jax.device_put(x0s, NamedSharding(mesh, P(axis, None)))
     with mesh:
         return optimize_batched_fused(obj, x0s, **kwargs)
+
+
+def sample_sharded(
+    obj,
+    key: jax.Array,
+    x0s: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    sampler: str = "chees",
+    **kwargs,
+):
+    """Multi-chip chain fleets: the chains axis sharded over `axis`.
+
+    The sampling half of the workflow scaled the same way as the solve
+    fleets: annotate the chains axis, let GSPMD partition the whole
+    scanned program. With ``sampler='hmc'`` every chain is independent
+    (per-chain adaptation) so there is no cross-device traffic at all;
+    with ``sampler='chees'`` the fleet adaptation's across-chain
+    reductions (the ChEES gradient's means, the fleet-mean acceptance,
+    the fleet-variance mass) lower to all-reduces over ICI — a few
+    scalars and one (n,) vector per round. kwargs pass through to
+    `hmc_sample` / `chees_sample`."""
+    from ..sampling import chees_sample, hmc_sample
+
+    samplers = {"chees": chees_sample, "hmc": hmc_sample}
+    if sampler not in samplers:
+        raise ValueError(
+            f"unknown sampler {sampler!r}; use 'chees' or 'hmc'"
+        )
+    x0s = jnp.asarray(x0s)
+    n_shards = mesh.shape[axis]
+    if x0s.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"chains ({x0s.shape[0]}) must divide evenly over mesh axis "
+            f"{axis!r} ({n_shards} shards)"
+        )
+    x0s = jax.device_put(x0s, NamedSharding(mesh, P(axis, None)))
+    with mesh:
+        return samplers[sampler](obj, key, x0s, **kwargs)
 
 
 def optimize_lbfgs_sharded(

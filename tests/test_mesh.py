@@ -154,3 +154,64 @@ def test_lbfgs_sharded_wolfe_slope_psum(rng):
     np.testing.assert_allclose(
         np.asarray(res_sh.x), np.asarray(res_un.x), atol=1e-6
     )
+
+
+def test_sample_sharded_hmc_matches_unsharded(rng):
+    """Chains sharded over the mesh with sampler='hmc' must match the
+    unsharded run to fp roundoff: every chain is independent (per-chain
+    adaptation, diag mass), so GSPMD partitioning introduces no
+    cross-device reductions — only re-fused per-chain arithmetic
+    (measured drift ~1e-8 over 60 MH rounds)."""
+    from quasinewtonmethods_jl_tpu.parallel import sample_sharded
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    chains, n = 16, 3
+    x0s = jnp.asarray(rng.standard_normal((chains, n)))
+    mesh = make_mesh({"data": 8})
+    kw = dict(n_samples=40, n_warmup=20, n_leapfrog=4)
+    sh = sample_sharded(
+        logdensity, jax.random.PRNGKey(0), x0s, mesh, sampler="hmc", **kw
+    )
+    un = qnm.hmc_sample(logdensity, jax.random.PRNGKey(0), x0s, **kw)
+    np.testing.assert_allclose(
+        np.asarray(sh.samples), np.asarray(un.samples), atol=1e-6
+    )
+
+
+def test_sample_sharded_chees_fleet_adaptation(rng):
+    """ChEES over the mesh: the fleet adaptation's across-chain reductions
+    lower to all-reduces. Cross-chain fp reduction order may differ from
+    the unsharded program (and MH accepts amplify any difference), so the
+    invariant checked is statistical: correct moments, clean R-hat, and a
+    sensible adapted state."""
+    from quasinewtonmethods_jl_tpu.parallel import sample_sharded
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    chains, n = 32, 2
+    mesh = make_mesh({"data": 8})
+    res = sample_sharded(
+        logdensity, jax.random.PRNGKey(1), jnp.zeros((chains, n)), mesh,
+        sampler="chees", n_samples=400, n_warmup=300,
+    )
+    draws = np.asarray(res.samples).reshape(-1, n)
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.12)
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.2)
+    assert float(res.step_size) > 0.0
+    d = qnm.diagnose_chains(res.samples)
+    assert np.all(d.rhat < 1.1)
+
+
+def test_sample_sharded_validation(rng):
+    from quasinewtonmethods_jl_tpu.parallel import sample_sharded
+
+    mesh = make_mesh({"data": 8})
+    with pytest.raises(ValueError, match="sampler"):
+        sample_sharded(lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
+                       jnp.zeros((16, 2)), mesh, sampler="nuts")
+    with pytest.raises(ValueError, match="divide"):
+        sample_sharded(lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
+                       jnp.zeros((12, 2)), mesh)
