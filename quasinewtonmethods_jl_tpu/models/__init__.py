@@ -1,12 +1,15 @@
 """Model zoo: analytic log-density fixtures mirroring the reference's test
 strategy (test/runtests.jl:4-33) plus the BASELINE.md benchmark configs."""
 
+from .funnel import FUNNEL_V_STD, funnel_logdensity
 from .logistic import LogisticRegressionMAP
 from .poisson import PoissonRegressionMAP
 from .quadratic import IllConditionedQuadratic, quadratic_logdensity
 from .rosenbrock import Rosenbrock, rosenbrock_logdensity, rosenbrock_value_and_grad
 
 __all__ = [
+    "FUNNEL_V_STD",
+    "funnel_logdensity",
     "LogisticRegressionMAP",
     "PoissonRegressionMAP",
     "IllConditionedQuadratic",

@@ -86,3 +86,22 @@ def test_huge_start_triggers_finite_phase(rng):
     assert int(res.status) in (qnm.Status.CONVERGED, qnm.Status.MAX_ITERATIONS,
                                qnm.Status.NONFINITE_VALUE)
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_funnel_map_extreme_curvature():
+    """Neal's funnel has an exact MAP at (v* = -4.5(n-1), x = 0) where the
+    Hessian spans ~6 orders of magnitude (x-curvature e^{-v*} vs
+    v-curvature 1/9). Both drivers must hit it at the reference-grade
+    gradient bar."""
+    from quasinewtonmethods_jl_tpu.models import funnel_logdensity
+
+    x0 = jnp.asarray([0.5, 0.1, 0.1, 0.1])
+    v_star = -4.5 * 3
+    for res in (
+        qnm.optimize(funnel_logdensity, x0),
+        qnm.optimize_lbfgs(funnel_logdensity, x0),
+    ):
+        assert int(res.status) == int(qnm.Status.CONVERGED)
+        np.testing.assert_allclose(float(res.x[0]), v_star, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.x[1:]), 0.0, atol=1e-8)
+        assert float(jnp.max(jnp.abs(res.grad))) < 1e-8

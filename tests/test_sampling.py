@@ -244,3 +244,25 @@ def test_chees_rejects_dense_mass():
             lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
             jnp.zeros((2, 3)), mass=jnp.eye(3), n_samples=2, n_warmup=0,
         )
+
+
+def test_chees_on_neals_funnel():
+    """The canonical pathological geometry: adapted fleet HMC must explore
+    BOTH the wide mouth (v > 2) and the narrow neck (v < -2) of a 6-dim
+    funnel and put the v-marginal variance in the right decade (exact:
+    var(v) = 9 — systematically underestimated by any fixed-metric HMC,
+    so the bar is coverage, not calibration)."""
+    from quasinewtonmethods_jl_tpu.models import funnel_logdensity
+
+    chains = 128
+    key = jax.random.PRNGKey(0)
+    x0s = 0.5 * jax.random.normal(jax.random.fold_in(key, 9), (chains, 6))
+    res = qnm.chees_sample(
+        funnel_logdensity, key, x0s, n_samples=1500, n_warmup=800,
+        target_accept=0.9,
+    )
+    v = np.asarray(res.samples[:, :, 0]).ravel()
+    assert np.isfinite(v).all()
+    assert (v > 2.0).mean() > 0.05    # mouth visited
+    assert (v < -2.0).mean() > 0.02   # neck visited
+    assert 3.0 < v.var() < 15.0       # right decade (exact = 9)
