@@ -268,7 +268,7 @@ def chees_sample(
     obj,
     key: jax.Array,
     x0s: jax.Array,  # (chains, n) initial positions (e.g. the MAP fleet)
-    mass: Optional[jax.Array] = None,  # (n,) diagonal ~ cov; None = adapt
+    mass: Optional[jax.Array] = None,  # (n,n) dense / (n,) diag ~ cov; None = adapt diag
     n_samples: int = 1000,
     n_warmup: int = 500,
     step_size: float = 0.1,
@@ -324,15 +324,23 @@ def chees_sample(
 
     if mass is not None:
         mass = jnp.asarray(mass, dtype)
-        if mass.ndim != 1:
-            raise ValueError(
-                "chees_sample supports diagonal mass only; use hmc_sample "
-                "for a dense preconditioner"
-            )
+        if mass.ndim not in (1, 2):
+            raise ValueError("mass must be (n, n) dense, (n,) diagonal, or None")
         adapt_mass = False
         mass0 = mass
     else:
         mass0 = jnp.ones((n,), dtype)
+    # dense (n, n) mass (e.g. the B from chain_init_from_map): static by
+    # construction (adaptation is diagonal-only), so its Cholesky is hoisted
+    # out of the loops; momenta p = U^-1 z give cov(p) = mass^-1 = M.
+    chol_u = (
+        jnp.linalg.cholesky(mass0).T if mass0.ndim == 2 else None
+    )
+
+    def apply_mass(mass_d, p):  # M^-1 p — the leapfrog velocity
+        if mass_d.ndim == 2:
+            return p @ mass_d.T
+        return mass_d[None, :] * p
 
     def grad_b(x):
         return vag_b(x)[1]
@@ -343,7 +351,7 @@ def chees_sample(
 
         def body(c):
             x, p, i = c
-            x = x + eps * (mass_d[None, :] * p)
+            x = x + eps * apply_mass(mass_d, p)
             g = grad_b(x)
             p = p + jnp.where(i < n_steps - 1, eps, 0.5 * eps) * g
             return x, p, i + 1
@@ -354,6 +362,8 @@ def chees_sample(
         return x, p
 
     def kinetic(p, mass_d):
+        if mass_d.ndim == 2:
+            return 0.5 * jnp.einsum("ci,ij,cj->c", p, mass_d, p)
         return 0.5 * jnp.sum(mass_d[None, :] * p * p, axis=1)
 
     def round_(x, f, log_eps, log_T, mass_d, u, k):
@@ -367,7 +377,12 @@ def chees_sample(
             jnp.round(t_jit / eps).astype(jnp.int32), 1, max_leapfrog
         )
         z = jax.random.normal(k, (chains, n), dtype)
-        p = z / jnp.sqrt(mass_d)[None, :]  # cov(p) = mass^-1 = M
+        if mass_d.ndim == 2:
+            p = jax.scipy.linalg.solve_triangular(
+                chol_u, z.T, lower=False
+            ).T
+        else:
+            p = z / jnp.sqrt(mass_d)[None, :]  # cov(p) = mass^-1 = M
         x_new, p_new = leapfrog_dyn(x, p, eps, mass_d, n_steps)
         f_new, _ = vag_b(x_new)
         log_ratio = (f_new - kinetic(p_new, mass_d)) - (f - kinetic(p, mass_d))
@@ -384,7 +399,7 @@ def chees_sample(
         w = x_new - jnp.mean(x_new, axis=0, keepdims=True)
         v = x - jnp.mean(x, axis=0, keepdims=True)
         delta = jnp.sum(w * w, axis=1) - jnp.sum(v * v, axis=1)
-        dxdt = mass_d[None, :] * p_new
+        dxdt = apply_mass(mass_d, p_new)
         per_chain = delta * jnp.sum(w * dxdt, axis=1)
         wsum = jnp.maximum(jnp.sum(a_prob), 1e-6)
         g_chees = jnp.sum(a_prob * per_chain) / wsum * t_jit
@@ -485,6 +500,8 @@ def chees_sample(
         accept_rate=jnp.mean(a_probs, axis=0),
         step_size=eps_final,
         traj_length=jnp.exp(log_T),
-        mass_diag=mass_final,
+        mass_diag=(
+            jnp.diagonal(mass_final) if mass_final.ndim == 2 else mass_final
+        ),
         final_x=x,
     )

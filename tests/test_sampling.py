@@ -238,11 +238,30 @@ def test_chees_divergence_rejected():
     assert np.all(np.asarray(res.accept_rate) == 0.0)
 
 
-def test_chees_rejects_dense_mass():
-    with pytest.raises(ValueError, match="diagonal"):
+def test_chees_dense_mass_from_map_handoff():
+    """The full handoff into ChEES: dense B ≈ cov as the mass makes the
+    correlated target ~isotropic, so short adapted trajectories sample it
+    well — and mass_diag reports the diagonal of the dense mass."""
+    logdensity, cov = _corr_gaussian(3)
+    res = qnm.chees_sample(
+        logdensity, jax.random.PRNGKey(9), jnp.zeros((48, 3)),
+        mass=jnp.asarray(cov), n_samples=700, n_warmup=300,
+    )
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    emp_cov = np.cov(draws.T)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.35 * np.abs(cov).max())
+    np.testing.assert_allclose(
+        np.asarray(res.mass_diag), np.diagonal(cov), rtol=1e-6
+    )
+    assert float(np.mean(np.asarray(res.accept_rate))) > 0.5
+
+
+def test_chees_rejects_bad_mass_shape():
+    with pytest.raises(ValueError, match="mass"):
         qnm.chees_sample(
             lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
-            jnp.zeros((2, 3)), mass=jnp.eye(3), n_samples=2, n_warmup=0,
+            jnp.zeros((2, 3)), mass=jnp.zeros((3, 3, 3)),
+            n_samples=2, n_warmup=0,
         )
 
 
