@@ -212,20 +212,16 @@ def _batched_push_incr(S, Y, rho, hist, head, gamma, SY, YY, step, y, g,
     HIGHEST precision, and strictly less bf16 re-rounding at default
     precision (regression-tested against the recompute oracle)."""
     mh = S.shape[0]
-    dtype = S.dtype
+    # the ring push itself is _batched_push_circular verbatim (ONE home for
+    # the cautious-push invariant); only accept/onehot are re-derived here
+    # for the Gram row/column writes — XLA CSEs the repeated sty reduction
+    S_out, Y_out, rho_out, hist_out, head_out, gamma_out = (
+        _batched_push_circular(S, Y, rho, hist, head, gamma, step, y, active)
+    )
     sty = jnp.sum(step * y, axis=0)  # (batch,)
-    yty = jnp.sum(y * y, axis=0)
     accept = (sty > 0.0) & active  # (batch,)
-
     ids = jnp.arange(mh)  # (m,)
     onehot = (ids[:, None] == head[None, :]) & accept[None, :]  # (m, batch)
-
-    S_out = jnp.where(onehot[:, None, :], step[None], S)
-    Y_out = jnp.where(onehot[:, None, :], y[None], Y)
-    rho_out = jnp.where(onehot, 1.0 / sty, rho)
-    head_out = jnp.where(accept, (head + 1) % mh, head)
-    hist_out = jnp.where(accept, jnp.minimum(hist + 1, mh), hist)
-    gamma_out = jnp.where(accept, sty / yty, gamma).astype(dtype)
 
     # one read of each ring for ALL Gram/gradient dots of this iteration
     RA = jnp.einsum(
@@ -345,18 +341,18 @@ def _compact_direction_from_grams(SY, YY, Sg, Yg, S, Y, hist, head, gamma,
 # circular 31.4k solves/s; 1024x512 circular 1.29x; 256x4096 2.05x.
 _RING_CIRCULAR_MIN_N = 192
 
-# Trace-time A/B switch for the circular path's Gram strategy (True =
-# incremental SY/YY carry, False = full recompute every iteration).
-# Measured on hardware (scripts/tpu_experiments_r2l.py, one v5e via axon):
-# WALL-NEUTRAL at both 1024x512 (381 vs 377 us/iter) and 256x4096 (688 vs
-# 690) — the circular iteration at these sizes is bound by per-invocation
-# launch/dispatch tax (~118 us, see STATUS.md axon-sync economics), not by
-# the ~3 ring passes the incremental carry saves (which would be ~60 us at
-# 1024x512). Default stays on the simpler recompute path; the incremental
-# path is kept, tested (test_incremental_gram_matches_recompute), and
-# flag-selectable for non-tunneled runtimes where HBM bandwidth actually
-# binds.
-_INCREMENTAL_GRAM = False
+# The circular path's Gram strategy is the static ``incremental_gram``
+# kwarg (True = incremental SY/YY carry, False = full recompute every
+# iteration — a jit static arg, NOT a module global, per the CLAUDE.md
+# trace-cache rule). Measured on hardware (scripts/tpu_experiments_r2l.py,
+# one v5e via axon): WALL-NEUTRAL at both 1024x512 (381 vs 377 us/iter)
+# and 256x4096 (688 vs 690) — the circular iteration at these sizes is
+# bound by per-invocation launch/dispatch tax (~118 us, see STATUS.md
+# axon-sync economics), not by the ~3 ring passes the incremental carry
+# saves (~60 us at 1024x512). Default False = the simpler recompute path;
+# the incremental path is kept, tested
+# (test_incremental_gram_matches_recompute), and selectable for
+# non-tunneled runtimes where HBM bandwidth actually binds.
 
 
 def _lbfgs_loop_batched(
@@ -365,6 +361,7 @@ def _lbfgs_loop_batched(
     circular: bool = True,
     gram_precision=None,
     unroll: int = 1,
+    incremental_gram: bool = False,
 ) -> _LCarry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
@@ -412,7 +409,7 @@ def _lbfgs_loop_batched(
         active = (status_pre == Status.RUNNING) & was_active
 
         y_pair = c.G_old - g
-        if circular and _INCREMENTAL_GRAM:
+        if circular and incremental_gram:
             (S, Y, rho, hist, head, gamma, SY, YY, Sg, Yg) = (
                 _batched_push_incr(
                     c.S, c.Y, c.rho, c.hist, c.head, c.gamma, c.SY, c.YY,
@@ -523,12 +520,13 @@ def _lbfgs_loop_batched(
     jax.jit,
     static_argnames=(
         "obj", "history", "ls", "max_iterations", "value_and_grad_fn",
-        "stall_limit", "gram_precision", "unroll",
+        "stall_limit", "gram_precision", "unroll", "incremental_gram",
     ),
 )
 def _optimize_lbfgs_batched_fused_jit(
     obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
     stall_limit=STALL_LIMIT_DEFAULT, gram_precision=None, unroll=1,
+    incremental_gram=False,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -540,7 +538,7 @@ def _optimize_lbfgs_batched_fused_jit(
     circular = n >= _RING_CIRCULAR_MIN_N
     gram_shape = (
         (history, history, batch)
-        if circular and _INCREMENTAL_GRAM
+        if circular and incremental_gram
         else (1, 1, 1)
     )
     zero_v = jnp.zeros((n, batch), dtype)
@@ -568,7 +566,8 @@ def _optimize_lbfgs_batched_fused_jit(
         stall=zero_i,
     )
     fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
-                             stall_limit, circular, gram_precision, unroll)
+                             stall_limit, circular, gram_precision, unroll,
+                             incremental_gram)
     return _result_from_lcarry(fc, circular)
 
 
@@ -631,6 +630,7 @@ def optimize_lbfgs_batched_fused(
     stall_limit: int = STALL_LIMIT_DEFAULT,
     gram_precision=None,
     unroll: int = 1,
+    incremental_gram: bool = False,
 ) -> LBFGSResult:
     """Masked-lockstep batched L-BFGS (the throughput engine for fleets).
 
@@ -650,7 +650,7 @@ def optimize_lbfgs_batched_fused(
         raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
     return _optimize_lbfgs_batched_fused_jit(
         obj, x0s, history, ls, tol, max_iterations, value_and_grad_fn,
-        stall_limit, gram_precision, unroll,
+        stall_limit, gram_precision, unroll, incremental_gram,
     )
 
 
@@ -658,12 +658,13 @@ def optimize_lbfgs_batched_fused(
     jax.jit,
     static_argnames=(
         "obj", "ls", "max_iterations", "value_and_grad_fn",
-        "stall_limit", "gram_precision", "unroll",
+        "stall_limit", "gram_precision", "unroll", "incremental_gram",
     ),
 )
 def _optimize_lbfgs_batched_fused_resume_jit(
     obj, state, ls, tol, max_iterations, value_and_grad_fn,
     stall_limit=STALL_LIMIT_DEFAULT, gram_precision=None, unroll=1,
+    incremental_gram=False,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -675,7 +676,7 @@ def _optimize_lbfgs_batched_fused_resume_jit(
     circular = n >= _RING_CIRCULAR_MIN_N
     S0 = jnp.moveaxis(state.S, 0, -1)  # canonical order IS a valid ring
     Y0 = jnp.moveaxis(state.Y, 0, -1)
-    if circular and _INCREMENTAL_GRAM:
+    if circular and incremental_gram:
         # seed the incremental Grams from the loaded ring — once per resume
         SY0 = jnp.einsum("inb,jnb->ijb", S0, Y0, precision=gram_precision)
         YY0 = jnp.einsum("inb,jnb->ijb", Y0, Y0, precision=gram_precision)
@@ -710,7 +711,8 @@ def _optimize_lbfgs_batched_fused_resume_jit(
         stall=jnp.zeros_like(state.stall),
     )
     fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
-                             stall_limit, circular, gram_precision, unroll)
+                             stall_limit, circular, gram_precision, unroll,
+                             incremental_gram)
     return _result_from_lcarry(fc, circular)
 
 
@@ -724,6 +726,7 @@ def optimize_lbfgs_batched_fused_from_state(
     stall_limit: int = STALL_LIMIT_DEFAULT,
     gram_precision=None,
     unroll: int = 1,
+    incremental_gram: bool = False,
 ) -> LBFGSResult:
     """Resume a batched L-BFGS fleet from a (possibly checkpointed) batched
     LBFGSState — the L-BFGS analog of `optimize_batched_fused_from_state`.
@@ -742,5 +745,5 @@ def optimize_lbfgs_batched_fused_from_state(
         )
     return _optimize_lbfgs_batched_fused_resume_jit(
         obj, state, ls, tol, max_iterations, value_and_grad_fn,
-        stall_limit, gram_precision, unroll,
+        stall_limit, gram_precision, unroll, incremental_gram,
     )

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .api import as_value_and_grad
+from .api import as_value_and_grad, as_value_fn
 
 __all__ = [
     "HMCResult",
@@ -75,6 +75,51 @@ def chain_init_from_map(result, jitter: float = 0.0, key=None):
     if jitter and key is not None:
         x0s = x0s + jitter * jax.random.normal(key, x0s.shape, x0s.dtype)
     return x0s, mass
+
+
+def _mass_setup(mass, n, dtype):
+    """(mass_arr, chol_u) for a covariance-like preconditioner: (n, n)
+    dense (chol_u = upper Cholesky factor, momenta p = U^-1 z have
+    cov(p) = mass^-1 = M), (n,) diagonal, or None (identity diagonal).
+    ONE home for the validation + Cholesky both samplers share."""
+    if mass is None:
+        return jnp.ones((n,), dtype), None
+    mass = jnp.asarray(mass, dtype)
+    if mass.ndim == 2:
+        return mass, jnp.linalg.cholesky(mass).T
+    if mass.ndim == 1:
+        return mass, None
+    raise ValueError("mass must be (n, n), (n,), or None")
+
+
+def _draw_momentum(k, chains, n, dtype, mass_arr, chol_u):
+    z = jax.random.normal(k, (chains, n), dtype)
+    if mass_arr.ndim == 2:
+        return jax.scipy.linalg.solve_triangular(chol_u, z.T, lower=False).T
+    return z / jnp.sqrt(mass_arr)[None, :]
+
+
+def _kinetic(p, mass_arr):
+    """0.5 p' M^-1 p with M^-1 = mass_arr (dense or diagonal)."""
+    if mass_arr.ndim == 2:
+        return 0.5 * jnp.einsum("ci,ij,cj->c", p, mass_arr, p)
+    return 0.5 * jnp.sum(mass_arr[None, :] * p * p, axis=1)
+
+
+# Dual averaging toward a target acceptance (Hoffman & Gelman 2014, the
+# standard schedule). Elementwise: works for per-chain vectors (hmc_sample)
+# and the fleet-mean scalar (chees_sample) alike.
+_DA_T0, _DA_KAPPA, _DA_GAMMA = 10.0, 0.75, 0.05
+
+
+def _da_update(h_bar, log_eps_bar, t, accept_err, mu):
+    t = t + 1.0
+    eta = 1.0 / (t + _DA_T0)
+    h_bar = (1.0 - eta) * h_bar + eta * accept_err
+    log_eps = mu - jnp.sqrt(t) / _DA_GAMMA * h_bar
+    w = t ** (-_DA_KAPPA)
+    log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+    return log_eps, log_eps_bar, h_bar, t
 
 
 def _leapfrog(grad_fn, x, p, eps, mass, n_steps):
@@ -126,33 +171,14 @@ def hmc_sample(
     """
     vag = as_value_and_grad(obj, value_and_grad_fn)
     vag_b = jax.vmap(vag)
+    # value-only for Metropolis ratios: the trajectory's final gradient was
+    # already computed inside the leapfrog — never pay a second backward
+    f_b = jax.vmap(as_value_fn(obj, value_and_grad_fn))
 
     chains, n = x0s.shape
     dtype = x0s.dtype
 
-    if mass is None:
-        mass_b = jnp.ones((n,), dtype)
-        chol_u = None  # identity: momenta are standard normal
-    else:
-        mass_b = mass
-        if mass.ndim == 2:
-            # p = L^-T z => cov(p) = (L L^T)^-1 = mass^-1: exactly N(0, M)
-            chol_u = jnp.linalg.cholesky(mass).T  # upper triangular
-        elif mass.ndim == 1:
-            chol_u = None
-        else:
-            raise ValueError("mass must be (n, n), (n,), or None")
-
-    def draw_momentum(k):
-        z = jax.random.normal(k, (chains, n), dtype)
-        if mass_b.ndim == 2:
-            return jax.scipy.linalg.solve_triangular(chol_u, z.T, lower=False).T
-        return z / jnp.sqrt(mass_b)[None, :]
-
-    def kinetic(p):  # 0.5 p' M^-1 p with M^-1 = mass
-        if mass_b.ndim == 2:
-            return 0.5 * jnp.einsum("ci,ij,cj->c", p, mass_b, p)
-        return 0.5 * jnp.sum(mass_b[None, :] * p * p, axis=1)
+    mass_b, chol_u = _mass_setup(mass, n, dtype)
 
     def leap_b(x, p, eps):
         def one(xc, pc, ec):
@@ -162,10 +188,10 @@ def hmc_sample(
 
     def hmc_step(x, f, eps, k):
         k1, k2 = jax.random.split(k)
-        p = draw_momentum(k1)
+        p = _draw_momentum(k1, chains, n, dtype, mass_b, chol_u)
         x_new, p_new = leap_b(x, p, eps)
-        f_new, _ = vag_b(x_new)
-        log_ratio = (f_new - kinetic(p_new)) - (f - kinetic(p))
+        f_new = f_b(x_new)
+        log_ratio = (f_new - _kinetic(p_new, mass_b)) - (f - _kinetic(p, mass_b))
         # NaN-robust: a diverged trajectory (non-finite ratio) is rejected
         accept_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
         accept_prob = jnp.where(jnp.isfinite(accept_prob), accept_prob, 0.0)
@@ -175,21 +201,17 @@ def hmc_sample(
         f = jnp.where(acc, f_new, f)
         return x, f, acc, accept_prob
 
-    f0, _ = vag_b(x0s)
+    f0 = f_b(x0s)
 
     # ---- warmup: dual averaging toward target_accept (per chain) ----
     mu = jnp.log(10.0 * jnp.asarray(step_size, dtype))
-    t0, kappa, gamma_da = 10.0, 0.75, 0.05
 
     def warm_body(carry, k):
         x, f, log_eps, log_eps_bar, h_bar, t = carry
         x, f, _acc, a_prob = hmc_step(x, f, jnp.exp(log_eps), k)
-        t = t + 1.0
-        eta = 1.0 / (t + t0)
-        h_bar = (1.0 - eta) * h_bar + eta * (target_accept - a_prob)
-        log_eps = mu - jnp.sqrt(t) / gamma_da * h_bar
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        log_eps, log_eps_bar, h_bar, t = _da_update(
+            h_bar, log_eps_bar, t, target_accept - a_prob, mu
+        )
         return (x, f, log_eps, log_eps_bar, h_bar, t), None
 
     log_eps0 = jnp.full((chains,), jnp.log(jnp.asarray(step_size, dtype)))
@@ -318,24 +340,19 @@ def chees_sample(
     """
     vag = as_value_and_grad(obj, value_and_grad_fn)
     vag_b = jax.vmap(vag)
+    # value-only for Metropolis ratios: the trajectory's final gradient was
+    # already computed inside the leapfrog — never pay a second backward
+    f_b = jax.vmap(as_value_fn(obj, value_and_grad_fn))
 
     chains, n = x0s.shape
     dtype = x0s.dtype
 
+    # dense (n, n) mass (e.g. the B from chain_init_from_map) is static by
+    # construction (adaptation is diagonal-only), so _mass_setup's Cholesky
+    # is hoisted out of both scans
+    mass0, chol_u = _mass_setup(mass, n, dtype)
     if mass is not None:
-        mass = jnp.asarray(mass, dtype)
-        if mass.ndim not in (1, 2):
-            raise ValueError("mass must be (n, n) dense, (n,) diagonal, or None")
         adapt_mass = False
-        mass0 = mass
-    else:
-        mass0 = jnp.ones((n,), dtype)
-    # dense (n, n) mass (e.g. the B from chain_init_from_map): static by
-    # construction (adaptation is diagonal-only), so its Cholesky is hoisted
-    # out of the loops; momenta p = U^-1 z give cov(p) = mass^-1 = M.
-    chol_u = (
-        jnp.linalg.cholesky(mass0).T if mass0.ndim == 2 else None
-    )
 
     def apply_mass(mass_d, p):  # M^-1 p — the leapfrog velocity
         if mass_d.ndim == 2:
@@ -361,11 +378,6 @@ def chees_sample(
         )
         return x, p
 
-    def kinetic(p, mass_d):
-        if mass_d.ndim == 2:
-            return 0.5 * jnp.einsum("ci,ij,cj->c", p, mass_d, p)
-        return 0.5 * jnp.sum(mass_d[None, :] * p * p, axis=1)
-
     def round_(x, f, log_eps, log_T, mass_d, u, k):
         """One jittered-trajectory HMC round shared by warmup/sampling.
 
@@ -376,16 +388,12 @@ def chees_sample(
         n_steps = jnp.clip(
             jnp.round(t_jit / eps).astype(jnp.int32), 1, max_leapfrog
         )
-        z = jax.random.normal(k, (chains, n), dtype)
-        if mass_d.ndim == 2:
-            p = jax.scipy.linalg.solve_triangular(
-                chol_u, z.T, lower=False
-            ).T
-        else:
-            p = z / jnp.sqrt(mass_d)[None, :]  # cov(p) = mass^-1 = M
+        p = _draw_momentum(k, chains, n, dtype, mass_d, chol_u)
         x_new, p_new = leapfrog_dyn(x, p, eps, mass_d, n_steps)
-        f_new, _ = vag_b(x_new)
-        log_ratio = (f_new - kinetic(p_new, mass_d)) - (f - kinetic(p, mass_d))
+        f_new = f_b(x_new)
+        log_ratio = (f_new - _kinetic(p_new, mass_d)) - (
+            f - _kinetic(p, mass_d)
+        )
         a_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
         a_prob = jnp.where(jnp.isfinite(a_prob), a_prob, 0.0)
         u_mh = jax.random.uniform(jax.random.fold_in(k, 7), (chains,), dtype)
@@ -406,12 +414,14 @@ def chees_sample(
         g_chees = jnp.where(jnp.isfinite(g_chees), g_chees, 0.0)
         return x_out, f_out, a_prob, g_chees
 
-    f0, _ = vag_b(x0s)
-    us = _halton(n_warmup + n_samples)
+    f0 = f_b(x0s)
+    # astype(dtype): _halton builds in f64; without the cast, f32 chains
+    # under jax_enable_x64 promote the warmup carry (t_jit -> g_chees ->
+    # log_T/m1/m2) to f64 and lax.scan rejects the carry (regression-tested)
+    us = _halton(n_warmup + n_samples).astype(dtype)
 
     # ---- warmup: joint (eps, T, mass) adaptation ----
     mu = jnp.log(10.0 * jnp.asarray(step_size, dtype))
-    t0, kappa, gamma_da = 10.0, 0.75, 0.05
     b1, b2, adam_lr = 0.9, 0.95, 0.025
     log_T_min = jnp.log(jnp.asarray(step_size, dtype) * 0.5)
     mass_freeze = max(n_warmup // 2, 1)
@@ -424,14 +434,9 @@ def chees_sample(
         x, f, a_prob, g_chees = round_(x, f, log_eps, log_T, mass_d, u, k)
 
         # dual averaging on the fleet-mean acceptance
-        tda = tda + 1.0
-        eta = 1.0 / (tda + t0)
-        h_bar = (1.0 - eta) * h_bar + eta * (
-            target_accept - jnp.mean(a_prob)
+        log_eps, log_eps_bar, h_bar, tda = _da_update(
+            h_bar, log_eps_bar, tda, target_accept - jnp.mean(a_prob), mu
         )
-        log_eps = mu - jnp.sqrt(tda) / gamma_da * h_bar
-        wda = tda ** (-kappa)
-        log_eps_bar = wda * log_eps + (1.0 - wda) * log_eps_bar
 
         # Adam ascent on log T with the ChEES gradient
         tad = tad + 1.0

@@ -16,12 +16,11 @@ for batch, n in ((1024, 512), (256, 4096)):
     X = jnp.asarray(RNG.standard_normal((batch, n)) * 0.5 + 1.0, jnp.float32)
     float(jnp.sum(X))
     for mode in ("incr", "recompute", "incr2"):
-        lbs._INCREMENTAL_GRAM = mode.startswith("incr")
-        lbs._optimize_lbfgs_batched_fused_jit._clear_cache()
+        inc = mode.startswith("incr")
         def run():
             out = lbs.optimize_lbfgs_batched_fused(
                 rosenbrock_logdensity, X, history=10, tol=1e-3,
-                max_iterations=3000)
+                max_iterations=3000, incremental_gram=inc)
             float(jnp.sum(out.x) + jnp.sum(out.status))
             return out
         out = run()

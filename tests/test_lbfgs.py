@@ -349,12 +349,12 @@ def test_lbfgs_unroll_is_trajectory_identical(n, rng):
     )
 
 
-def test_incremental_gram_engine_matches_default(rng, monkeypatch):
-    """Whole-solve A/B of the _INCREMENTAL_GRAM flag: the carried-Gram
-    engine must converge the same lanes in ~the same iterations as the
-    recompute engine (trajectories round differently — the Grams come from
-    differently-shaped contractions — so statuses/optima are compared, not
-    bits)."""
+def test_incremental_gram_engine_matches_default(rng):
+    """Whole-solve A/B of the incremental_gram static kwarg: the
+    carried-Gram engine must converge the same lanes in ~the same
+    iterations as the recompute engine (trajectories round differently —
+    the Grams come from differently-shaped contractions — so
+    statuses/optima are compared, not bits)."""
     import quasinewtonmethods_jl_tpu.lbfgs_batched_solve as lbs
 
     n = 256
@@ -362,12 +362,10 @@ def test_incremental_gram_engine_matches_default(rng, monkeypatch):
     base = lbs.optimize_lbfgs_batched_fused(
         rosenbrock_logdensity, X0, history=5, tol=1e-6
     )
-    monkeypatch.setattr(lbs, "_INCREMENTAL_GRAM", True)
-    lbs._optimize_lbfgs_batched_fused_jit._clear_cache()
     incr = lbs.optimize_lbfgs_batched_fused(
-        rosenbrock_logdensity, X0, history=5, tol=1e-6
+        rosenbrock_logdensity, X0, history=5, tol=1e-6,
+        incremental_gram=True,
     )
-    lbs._optimize_lbfgs_batched_fused_jit._clear_cache()
     np.testing.assert_array_equal(
         np.asarray(incr.status), np.asarray(base.status)
     )

@@ -256,6 +256,19 @@ def test_chees_dense_mass_from_map_handoff():
     assert float(np.mean(np.asarray(res.accept_rate))) > 0.5
 
 
+def test_chees_float32_chains_under_x64():
+    """Regression: the Halton jitter sequence is built in f64; without the
+    astype cast, f32 chains in an x64-enabled process (this suite's CPU
+    parity mode) promoted the warmup carry (t_jit -> g_chees -> log_T/Adam
+    moments) and lax.scan raised a carry-dtype mismatch."""
+    res = qnm.chees_sample(
+        lambda x: -0.5 * jnp.sum(x * x), jax.random.PRNGKey(0),
+        jnp.zeros((8, 3), jnp.float32), n_samples=10, n_warmup=10,
+    )
+    assert res.samples.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+
+
 def test_chees_rejects_bad_mass_shape():
     with pytest.raises(ValueError, match="mass"):
         qnm.chees_sample(
