@@ -43,9 +43,11 @@ from .diagnostics import ChainDiagnostics, diagnose_chains, ess, split_rhat
 from .sampling import (
     ChEESResult,
     HMCResult,
+    NUTSResult,
     chain_init_from_map,
     chees_sample,
     hmc_sample,
+    nuts_sample,
 )
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
@@ -73,9 +75,11 @@ __all__ = [
     "ess",
     "split_rhat",
     "HMCResult",
+    "NUTSResult",
     "chain_init_from_map",
     "chees_sample",
     "hmc_sample",
+    "nuts_sample",
     "minimize",
     "optimize",
     "optimize_batched",

@@ -36,8 +36,10 @@ from .api import as_value_and_grad, as_value_fn
 __all__ = [
     "HMCResult",
     "ChEESResult",
+    "NUTSResult",
     "hmc_sample",
     "chees_sample",
+    "nuts_sample",
     "chain_init_from_map",
 ]
 
@@ -508,5 +510,306 @@ def chees_sample(
         mass_diag=(
             jnp.diagonal(mass_final) if mass_final.ndim == 2 else mass_final
         ),
+        final_x=x,
+    )
+
+
+class NUTSResult(NamedTuple):
+    """Samples and diagnostics for a batched NUTS run.
+
+    samples: (n_samples, chains, n) post-warmup draws
+    accept_prob: (chains,) mean leaf acceptance-probability surrogate
+    step_size: (chains,) adapted leapfrog step size
+    mean_tree_depth: (chains,) mean doublings per draw over sampling
+    final_x: (chains, n) last state (resumable)
+    """
+
+    samples: jax.Array
+    accept_prob: jax.Array
+    step_size: jax.Array
+    mean_tree_depth: jax.Array
+    final_x: jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "value_and_grad_fn", "n_samples", "n_warmup", "step_size",
+        "max_depth", "target_accept", "max_energy_change",
+    ),
+)
+def nuts_sample(
+    obj,
+    key: jax.Array,
+    x0s: jax.Array,  # (chains, n) initial positions (e.g. the MAP fleet)
+    mass: Optional[jax.Array] = None,  # (n,n) dense / (n,) diag ~ cov
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    step_size: float = 0.1,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    max_energy_change: float = 1000.0,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> NUTSResult:
+    """Batched multinomial NUTS (iterative formulation) over lockstep chains.
+
+    The No-U-Turn Sampler (Hoffman & Gelman 2014) with the modern
+    refinements Stan ships: multinomial sampling over the trajectory
+    (progressive within a subtree, biased toward the new subtree between
+    subtrees — Betancourt 2017), iterative tree building with a
+    checkpoint stack of O(max_depth) boundary states (the jittable
+    formulation, cf. numpyro's iterative NUTS), dual-averaged per-chain
+    step sizes driven by the standard leaf acceptance-probability
+    surrogate, and divergence rejection at ``max_energy_change``.
+
+    TPU shape discipline: everything is hand-batched over the chains
+    axis with explicit masks (like the fleet solvers) — trees double in
+    lockstep, chains that have U-turned/diverged are frozen, and the two
+    loops (doublings; leaves within a subtree) are `lax.while_loop`s
+    with cross-chain any-reduces, so a round ends as soon as EVERY chain
+    is done. The price of lockstep NUTS is that all chains wait for the
+    deepest tree each draw; `chees_sample` is the TPU-native alternative
+    that avoids this by construction (see docs/design.md) — NUTS is here
+    for parity with CPU/GPU workflows and for single/few-chain use.
+
+    U-turn checks between a stored checkpoint and the current leaf use
+    forward-time orientation dx = d * (x - x_ckpt) (leapfrog with -eps
+    traces the forward trajectory into the past, so stored momenta are
+    already forward-convention).
+    """
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    vag_b = jax.vmap(vag, in_axes=0, out_axes=(0, 0))
+
+    chains, n = x0s.shape
+    dtype = x0s.dtype
+    mass_b, chol_u = _mass_setup(mass, n, dtype)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    def velocity(p):  # M^-1 p
+        if mass_b.ndim == 2:
+            return p @ mass_b.T
+        return mass_b[None, :] * p
+
+    def leapfrog_step(x, p, g, eps_d):
+        """One leapfrog step; eps_d: (chains,) signed. Returns the new
+        (x, p, g, f) — ONE value_and_grad per leaf."""
+        e = eps_d[:, None]
+        p_half = p + 0.5 * e * g
+        x2 = x + e * velocity(p_half)
+        f2, g2 = vag_b(x2)
+        p2 = p_half + 0.5 * e * g2
+        return x2, p2, g2, f2
+
+    def no_uturn(dx, p_a, p_b):
+        """True where NOT turning: dx oriented forward-time."""
+        va = velocity(p_a)
+        vb = velocity(p_b)
+        return (jnp.sum(dx * va, axis=1) >= 0.0) & (
+            jnp.sum(dx * vb, axis=1) >= 0.0
+        )
+
+    max_e = jnp.asarray(max_energy_change, dtype)
+
+    def build_subtree(x_s, p_s, g_s, d, n_leaf, eps, h0, k, alive):
+        """Integrate n_leaf leaves from (x_s, p_s) in direction d (+-1),
+        multinomial-sampling a proposal and checking U-turns iteratively.
+
+        Checkpoint scheme (derived in-line): leaf i (0-based) stores its
+        state at stack slot popcount(i) when i is even; when i is odd,
+        the subtrees ending at i span [i - 2^k + 1, i] for k = 1..t
+        (t = trailing one-bits of i) and their start states sit at slots
+        popcount(i) - k — no slot is overwritten before its check
+        because any store between start s and end i adds set bits."""
+        eps_d = d.astype(dtype) * eps
+
+        stack_x = jnp.zeros((max_depth + 1, chains, n), dtype)
+        stack_p = jnp.zeros((max_depth + 1, chains, n), dtype)
+
+        def cond(c):
+            (i, x, p, g, lw, xp, fp, gp, turn, div, sa, na, sx, sp) = c
+            ok = alive & ~turn & ~div
+            return jnp.logical_and(i < n_leaf, jnp.any(ok))
+
+        def body(c):
+            (i, x, p, g, lw, xp, fp, gp, turn, div, sa, na, sx, sp) = c
+            act = alive & ~turn & ~div
+            x2, p2, g2, f2 = leapfrog_step(x, p, g, eps_d)
+            lw_leaf = f2 - _kinetic(p2, mass_b) - h0
+            bad = ~jnp.isfinite(lw_leaf) | (lw_leaf < -max_e)
+            div = div | (act & bad)
+            ok = act & ~bad
+            alpha = jnp.exp(jnp.minimum(lw_leaf, 0.0))
+            alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+            # progressive multinomial: take the new leaf w.p. w/W
+            lw_new = jnp.logaddexp(lw, lw_leaf)
+            u = jax.random.uniform(jax.random.fold_in(k, i), (chains,), dtype)
+            take = ok & (u < jnp.exp(lw_leaf - lw_new))
+            xp = jnp.where(take[:, None], x2, xp)
+            fp = jnp.where(take, f2, fp)
+            gp = jnp.where(take[:, None], g2, gp)
+            lw = jnp.where(ok, lw_new, lw)
+
+            slot = lax.population_count(i)
+            even = (i % 2) == 0
+
+            def store(sx_sp):
+                sx, sp = sx_sp
+                cur_x = lax.dynamic_index_in_dim(sx, slot, keepdims=False)
+                cur_p = lax.dynamic_index_in_dim(sp, slot, keepdims=False)
+                new_x = jnp.where(ok[:, None], x2, cur_x)
+                new_p = jnp.where(ok[:, None], p2, cur_p)
+                sx = lax.dynamic_update_index_in_dim(sx, new_x, slot, 0)
+                sp = lax.dynamic_update_index_in_dim(sp, new_p, slot, 0)
+                return sx, sp
+
+            def check(sx_sp):
+                sx, sp = sx_sp
+                t_ones = lax.population_count(i ^ (i + 1)) - 1
+
+                def chk(kk, turn_acc):
+                    do = kk <= t_ones
+                    ck = jnp.maximum(slot - kk, 0)
+                    x_ck = lax.dynamic_index_in_dim(sx, ck, keepdims=False)
+                    p_ck = lax.dynamic_index_in_dim(sp, ck, keepdims=False)
+                    dx = d.astype(dtype)[:, None] * (x2 - x_ck)
+                    good = no_uturn(dx, p_ck, p2)
+                    return turn_acc | (do & ok & ~good)
+
+                turn_new = lax.fori_loop(1, max_depth + 1, chk,
+                                         jnp.zeros_like(turn))
+                return turn_new
+
+            sx, sp = lax.cond(even, store, lambda s: s, (sx, sp))
+            turn = turn | lax.cond(
+                even, lambda s: jnp.zeros_like(turn), check, (sx, sp)
+            )
+
+            sa = sa + jnp.where(act, alpha, 0.0)
+            na = na + act.astype(jnp.int32)
+            # frozen lanes keep their previous endpoint state
+            m = ok[:, None]
+            return (i + 1, jnp.where(m, x2, x), jnp.where(m, p2, p),
+                    jnp.where(m, g2, g), lw, xp, fp, gp, turn, div, sa, na,
+                    sx, sp)
+
+        c0 = (
+            jnp.zeros((), jnp.int32), x_s, p_s, g_s,
+            jnp.full((chains,), neg_inf), x_s,
+            jnp.zeros((chains,), dtype), g_s,
+            jnp.zeros((chains,), bool), jnp.zeros((chains,), bool),
+            jnp.zeros((chains,), dtype), jnp.zeros((chains,), jnp.int32),
+            stack_x, stack_p,
+        )
+        (_, x_e, p_e, g_e, lw, xp, fp, gp, turn, div, sa, na, _, _) = (
+            lax.while_loop(cond, body, c0)
+        )
+        return x_e, p_e, g_e, lw, xp, fp, gp, turn, div, sa, na
+
+    def one_draw(x, f, g, eps, k):
+        """One NUTS transition for all chains. Returns the new (x, f, g),
+        the mean leaf-acceptance surrogate, and the tree depth."""
+        kp, kd = jax.random.split(k)
+        p0 = _draw_momentum(kp, chains, n, dtype, mass_b, chol_u)
+        h0 = f - _kinetic(p0, mass_b)
+
+        def cond(c):
+            return jnp.logical_and(c[0] < max_depth, jnp.any(~c[-1]))
+
+        def body(c):
+            (j, x_l, p_l, g_l, x_r, p_r, g_r, xp, fp, gp, lw_tot,
+             sa, na, depth, done) = c
+            kj = jax.random.fold_in(kd, j)
+            d = jax.random.rademacher(
+                jax.random.fold_in(kj, 0), (chains,), jnp.int32
+            )
+            fwd = d > 0
+            x_s = jnp.where(fwd[:, None], x_r, x_l)
+            p_s = jnp.where(fwd[:, None], p_r, p_l)
+            g_s = jnp.where(fwd[:, None], g_r, g_l)
+            (x_e, p_e, g_e, st_lw, st_xp, st_fp, st_gp, st_turn, st_div,
+             st_sa, st_na) = build_subtree(
+                x_s, p_s, g_s, d, jnp.int32(2) ** j, eps, h0,
+                jax.random.fold_in(kj, 1), ~done,
+            )
+            ok = ~done & ~st_turn & ~st_div
+            # biased progressive between subtrees: favor the new one
+            u = jax.random.uniform(
+                jax.random.fold_in(kj, 2), (chains,), dtype
+            )
+            take = ok & (u < jnp.exp(jnp.minimum(st_lw - lw_tot, 0.0)))
+            xp = jnp.where(take[:, None], st_xp, xp)
+            fp = jnp.where(take, st_fp, fp)
+            gp = jnp.where(take[:, None], st_gp, gp)
+            lw_tot = jnp.where(ok, jnp.logaddexp(lw_tot, st_lw), lw_tot)
+
+            okm = (ok & fwd)[:, None]
+            x_r = jnp.where(okm, x_e, x_r)
+            p_r = jnp.where(okm, p_e, p_r)
+            g_r = jnp.where(okm, g_e, g_r)
+            okm = (ok & ~fwd)[:, None]
+            x_l = jnp.where(okm, x_e, x_l)
+            p_l = jnp.where(okm, p_e, p_l)
+            g_l = jnp.where(okm, g_e, g_l)
+
+            # global U-turn across the merged tree's true-time ends
+            turn_g = ~no_uturn(x_r - x_l, p_l, p_r)
+            depth = depth + ok.astype(jnp.int32)
+            sa = sa + jnp.where(~done, st_sa, 0.0)
+            na = na + jnp.where(~done, st_na, 0)
+            done = done | st_turn | st_div | (ok & turn_g)
+            return (j + 1, x_l, p_l, g_l, x_r, p_r, g_r, xp, fp, gp,
+                    lw_tot, sa, na, depth, done)
+
+        c0 = (
+            jnp.zeros((), jnp.int32), x, p0, g, x, p0, g, x, f, g,
+            jnp.zeros((chains,), dtype),  # initial leaf weight exp(0)
+            jnp.zeros((chains,), dtype), jnp.zeros((chains,), jnp.int32),
+            jnp.zeros((chains,), jnp.int32), jnp.zeros((chains,), bool),
+        )
+        (_, _xl, _pl, _gl, _xr, _pr, _gr, xp, fp, gp, _lw, sa, na,
+         depth, _done) = lax.while_loop(cond, body, c0)
+        alpha = sa / jnp.maximum(na, 1).astype(dtype)
+        return xp, fp, gp, alpha, depth
+
+    f0, g0 = vag_b(x0s)
+
+    # ---- warmup: per-chain dual averaging on the leaf-accept surrogate ----
+    mu = jnp.log(10.0 * jnp.asarray(step_size, dtype))
+
+    def warm_body(carry, k):
+        x, f, g, log_eps, log_eps_bar, h_bar, t = carry
+        x, f, g, alpha, _depth = one_draw(x, f, g, jnp.exp(log_eps), k)
+        log_eps, log_eps_bar, h_bar, t = _da_update(
+            h_bar, log_eps_bar, t, target_accept - alpha, mu
+        )
+        return (x, f, g, log_eps, log_eps_bar, h_bar, t), None
+
+    log_eps0 = jnp.full((chains,), jnp.log(jnp.asarray(step_size, dtype)))
+    if n_warmup > 0:
+        (x, f, g, _le, log_eps_bar, _hb, _t), _ = lax.scan(
+            warm_body,
+            (x0s, f0, g0, log_eps0, log_eps0, jnp.zeros((chains,), dtype),
+             jnp.zeros((), dtype)),
+            jax.random.split(key, n_warmup),
+        )
+    else:
+        x, f, g, log_eps_bar = x0s, f0, g0, log_eps0
+    eps_final = jnp.exp(log_eps_bar)
+
+    # ---- sampling at the adapted step ----
+    def sample_body(carry, k):
+        x, f, g = carry
+        x, f, g, alpha, depth = one_draw(x, f, g, eps_final, k)
+        return (x, f, g), (x, alpha, depth)
+
+    key_s = jax.random.fold_in(key, 1)
+    (x, f, g), (samples, alphas, depths) = lax.scan(
+        sample_body, (x, f, g), jax.random.split(key_s, n_samples)
+    )
+    return NUTSResult(
+        samples=samples,
+        accept_prob=jnp.mean(alphas, axis=0),
+        step_size=eps_final,
+        mean_tree_depth=jnp.mean(depths.astype(dtype), axis=0),
         final_x=x,
     )

@@ -298,3 +298,114 @@ def test_chees_on_neals_funnel():
     assert (v > 2.0).mean() > 0.05    # mouth visited
     assert (v < -2.0).mean() > 0.02   # neck visited
     assert 3.0 < v.var() < 15.0       # right decade (exact = 9)
+
+
+# ---------------------------------------------------------------------------
+# NUTS (iterative multinomial formulation, lockstep fleet)
+# ---------------------------------------------------------------------------
+
+
+def test_nuts_standard_normal_moments_and_adaptation():
+    """N(0, I): moments within MC error; step size adapts to ~1 (the known
+    optimum for the unit Gaussian); trees stop well short of max_depth
+    (the U-turn criterion is actually firing)."""
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    res = qnm.nuts_sample(
+        logdensity, jax.random.PRNGKey(0), jnp.zeros((16, 3)),
+        n_samples=500, n_warmup=300, max_depth=6,
+    )
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.15)
+    assert 0.6 < float(np.mean(np.asarray(res.accept_prob))) <= 1.0
+    assert 0.4 < float(np.mean(np.asarray(res.step_size))) < 2.5
+    assert float(np.mean(np.asarray(res.mean_tree_depth))) < 4.0
+    d = qnm.diagnose_chains(res.samples)
+    assert np.all(d.rhat < 1.05)
+
+
+def test_nuts_adapts_depth_to_scale_spread():
+    """The point of NUTS: a 400x variance spread needs long trajectories
+    for the wide coordinate — trees must go DEEPER than on N(0, I), and
+    every scale must come out right without any tuning."""
+    scales = jnp.asarray([1.0, 25.0, 400.0])
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x / scales)
+
+    res = qnm.nuts_sample(
+        logdensity, jax.random.PRNGKey(1), jnp.zeros((32, 3)),
+        n_samples=800, n_warmup=400, max_depth=8,
+    )
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        draws.var(axis=0), np.asarray(scales), rtol=0.3
+    )
+    assert float(np.mean(np.asarray(res.mean_tree_depth))) > 2.0
+
+
+def test_nuts_dense_mass_from_map_handoff():
+    logdensity, cov = _corr_gaussian(3)
+    res = qnm.nuts_sample(
+        logdensity, jax.random.PRNGKey(2), jnp.zeros((32, 3)),
+        mass=jnp.asarray(cov), n_samples=700, n_warmup=300,
+    )
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        np.cov(draws.T), cov, atol=0.3 * np.abs(cov).max()
+    )
+    # ~isotropic after preconditioning: shallow trees
+    assert float(np.mean(np.asarray(res.mean_tree_depth))) < 4.0
+
+
+def test_nuts_on_neals_funnel():
+    """The geometry NUTS was built for: both tails of v covered and the
+    v-marginal variance in the right decade (exact = 9)."""
+    from quasinewtonmethods_jl_tpu.models import funnel_logdensity
+
+    res = qnm.nuts_sample(
+        funnel_logdensity, jax.random.PRNGKey(3),
+        0.5 * jax.random.normal(jax.random.PRNGKey(33), (64, 6)),
+        n_samples=1200, n_warmup=600, target_accept=0.9,
+    )
+    v = np.asarray(res.samples[:, :, 0]).ravel()
+    assert np.isfinite(v).all()
+    assert (v > 2.0).mean() > 0.05
+    assert (v < -2.0).mean() > 0.02
+    assert 4.0 < v.var() < 15.0
+
+
+def test_nuts_divergences_reject_in_band():
+    """A pathological step size must diverge on the FIRST leaf of every
+    tree: the chain never moves and everything stays finite."""
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x) - 0.1 * jnp.sum(x ** 4)
+
+    res = qnm.nuts_sample(
+        logdensity, jax.random.PRNGKey(4), jnp.ones((4, 3)),
+        n_samples=30, n_warmup=0, step_size=1e6,
+    )
+    s = np.asarray(res.samples)
+    assert np.isfinite(s).all()
+    np.testing.assert_array_equal(s, np.ones_like(s))  # all rejected
+    assert np.all(np.asarray(res.accept_prob) == 0.0)
+
+
+def test_nuts_reproducible_and_f32():
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    kw = dict(n_samples=20, n_warmup=10)
+    a = qnm.nuts_sample(logdensity, jax.random.PRNGKey(5),
+                        jnp.zeros((4, 2)), **kw)
+    b = qnm.nuts_sample(logdensity, jax.random.PRNGKey(5),
+                        jnp.zeros((4, 2)), **kw)
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
+
+    r = qnm.nuts_sample(logdensity, jax.random.PRNGKey(6),
+                        jnp.zeros((8, 3), jnp.float32),
+                        n_samples=40, n_warmup=40)
+    assert r.samples.dtype == jnp.float32
+    assert np.isfinite(np.asarray(r.samples)).all()
