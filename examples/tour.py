@@ -136,6 +136,10 @@ def main():
     say(f"chees_sample:        traj {float(ch.traj_length):.2f}, "
         f"max rhat {float(diag.rhat.max()):.3f}, "
         f"min ess {float(diag.ess.min()):.0f}")
+    nu = qnm.nuts_sample(gauss, key, jnp.zeros((8, 3), dtype),
+                         n_samples=100, n_warmup=80, max_depth=5)
+    say(f"nuts_sample:         depth {float(nu.mean_tree_depth.mean()):.1f}, "
+        f"accept {float(nu.accept_prob.mean()):.2f}")
 
     # -- native host runtime -------------------------------------------------
     try:

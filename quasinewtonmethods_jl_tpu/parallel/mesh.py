@@ -129,14 +129,17 @@ def sample_sharded(
     with ``sampler='chees'`` the fleet adaptation's across-chain
     reductions (the ChEES gradient's means, the fleet-mean acceptance,
     the fleet-variance mass) lower to all-reduces over ICI — a few
-    scalars and one (n,) vector per round. kwargs pass through to
-    `hmc_sample` / `chees_sample`."""
-    from ..sampling import chees_sample, hmc_sample
+    scalars and one (n,) vector per round; with ``sampler='nuts'`` the
+    per-chain trees are independent but the tree loops' early-exit
+    any-reduces become cross-device all-reduces. kwargs pass through to
+    the corresponding sampler."""
+    from ..sampling import chees_sample, hmc_sample, nuts_sample
 
-    samplers = {"chees": chees_sample, "hmc": hmc_sample}
+    samplers = {"chees": chees_sample, "hmc": hmc_sample,
+                "nuts": nuts_sample}
     if sampler not in samplers:
         raise ValueError(
-            f"unknown sampler {sampler!r}; use 'chees' or 'hmc'"
+            f"unknown sampler {sampler!r}; use 'chees', 'hmc' or 'nuts'"
         )
     x0s = jnp.asarray(x0s)
     n_shards = mesh.shape[axis]

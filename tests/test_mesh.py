@@ -205,13 +205,29 @@ def test_sample_sharded_chees_fleet_adaptation(rng):
     assert np.all(d.rhat < 1.1)
 
 
+def test_sample_sharded_nuts(rng):
+    """NUTS chains over the mesh: tree loops' early-exit any-reduces
+    become cross-device all-reduces; the partitioned program must run and
+    sample correctly."""
+    from quasinewtonmethods_jl_tpu.parallel import sample_sharded
+
+    mesh = make_mesh({"data": 8})
+    res = sample_sharded(
+        lambda x: -0.5 * jnp.sum(x * x), jax.random.PRNGKey(2),
+        jnp.zeros((16, 2)), mesh, sampler="nuts",
+        n_samples=300, n_warmup=200, max_depth=5,
+    )
+    draws = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.25)
+
+
 def test_sample_sharded_validation(rng):
     from quasinewtonmethods_jl_tpu.parallel import sample_sharded
 
     mesh = make_mesh({"data": 8})
     with pytest.raises(ValueError, match="sampler"):
         sample_sharded(lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
-                       jnp.zeros((16, 2)), mesh, sampler="nuts")
+                       jnp.zeros((16, 2)), mesh, sampler="slice")
     with pytest.raises(ValueError, match="divide"):
         sample_sharded(lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
                        jnp.zeros((12, 2)), mesh)
