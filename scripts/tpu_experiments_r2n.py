@@ -58,3 +58,20 @@ log(f"chees 4096x60: {best*1e3:.0f} ms, {n_samples*chains/best/1e3:.0f}k draws/s
     f"acc {float(jnp.mean(r.accept_rate)):.2f}, T {float(r.traj_length):.2f}, "
     f"eps {float(r.step_size):.3f}")
 log("done")
+
+# ---- appended: NUTS fleet throughput (the lockstep-tree cost, measured) ----
+def run_nuts():
+    r = qnm.nuts_sample(logdensity, jax.random.PRNGKey(2), x0s,
+                        n_samples=n_samples, n_warmup=n_warmup, max_depth=8)
+    float(jnp.sum(r.final_x) + jnp.sum(r.accept_prob))
+    return r
+
+if __name__ == "__main__" or True:
+    r = run_nuts(); best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter(); r = run_nuts()
+        best = min(best, time.perf_counter() - t0)
+    log(f"nuts 4096x60: {best*1e3:.0f} ms, {n_samples*chains/best/1e3:.0f}k draws/s, "
+        f"acc {float(jnp.mean(r.accept_prob)):.2f}, "
+        f"mean depth {float(jnp.mean(r.mean_tree_depth)):.2f}")
+    log("nuts done")
