@@ -34,3 +34,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(20260816)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound per-process XLA state: with ~300 tests compiling hundreds of
+    executables into one CPU client, the full suite started segfaulting
+    inside backend_compile near the end of the run (reproducibly late,
+    test-independent, with 125 GB RAM free — compiler-state accumulation,
+    not OOM; every file passes standalone). Dropping the compilation
+    caches at module boundaries keeps the client small; cross-module
+    recompiles are cheap because modules rarely share jit signatures."""
+    yield
+    jax.clear_caches()
