@@ -57,7 +57,7 @@ from .solve import (
 )
 from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_state
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "ProbabilityModel",
