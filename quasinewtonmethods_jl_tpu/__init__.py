@@ -40,6 +40,7 @@ from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
 from .diagnostics import ChainDiagnostics, diagnose_chains, ess, split_rhat
+from .laplace import laplace_evidence
 from .sampling import (
     ChEESResult,
     HMCResult,
@@ -76,6 +77,7 @@ __all__ = [
     "split_rhat",
     "HMCResult",
     "NUTSResult",
+    "laplace_evidence",
     "chain_init_from_map",
     "chees_sample",
     "hmc_sample",
