@@ -23,22 +23,26 @@ Two curvature sources:
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
-from .api import ProbabilityModel
+from .api import as_logdensity
 
 __all__ = ["laplace_evidence"]
 
-_LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+# math, not jnp: a module-level jnp op would run at package import (before
+# the user can enable x64 or pin the CPU backend — on the TPU machine it
+# would eagerly init the axon backend) and bake an f32-truncated constant
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 def _hessian_fn(obj):
-    if isinstance(obj, ProbabilityModel):
-        return jax.hessian(obj.logdensity)
-    return jax.hessian(obj)
+    # as_logdensity: the same normalizer every other entry point uses, so
+    # duck-typed .logdensity objects work here too
+    return jax.hessian(as_logdensity(obj))
 
 
 def laplace_evidence(

@@ -101,6 +101,13 @@ def _draw_momentum(k, chains, n, dtype, mass_arr, chol_u):
     return z / jnp.sqrt(mass_arr)[None, :]
 
 
+def _apply_mass(mass_arr, p):
+    """M^-1 p — the preconditioned leapfrog velocity (dense or diagonal)."""
+    if mass_arr.ndim == 2:
+        return p @ mass_arr.T
+    return mass_arr[None, :] * p
+
+
 def _kinetic(p, mass_arr):
     """0.5 p' M^-1 p with M^-1 = mass_arr (dense or diagonal)."""
     if mass_arr.ndim == 2:
@@ -356,11 +363,6 @@ def chees_sample(
     if mass is not None:
         adapt_mass = False
 
-    def apply_mass(mass_d, p):  # M^-1 p — the leapfrog velocity
-        if mass_d.ndim == 2:
-            return p @ mass_d.T
-        return mass_d[None, :] * p
-
     def grad_b(x):
         return vag_b(x)[1]
 
@@ -370,7 +372,7 @@ def chees_sample(
 
         def body(c):
             x, p, i = c
-            x = x + eps * apply_mass(mass_d, p)
+            x = x + eps * _apply_mass(mass_d, p)
             g = grad_b(x)
             p = p + jnp.where(i < n_steps - 1, eps, 0.5 * eps) * g
             return x, p, i + 1
@@ -409,7 +411,7 @@ def chees_sample(
         w = x_new - jnp.mean(x_new, axis=0, keepdims=True)
         v = x - jnp.mean(x, axis=0, keepdims=True)
         delta = jnp.sum(w * w, axis=1) - jnp.sum(v * v, axis=1)
-        dxdt = apply_mass(mass_d, p_new)
+        dxdt = _apply_mass(mass_d, p_new)
         per_chain = delta * jnp.sum(w * dxdt, axis=1)
         wsum = jnp.maximum(jnp.sum(a_prob), 1e-6)
         g_chees = jnp.sum(a_prob * per_chain) / wsum * t_jit
@@ -585,25 +587,20 @@ def nuts_sample(
     mass_b, chol_u = _mass_setup(mass, n, dtype)
     neg_inf = jnp.asarray(-jnp.inf, dtype)
 
-    def velocity(p):  # M^-1 p
-        if mass_b.ndim == 2:
-            return p @ mass_b.T
-        return mass_b[None, :] * p
-
     def leapfrog_step(x, p, g, eps_d):
         """One leapfrog step; eps_d: (chains,) signed. Returns the new
         (x, p, g, f) — ONE value_and_grad per leaf."""
         e = eps_d[:, None]
         p_half = p + 0.5 * e * g
-        x2 = x + e * velocity(p_half)
+        x2 = x + e * _apply_mass(mass_b, p_half)
         f2, g2 = vag_b(x2)
         p2 = p_half + 0.5 * e * g2
         return x2, p2, g2, f2
 
     def no_uturn(dx, p_a, p_b):
         """True where NOT turning: dx oriented forward-time."""
-        va = velocity(p_a)
-        vb = velocity(p_b)
+        va = _apply_mass(mass_b, p_a)
+        vb = _apply_mass(mass_b, p_b)
         return (jnp.sum(dx * va, axis=1) >= 0.0) & (
             jnp.sum(dx * vb, axis=1) >= 0.0
         )
@@ -675,7 +672,10 @@ def nuts_sample(
                     good = no_uturn(dx, p_ck, p2)
                     return turn_acc | (do & ok & ~good)
 
-                turn_new = lax.fori_loop(1, max_depth + 1, chk,
+                # traced upper bound: average trailing-ones of an odd
+                # leaf is ~2, so sweeping to max_depth with a mask wastes
+                # ~4x the checkpoint reads on the per-leaf hot path
+                turn_new = lax.fori_loop(1, t_ones + 1, chk,
                                          jnp.zeros_like(turn))
                 return turn_new
 

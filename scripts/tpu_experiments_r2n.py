@@ -66,12 +66,11 @@ def run_nuts():
     float(jnp.sum(r.final_x) + jnp.sum(r.accept_prob))
     return r
 
-if __name__ == "__main__" or True:
-    r = run_nuts(); best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter(); r = run_nuts()
-        best = min(best, time.perf_counter() - t0)
-    log(f"nuts 4096x60: {best*1e3:.0f} ms, {n_samples*chains/best/1e3:.0f}k draws/s, "
-        f"acc {float(jnp.mean(r.accept_prob)):.2f}, "
-        f"mean depth {float(jnp.mean(r.mean_tree_depth)):.2f}")
-    log("nuts done")
+r = run_nuts(); best = np.inf
+for _ in range(3):
+    t0 = time.perf_counter(); r = run_nuts()
+    best = min(best, time.perf_counter() - t0)
+log(f"nuts 4096x60: {best*1e3:.0f} ms, {n_samples*chains/best/1e3:.0f}k draws/s, "
+    f"acc {float(jnp.mean(r.accept_prob)):.2f}, "
+    f"mean depth {float(jnp.mean(r.mean_tree_depth)):.2f}")
+log("nuts done")

@@ -117,3 +117,20 @@ def test_linesearch_failure_lane_is_nan():
     assert int(res.status) == qnm.Status.LINESEARCH_FAILURE
     lz = qnm.laplace_evidence(res, obj=lambda x: -jnp.sum(x * x))
     assert np.isnan(float(lz))
+
+
+def test_duck_typed_logdensity_object():
+    """Regression: objects with a .logdensity method (accepted by every
+    other entry point via as_logdensity) must work in the exact-Hessian
+    path too — and the constant is full f64 (the old module-level jnp op
+    truncated log 2pi to f32 when x64 was enabled post-import)."""
+    class Duck:
+        def logdensity(self, x):
+            return -0.5 * jnp.sum(x * x)
+
+    duck = Duck()
+    res = qnm.optimize(duck, jnp.ones(3))
+    lz = qnm.laplace_evidence(res, obj=duck)
+    np.testing.assert_allclose(
+        float(lz), 1.5 * np.log(2 * np.pi), rtol=1e-12
+    )
