@@ -41,6 +41,7 @@ from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
 from .diagnostics import ChainDiagnostics, diagnose_chains, ess, split_rhat
 from .laplace import laplace_evidence
+from .workflow import MapThenSampleResult, map_then_sample
 from .sampling import (
     ChEESResult,
     HMCResult,
@@ -78,6 +79,8 @@ __all__ = [
     "HMCResult",
     "NUTSResult",
     "laplace_evidence",
+    "MapThenSampleResult",
+    "map_then_sample",
     "chain_init_from_map",
     "chees_sample",
     "hmc_sample",

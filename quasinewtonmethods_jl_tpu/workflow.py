@@ -1,0 +1,135 @@
+"""One-call MAP-then-sample pipeline — the reference's intended workflow
+as a single entry point.
+
+The reference is "the inner MAP engine for HMC chain initialization"
+(reference README.md:14); everything around it lived in other packages.
+Here the whole loop is in-framework, and `map_then_sample` packages it:
+
+    1. batched MAP solve from jittered starts (the fleet engines),
+    2. chain initialization + dense-B preconditioner from the fleet
+       (`chain_init_from_map`),
+    3. sampling — ChEES (fleet-adaptive, the TPU default), dense-mass
+       HMC, or NUTS,
+    4. convergence diagnostics (split R-hat + ESS) over the draws.
+
+Each stage is the same public API a user would call by hand; the pipeline
+adds the glue, the failure handling (no converged lanes -> ValueError
+naming the failure statuses), and one place to read the results.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .diagnostics import ChainDiagnostics, diagnose_chains
+from .parallel.batch import optimize_batched
+from .sampling import chain_init_from_map, chees_sample, hmc_sample, nuts_sample
+from .state import Status
+
+__all__ = ["MapThenSampleResult", "map_then_sample"]
+
+
+class MapThenSampleResult(NamedTuple):
+    """Everything the pipeline produced, stage by stage.
+
+    samples: (n_samples, chains, n) post-warmup draws
+    diagnostics: per-dimension split R-hat / ESS / moments
+    map_result: the full batched MAP fleet result
+    x_map: (n,) the best converged mode
+    mass: the preconditioner handed to the sampler ((n, n) B or None)
+    sampler_result: the sampler's own result object (adapted state etc.)
+    """
+
+    samples: jax.Array
+    diagnostics: ChainDiagnostics
+    map_result: object
+    x_map: jax.Array
+    mass: Optional[jax.Array]
+    sampler_result: object
+
+
+def map_then_sample(
+    obj,
+    key: jax.Array,
+    x0: jax.Array,  # (n,) center for jittered starts, or (chains, n) starts
+    n_chains: int = 64,
+    sampler: str = "chees",
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    init_scale: float = 1.0,
+    jitter: float = 0.05,
+    map_tol: float = 1e-6,
+    value_and_grad_fn: Optional[Callable] = None,
+    map_kwargs: Optional[dict] = None,
+    **sampler_kwargs,
+) -> MapThenSampleResult:
+    """MAP fleet -> preconditioner -> sampler -> diagnostics, in one call.
+
+    ``x0``: either an (n,) center (starts are x0 + init_scale * normal)
+    or explicit (chains, n) starts. ``sampler``: 'chees' (default —
+    fleet-adaptive trajectories + diagonal mass, TPU-native), 'hmc'
+    (dense-B preconditioned, fixed path length), or 'nuts'. The MAP
+    fleet's converged-lane-averaged B becomes the dense mass for 'hmc'
+    ('chees'/'nuts' adapt their own diagonal by default; pass
+    ``mass=...`` through ``sampler_kwargs`` to override). Raises
+    ValueError when NO lane converges (statuses quoted); partial
+    convergence proceeds on the converged lanes' mode.
+    """
+    samplers = {"chees": chees_sample, "hmc": hmc_sample, "nuts": nuts_sample}
+    if sampler not in samplers:
+        raise ValueError(
+            f"unknown sampler {sampler!r}; use 'chees', 'hmc' or 'nuts'"
+        )
+    x0 = jnp.asarray(x0)
+    k_init, k_jit, k_sample = jax.random.split(key, 3)
+    if x0.ndim == 1:
+        x0s = x0[None, :] + init_scale * jax.random.normal(
+            k_init, (n_chains, x0.shape[0]), x0.dtype
+        )
+    elif x0.ndim == 2:
+        x0s = x0
+        n_chains = x0.shape[0]
+    else:
+        raise ValueError(f"x0 must be (n,) or (chains, n), got {x0.shape}")
+
+    fleet = optimize_batched(
+        obj, x0s, tol=map_tol, value_and_grad_fn=value_and_grad_fn,
+        **(map_kwargs or {}),
+    )
+    converged = np.asarray(fleet.status) == Status.CONVERGED
+    if not converged.any():
+        counts = {
+            Status(s).name: int(c)
+            for s, c in zip(*np.unique(np.asarray(fleet.status),
+                                       return_counts=True))
+        }
+        raise ValueError(
+            f"MAP stage failed: no lane converged (statuses: {counts}); "
+            "loosen map_tol or improve the starts"
+        )
+
+    chains, mass = chain_init_from_map(fleet, jitter=jitter, key=k_jit)
+    best = int(np.nanargmax(np.where(converged, np.asarray(fleet.fun),
+                                     -np.inf)))
+    x_map = fleet.x[best]
+
+    kw = dict(
+        n_samples=n_samples, n_warmup=n_warmup,
+        value_and_grad_fn=value_and_grad_fn, **sampler_kwargs,
+    )
+    if sampler == "hmc" and "mass" not in kw:
+        kw["mass"] = mass  # the dense-B handoff is the point of 'hmc'
+    res = samplers[sampler](obj, k_sample, chains, **kw)
+
+    return MapThenSampleResult(
+        samples=res.samples,
+        diagnostics=diagnose_chains(res.samples),
+        map_result=fleet,
+        x_map=x_map,
+        mass=kw.get("mass"),
+        sampler_result=res,
+    )
