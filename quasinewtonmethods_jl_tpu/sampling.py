@@ -523,6 +523,7 @@ class NUTSResult(NamedTuple):
     accept_prob: (chains,) mean leaf acceptance-probability surrogate
     step_size: (chains,) adapted leapfrog step size
     mean_tree_depth: (chains,) mean doublings per draw over sampling
+    mass_diag: (n,) the (possibly fleet-adapted) diagonal preconditioner
     final_x: (chains, n) last state (resumable)
     """
 
@@ -530,6 +531,7 @@ class NUTSResult(NamedTuple):
     accept_prob: jax.Array
     step_size: jax.Array
     mean_tree_depth: jax.Array
+    mass_diag: jax.Array
     final_x: jax.Array
 
 
@@ -537,7 +539,7 @@ class NUTSResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "obj", "value_and_grad_fn", "n_samples", "n_warmup", "step_size",
-        "max_depth", "target_accept", "max_energy_change",
+        "max_depth", "target_accept", "max_energy_change", "adapt_mass",
     ),
 )
 def nuts_sample(
@@ -551,6 +553,7 @@ def nuts_sample(
     max_depth: int = 8,
     target_accept: float = 0.8,
     max_energy_change: float = 1000.0,
+    adapt_mass: bool = True,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> NUTSResult:
     """Batched multinomial NUTS (iterative formulation) over lockstep chains.
@@ -562,7 +565,12 @@ def nuts_sample(
     checkpoint stack of O(max_depth) boundary states (the jittable
     formulation, cf. numpyro's iterative NUTS), dual-averaged per-chain
     step sizes driven by the standard leaf acceptance-probability
-    surrogate, and divergence rejection at ``max_energy_change``.
+    surrogate, divergence rejection at ``max_energy_change``, and (with
+    ``adapt_mass``, no explicit ``mass``) the same fleet-diagonal mass
+    adaptation as `chees_sample` — the across-chain variance EMA, frozen
+    at warmup/2. Better preconditioning here is a direct throughput
+    lever: each doubling costs 2^j gradient evaluations, so shallower
+    trees on rescaled targets pay immediately.
 
     TPU shape discipline: everything is hand-batched over the chains
     axis with explicit masks (like the fleet solvers) — trees double in
@@ -585,29 +593,31 @@ def nuts_sample(
     chains, n = x0s.shape
     dtype = x0s.dtype
     mass_b, chol_u = _mass_setup(mass, n, dtype)
+    if mass is not None:
+        adapt_mass = False
     neg_inf = jnp.asarray(-jnp.inf, dtype)
 
-    def leapfrog_step(x, p, g, eps_d):
+    def leapfrog_step(x, p, g, eps_d, mass_d):
         """One leapfrog step; eps_d: (chains,) signed. Returns the new
         (x, p, g, f) — ONE value_and_grad per leaf."""
         e = eps_d[:, None]
         p_half = p + 0.5 * e * g
-        x2 = x + e * _apply_mass(mass_b, p_half)
+        x2 = x + e * _apply_mass(mass_d, p_half)
         f2, g2 = vag_b(x2)
         p2 = p_half + 0.5 * e * g2
         return x2, p2, g2, f2
 
-    def no_uturn(dx, p_a, p_b):
+    def no_uturn(dx, p_a, p_b, mass_d):
         """True where NOT turning: dx oriented forward-time."""
-        va = _apply_mass(mass_b, p_a)
-        vb = _apply_mass(mass_b, p_b)
+        va = _apply_mass(mass_d, p_a)
+        vb = _apply_mass(mass_d, p_b)
         return (jnp.sum(dx * va, axis=1) >= 0.0) & (
             jnp.sum(dx * vb, axis=1) >= 0.0
         )
 
     max_e = jnp.asarray(max_energy_change, dtype)
 
-    def build_subtree(x_s, p_s, g_s, d, n_leaf, eps, h0, k, alive):
+    def build_subtree(x_s, p_s, g_s, d, n_leaf, eps, h0, k, alive, mass_d):
         """Integrate n_leaf leaves from (x_s, p_s) in direction d (+-1),
         multinomial-sampling a proposal and checking U-turns iteratively.
 
@@ -630,8 +640,8 @@ def nuts_sample(
         def body(c):
             (i, x, p, g, lw, xp, fp, gp, turn, div, sa, na, sx, sp) = c
             act = alive & ~turn & ~div
-            x2, p2, g2, f2 = leapfrog_step(x, p, g, eps_d)
-            lw_leaf = f2 - _kinetic(p2, mass_b) - h0
+            x2, p2, g2, f2 = leapfrog_step(x, p, g, eps_d, mass_d)
+            lw_leaf = f2 - _kinetic(p2, mass_d) - h0
             bad = ~jnp.isfinite(lw_leaf) | (lw_leaf < -max_e)
             div = div | (act & bad)
             ok = act & ~bad
@@ -669,7 +679,7 @@ def nuts_sample(
                     x_ck = lax.dynamic_index_in_dim(sx, ck, keepdims=False)
                     p_ck = lax.dynamic_index_in_dim(sp, ck, keepdims=False)
                     dx = d.astype(dtype)[:, None] * (x2 - x_ck)
-                    good = no_uturn(dx, p_ck, p2)
+                    good = no_uturn(dx, p_ck, p2, mass_d)
                     return turn_acc | (do & ok & ~good)
 
                 # traced upper bound: average trailing-ones of an odd
@@ -705,12 +715,12 @@ def nuts_sample(
         )
         return x_e, p_e, g_e, lw, xp, fp, gp, turn, div, sa, na
 
-    def one_draw(x, f, g, eps, k):
+    def one_draw(x, f, g, eps, mass_d, k):
         """One NUTS transition for all chains. Returns the new (x, f, g),
         the mean leaf-acceptance surrogate, and the tree depth."""
         kp, kd = jax.random.split(k)
-        p0 = _draw_momentum(kp, chains, n, dtype, mass_b, chol_u)
-        h0 = f - _kinetic(p0, mass_b)
+        p0 = _draw_momentum(kp, chains, n, dtype, mass_d, chol_u)
+        h0 = f - _kinetic(p0, mass_d)
 
         def cond(c):
             return jnp.logical_and(c[0] < max_depth, jnp.any(~c[-1]))
@@ -729,7 +739,7 @@ def nuts_sample(
             (x_e, p_e, g_e, st_lw, st_xp, st_fp, st_gp, st_turn, st_div,
              st_sa, st_na) = build_subtree(
                 x_s, p_s, g_s, d, jnp.int32(2) ** j, eps, h0,
-                jax.random.fold_in(kj, 1), ~done,
+                jax.random.fold_in(kj, 1), ~done, mass_d,
             )
             ok = ~done & ~st_turn & ~st_div
             # biased progressive between subtrees: favor the new one
@@ -752,7 +762,7 @@ def nuts_sample(
             g_l = jnp.where(okm, g_e, g_l)
 
             # global U-turn across the merged tree's true-time ends
-            turn_g = ~no_uturn(x_r - x_l, p_l, p_r)
+            turn_g = ~no_uturn(x_r - x_l, p_l, p_r, mass_d)
             depth = depth + ok.astype(jnp.int32)
             sa = sa + jnp.where(~done, st_sa, 0.0)
             na = na + jnp.where(~done, st_na, 0)
@@ -773,33 +783,46 @@ def nuts_sample(
 
     f0, g0 = vag_b(x0s)
 
-    # ---- warmup: per-chain dual averaging on the leaf-accept surrogate ----
+    # ---- warmup: per-chain dual averaging + fleet-diagonal mass ----
     mu = jnp.log(10.0 * jnp.asarray(step_size, dtype))
+    mass_freeze = max(n_warmup // 2, 1)
 
-    def warm_body(carry, k):
-        x, f, g, log_eps, log_eps_bar, h_bar, t = carry
-        x, f, g, alpha, _depth = one_draw(x, f, g, jnp.exp(log_eps), k)
+    def warm_body(carry, xs):
+        x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema = carry
+        k, i = xs
+        mass_d = var_ema if adapt_mass else mass_b
+        x, f, g, alpha, _depth = one_draw(
+            x, f, g, jnp.exp(log_eps), mass_d, k
+        )
         log_eps, log_eps_bar, h_bar, t = _da_update(
             h_bar, log_eps_bar, t, target_accept - alpha, mu
         )
-        return (x, f, g, log_eps, log_eps_bar, h_bar, t), None
+        if adapt_mass:
+            # same fleet estimator as chees_sample: across-chain variance
+            # EMA, frozen at warmup/2 so eps re-adapts to the final metric
+            var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
+            upd = i < mass_freeze
+            var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * var_now, var_ema)
+        return (x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema), None
 
     log_eps0 = jnp.full((chains,), jnp.log(jnp.asarray(step_size, dtype)))
+    var0 = jnp.ones((n,), dtype) if adapt_mass else mass_b
     if n_warmup > 0:
-        (x, f, g, _le, log_eps_bar, _hb, _t), _ = lax.scan(
+        (x, f, g, _le, log_eps_bar, _hb, _t, var_ema), _ = lax.scan(
             warm_body,
             (x0s, f0, g0, log_eps0, log_eps0, jnp.zeros((chains,), dtype),
-             jnp.zeros((), dtype)),
-            jax.random.split(key, n_warmup),
+             jnp.zeros((), dtype), var0),
+            (jax.random.split(key, n_warmup), jnp.arange(n_warmup)),
         )
     else:
-        x, f, g, log_eps_bar = x0s, f0, g0, log_eps0
+        x, f, g, log_eps_bar, var_ema = x0s, f0, g0, log_eps0, var0
     eps_final = jnp.exp(log_eps_bar)
+    mass_final = var_ema if adapt_mass else mass_b
 
-    # ---- sampling at the adapted step ----
+    # ---- sampling at the adapted (eps, mass) ----
     def sample_body(carry, k):
         x, f, g = carry
-        x, f, g, alpha, depth = one_draw(x, f, g, eps_final, k)
+        x, f, g, alpha, depth = one_draw(x, f, g, eps_final, mass_final, k)
         return (x, f, g), (x, alpha, depth)
 
     key_s = jax.random.fold_in(key, 1)
@@ -811,5 +834,8 @@ def nuts_sample(
         accept_prob=jnp.mean(alphas, axis=0),
         step_size=eps_final,
         mean_tree_depth=jnp.mean(depths.astype(dtype), axis=0),
+        mass_diag=(
+            jnp.diagonal(mass_final) if mass_final.ndim == 2 else mass_final
+        ),
         final_x=x,
     )

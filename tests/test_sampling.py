@@ -335,9 +335,12 @@ def test_nuts_adapts_depth_to_scale_spread():
     def logdensity(x):
         return -0.5 * jnp.sum(x * x / scales)
 
+    # adapt_mass off: this test pins the raw U-turn mechanism (trees must
+    # DEEPEN to cover the wide coordinate); the mass-adaptation test below
+    # covers the default path where adaptation makes deep trees unnecessary
     res = qnm.nuts_sample(
         logdensity, jax.random.PRNGKey(1), jnp.zeros((32, 3)),
-        n_samples=800, n_warmup=400, max_depth=8,
+        n_samples=800, n_warmup=400, max_depth=8, adapt_mass=False,
     )
     draws = np.asarray(res.samples).reshape(-1, 3)
     np.testing.assert_allclose(
@@ -409,3 +412,30 @@ def test_nuts_reproducible_and_f32():
                         n_samples=40, n_warmup=40)
     assert r.samples.dtype == jnp.float32
     assert np.isfinite(np.asarray(r.samples)).all()
+
+
+def test_nuts_fleet_mass_adaptation_shrinks_trees():
+    """The fleet-diagonal mass (same estimator as ChEES) must recover a
+    400x scale spread AND cut tree depth — each doubling costs 2^j
+    gradients, so preconditioning is a direct throughput lever. Both runs
+    must still land every variance."""
+    scales = jnp.asarray([1.0, 25.0, 400.0])
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x / scales)
+
+    kw = dict(n_samples=600, n_warmup=400, max_depth=8)
+    off = qnm.nuts_sample(logdensity, jax.random.PRNGKey(7),
+                          jnp.zeros((32, 3)), adapt_mass=False, **kw)
+    on = qnm.nuts_sample(logdensity, jax.random.PRNGKey(7),
+                         jnp.zeros((32, 3)), **kw)
+    for r in (off, on):
+        d = np.asarray(r.samples).reshape(-1, 3)
+        np.testing.assert_allclose(d.var(axis=0), np.asarray(scales),
+                                   rtol=0.35)
+    depth_on = float(np.mean(np.asarray(on.mean_tree_depth)))
+    depth_off = float(np.mean(np.asarray(off.mean_tree_depth)))
+    assert depth_on < depth_off - 0.5, (depth_on, depth_off)
+    # the adapted metric itself is right to within a factor ~3
+    ratio = np.asarray(on.mass_diag) / np.asarray(scales)
+    assert np.all(ratio > 1 / 3) and np.all(ratio < 3.0)
