@@ -133,14 +133,9 @@ def sample_sharded(
     per-chain trees are independent but the tree loops' early-exit
     any-reduces become cross-device all-reduces. kwargs pass through to
     the corresponding sampler."""
-    from ..sampling import chees_sample, hmc_sample, nuts_sample
+    from ..sampling import get_sampler
 
-    samplers = {"chees": chees_sample, "hmc": hmc_sample,
-                "nuts": nuts_sample}
-    if sampler not in samplers:
-        raise ValueError(
-            f"unknown sampler {sampler!r}; use 'chees', 'hmc' or 'nuts'"
-        )
+    sample_fn = get_sampler(sampler)
     x0s = jnp.asarray(x0s)
     n_shards = mesh.shape[axis]
     if x0s.shape[0] % n_shards != 0:
@@ -150,7 +145,7 @@ def sample_sharded(
         )
     x0s = jax.device_put(x0s, NamedSharding(mesh, P(axis, None)))
     with mesh:
-        return samplers[sampler](obj, key, x0s, **kwargs)
+        return sample_fn(obj, key, x0s, **kwargs)
 
 
 def optimize_lbfgs_sharded(

@@ -34,6 +34,7 @@ from jax import lax
 from .api import as_value_and_grad, as_value_fn
 
 __all__ = [
+    "get_sampler",
     "HMCResult",
     "ChEESResult",
     "NUTSResult",
@@ -57,6 +58,17 @@ class HMCResult(NamedTuple):
     accept_rate: jax.Array
     step_size: jax.Array
     final_x: jax.Array
+
+
+def get_sampler(name: str):
+    """Resolve a sampler by name — ONE registry for every dispatch site
+    (workflow pipeline, mesh sharding)."""
+    samplers = {"chees": chees_sample, "hmc": hmc_sample, "nuts": nuts_sample}
+    if name not in samplers:
+        raise ValueError(
+            f"unknown sampler {name!r}; use 'chees', 'hmc' or 'nuts'"
+        )
+    return samplers[name]
 
 
 def chain_init_from_map(result, jitter: float = 0.0, key=None):
@@ -119,6 +131,11 @@ def _kinetic(p, mass_arr):
 # standard schedule). Elementwise: works for per-chain vectors (hmc_sample)
 # and the fleet-mean scalar (chees_sample) alike.
 _DA_T0, _DA_KAPPA, _DA_GAMMA = 10.0, 0.75, 0.05
+
+# Fleet mass adaptation needs enough chains for the across-chain variance
+# to mean anything (1 chain gives exactly 0; 2-4 are biased low) — below
+# this the samplers silently keep the identity metric.
+_MASS_ADAPT_MIN_CHAINS = 8
 
 
 def _da_update(h_bar, log_eps_bar, t, accept_err, mu):
@@ -360,7 +377,9 @@ def chees_sample(
     # construction (adaptation is diagonal-only), so _mass_setup's Cholesky
     # is hoisted out of both scans
     mass0, chol_u = _mass_setup(mass, n, dtype)
-    if mass is not None:
+    if mass is not None or chains < _MASS_ADAPT_MIN_CHAINS:
+        # the across-chain variance of a tiny fleet is a degenerate metric
+        # (1 chain -> 0 -> the 1e-10 clamp); keep the identity instead
         adapt_mass = False
 
     def grad_b(x):
@@ -593,8 +612,9 @@ def nuts_sample(
     chains, n = x0s.shape
     dtype = x0s.dtype
     mass_b, chol_u = _mass_setup(mass, n, dtype)
-    if mass is not None:
-        adapt_mass = False
+    if mass is not None or chains < _MASS_ADAPT_MIN_CHAINS:
+        adapt_mass = False  # see chees_sample: tiny-fleet variance is
+        # a degenerate metric; identity is strictly better
     neg_inf = jnp.asarray(-jnp.inf, dtype)
 
     def leapfrog_step(x, p, g, eps_d, mass_d):

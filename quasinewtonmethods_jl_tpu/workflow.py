@@ -27,7 +27,7 @@ import numpy as np
 
 from .diagnostics import ChainDiagnostics, diagnose_chains
 from .parallel.batch import optimize_batched
-from .sampling import chain_init_from_map, chees_sample, hmc_sample, nuts_sample
+from .sampling import chain_init_from_map, get_sampler
 from .state import Status
 
 __all__ = ["MapThenSampleResult", "map_then_sample"]
@@ -62,7 +62,7 @@ def map_then_sample(
     n_warmup: int = 500,
     init_scale: float = 1.0,
     jitter: float = 0.05,
-    map_tol: float = 1e-6,
+    map_tol: Optional[float] = None,
     value_and_grad_fn: Optional[Callable] = None,
     map_kwargs: Optional[dict] = None,
     **sampler_kwargs,
@@ -70,21 +70,24 @@ def map_then_sample(
     """MAP fleet -> preconditioner -> sampler -> diagnostics, in one call.
 
     ``x0``: either an (n,) center (starts are x0 + init_scale * normal)
-    or explicit (chains, n) starts. ``sampler``: 'chees' (default —
-    fleet-adaptive trajectories + diagonal mass, TPU-native), 'hmc'
-    (dense-B preconditioned, fixed path length), or 'nuts'. The MAP
-    fleet's converged-lane-averaged B becomes the dense mass for 'hmc'
-    ('chees'/'nuts' adapt their own diagonal by default; pass
-    ``mass=...`` through ``sampler_kwargs`` to override). Raises
-    ValueError when NO lane converges (statuses quoted); partial
-    convergence proceeds on the converged lanes' mode.
+    or explicit (chains, n) starts; integer input is promoted to float.
+    ``sampler``: 'chees' (default — fleet-adaptive trajectories +
+    diagonal mass, TPU-native), 'hmc' (dense-B preconditioned, fixed
+    path length), or 'nuts'. The MAP fleet's converged-lane-averaged B
+    becomes the dense mass for 'hmc' ('chees'/'nuts' adapt their own
+    diagonal by default; pass ``mass=...`` through ``sampler_kwargs``
+    to override). ``map_tol`` defaults by dtype — 1e-3 for f32 (the
+    repo's f32-TPU contract) and 1e-6 otherwise. ``map_kwargs`` /
+    ``sampler_kwargs`` OVERRIDE the pipeline's defaults on collision
+    (e.g. map_kwargs={'tol': ...} wins over map_tol). Raises ValueError
+    when NO lane converges (statuses quoted); on partial convergence
+    failed lanes' chain starts are replaced by the best converged mode
+    (jittered) so no chain starts off-mode.
     """
-    samplers = {"chees": chees_sample, "hmc": hmc_sample, "nuts": nuts_sample}
-    if sampler not in samplers:
-        raise ValueError(
-            f"unknown sampler {sampler!r}; use 'chees', 'hmc' or 'nuts'"
-        )
+    sample_fn = get_sampler(sampler)
     x0 = jnp.asarray(x0)
+    if not jnp.issubdtype(x0.dtype, jnp.floating):
+        x0 = x0.astype(jnp.result_type(float))
     k_init, k_jit, k_sample = jax.random.split(key, 3)
     if x0.ndim == 1:
         x0s = x0[None, :] + init_scale * jax.random.normal(
@@ -96,16 +99,20 @@ def map_then_sample(
     else:
         raise ValueError(f"x0 must be (n,) or (chains, n), got {x0.shape}")
 
-    fleet = optimize_batched(
-        obj, x0s, tol=map_tol, value_and_grad_fn=value_and_grad_fn,
-        **(map_kwargs or {}),
-    )
-    converged = np.asarray(fleet.status) == Status.CONVERGED
+    if map_tol is None:
+        # the repo's precision contract: f32 is throughput mode, tol >= ~1e-3
+        map_tol = 1e-3 if x0.dtype == jnp.float32 else 1e-6
+    mk = dict(tol=map_tol, value_and_grad_fn=value_and_grad_fn)
+    mk.update(map_kwargs or {})  # explicit map_kwargs win
+    fleet = optimize_batched(obj, x0s, **mk)
+
+    # one status readback serves both the failure check and the masks
+    statuses = np.asarray(fleet.status)
+    converged = statuses == Status.CONVERGED
     if not converged.any():
         counts = {
             Status(s).name: int(c)
-            for s, c in zip(*np.unique(np.asarray(fleet.status),
-                                       return_counts=True))
+            for s, c in zip(*np.unique(statuses, return_counts=True))
         }
         raise ValueError(
             f"MAP stage failed: no lane converged (statuses: {counts}); "
@@ -113,21 +120,40 @@ def map_then_sample(
         )
 
     chains, mass = chain_init_from_map(fleet, jitter=jitter, key=k_jit)
-    best = int(np.nanargmax(np.where(converged, np.asarray(fleet.fun),
-                                     -np.inf)))
+    conv_j = jnp.asarray(converged)
+    # best converged mode, device-side (multistart's -inf-masked argmax)
+    best = jnp.argmax(jnp.where(conv_j, fleet.fun, -jnp.inf))
     x_map = fleet.x[best]
+    # never seed a chain from a failed lane's off-mode iterate
+    fallback = x_map[None, :] + jitter * jax.random.normal(
+        jax.random.fold_in(k_jit, 1), chains.shape, chains.dtype
+    )
+    chains = jnp.where(conv_j[:, None], chains, fallback)
 
     kw = dict(
         n_samples=n_samples, n_warmup=n_warmup,
-        value_and_grad_fn=value_and_grad_fn, **sampler_kwargs,
+        value_and_grad_fn=value_and_grad_fn,
     )
-    if sampler == "hmc" and "mass" not in kw:
+    if sampler == "hmc":
         kw["mass"] = mass  # the dense-B handoff is the point of 'hmc'
-    res = samplers[sampler](obj, k_sample, chains, **kw)
+    kw.update(sampler_kwargs)  # explicit sampler kwargs win
+    res = sample_fn(obj, k_sample, chains, **kw)
+
+    if kw["n_samples"] >= 8:
+        diag = diagnose_chains(res.samples)
+    else:
+        # too few draws for split R-hat / ESS: report moments, NaN stats —
+        # never discard a completed pipeline over its diagnostics
+        pooled = np.asarray(res.samples).reshape(-1, res.samples.shape[-1])
+        nan = np.full(pooled.shape[-1], np.nan)
+        diag = ChainDiagnostics(
+            rhat=nan, ess=nan.copy(), mean=pooled.mean(axis=0),
+            std=pooled.std(axis=0, ddof=1) if pooled.shape[0] > 1 else nan.copy(),
+        )
 
     return MapThenSampleResult(
         samples=res.samples,
-        diagnostics=diagnose_chains(res.samples),
+        diagnostics=diag,
         map_result=fleet,
         x_map=x_map,
         mass=kw.get("mass"),

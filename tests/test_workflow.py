@@ -79,3 +79,55 @@ def test_pipeline_rejects_bad_sampler_and_shape():
                             sampler="slice")
     with pytest.raises(ValueError, match="x0"):
         qnm.map_then_sample(f, jax.random.PRNGKey(0), jnp.zeros((2, 2, 2)))
+
+
+def test_pipeline_small_sample_smoke_and_kwarg_override():
+    """Regressions: (a) n_samples < 8 must return NaN-stat diagnostics,
+    not crash in ess(); (b) map_kwargs/sampler_kwargs override pipeline
+    defaults instead of colliding; (c) integer x0 is promoted."""
+    f = lambda x: -0.5 * jnp.sum(x * x)
+    out = qnm.map_then_sample(
+        f, jax.random.PRNGKey(3), [0, 0],  # int list x0
+        n_chains=8, n_samples=5, n_warmup=5,
+        map_kwargs={"tol": 1e-8},          # collides with map_tol default
+        n_leapfrog=4, sampler="hmc",       # sampler kwarg through
+    )
+    assert out.samples.shape == (5, 8, 2)
+    assert np.all(np.isnan(out.diagnostics.rhat))
+    assert np.all(np.isfinite(out.diagnostics.mean))
+
+
+def test_pipeline_failed_lanes_reseeded_from_best_mode():
+    """Partial MAP convergence: chains must never start at a failed
+    lane's off-mode iterate. Lanes started in a NaN pocket fail; their
+    chain seeds must come from the converged mode (near 0), not the
+    pocket (near 100)."""
+    def patchy(x):
+        # NaN plateau far from the mode: lanes starting there fail
+        bad = jnp.sum(x * x) > 50.0**2
+        return jnp.where(bad, jnp.nan, -0.5 * jnp.sum(x * x))
+
+    x0s = jnp.concatenate(
+        [jnp.zeros((6, 2)) + 0.5, jnp.full((2, 2), 100.0)], axis=0
+    )
+    out = qnm.map_then_sample(
+        patchy, jax.random.PRNGKey(4), x0s, n_samples=20, n_warmup=20,
+    )
+    st = np.asarray(out.map_result.status)
+    assert (st == qnm.Status.CONVERGED).sum() == 6
+    assert (st != qnm.Status.CONVERGED).sum() == 2
+    # every chain's draws stay near the mode — nothing sampled at ~100
+    assert np.abs(np.asarray(out.samples)).max() < 10.0
+
+
+def test_single_chain_nuts_keeps_identity_metric():
+    """Regression: fleet mass adaptation is meaningless for 1 chain
+    (across-chain variance = 0 -> degenerate clamp); tiny fleets must
+    silently keep the identity metric."""
+    r = qnm.nuts_sample(
+        lambda x: -0.5 * jnp.sum(x * x), jax.random.PRNGKey(5),
+        jnp.zeros((1, 3)), n_samples=30, n_warmup=30,
+    )
+    np.testing.assert_array_equal(np.asarray(r.mass_diag), 1.0)
+    assert np.isfinite(np.asarray(r.samples)).all()
+    assert float(np.asarray(r.step_size)[0]) < 100.0  # not blown up
