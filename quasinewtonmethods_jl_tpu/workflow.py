@@ -37,7 +37,8 @@ class MapThenSampleResult(NamedTuple):
     """Everything the pipeline produced, stage by stage.
 
     samples: (n_samples, chains, n) post-warmup draws
-    diagnostics: per-dimension split R-hat / ESS / moments
+    diagnostics: per-dimension split R-hat / ESS / moments (None when
+        compute_diagnostics=False was requested)
     map_result: the full batched MAP fleet result
     x_map: (n,) the best converged mode
     mass: the preconditioner handed to the sampler ((n, n) B or None)
@@ -45,7 +46,7 @@ class MapThenSampleResult(NamedTuple):
     """
 
     samples: jax.Array
-    diagnostics: ChainDiagnostics
+    diagnostics: Optional[ChainDiagnostics]
     map_result: object
     x_map: jax.Array
     mass: Optional[jax.Array]
@@ -63,6 +64,7 @@ def map_then_sample(
     init_scale: float = 1.0,
     jitter: float = 0.05,
     map_tol: Optional[float] = None,
+    compute_diagnostics: bool = True,
     value_and_grad_fn: Optional[Callable] = None,
     map_kwargs: Optional[dict] = None,
     **sampler_kwargs,
@@ -139,7 +141,9 @@ def map_then_sample(
     kw.update(sampler_kwargs)  # explicit sampler kwargs win
     res = sample_fn(obj, k_sample, chains, **kw)
 
-    if kw["n_samples"] >= 8:
+    if not compute_diagnostics:
+        diag = None
+    elif kw["n_samples"] >= 8:
         diag = diagnose_chains(res.samples)
     else:
         # too few draws for split R-hat / ESS: report moments, NaN stats —

@@ -131,3 +131,14 @@ def test_single_chain_nuts_keeps_identity_metric():
     np.testing.assert_array_equal(np.asarray(r.mass_diag), 1.0)
     assert np.isfinite(np.asarray(r.samples)).all()
     assert float(np.asarray(r.step_size)[0]) < 100.0  # not blown up
+
+
+def test_pipeline_diagnostics_opt_out_keeps_samples_on_device():
+    f = lambda x: -0.5 * jnp.sum(x * x)
+    out = qnm.map_then_sample(
+        f, jax.random.PRNGKey(6), jnp.zeros(2), n_chains=8,
+        n_samples=20, n_warmup=20, compute_diagnostics=False,
+    )
+    assert out.diagnostics is None
+    assert isinstance(out.samples, jax.Array)  # not fetched
+    assert out.samples.shape == (20, 8, 2)
