@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-__all__ = ["lbfgs_direction_compact"]
+__all__ = ["lbfgs_direction_compact", "lbfgs_diag_inv_hessian"]
 
 
 def lbfgs_direction_compact(
@@ -68,3 +68,44 @@ def lbfgs_direction_compact(
     d = gamma * g + S.T @ top - gamma * (Y.T @ a)
     m_dir = jnp.dot(d, g, preferred_element_type=dtype)
     return d, m_dir
+
+
+def lbfgs_diag_inv_hessian(
+    S: jax.Array,  # (m, n) canonical ring, oldest..newest in 0..hist-1
+    Y: jax.Array,  # (m, n)
+    hist: jax.Array,  # () int
+    gamma: jax.Array,  # ()
+) -> jax.Array:
+    """diag(H) of the compact-form inverse-Hessian estimate, O(m²·n).
+
+    From H = γI + U M Uᵀ with U = [Sᵀ, γYᵀ] and the BNS middle matrix,
+    the j-th diagonal entry is a (2m)-dimensional quadratic form in
+    U's j-th row:
+
+        diag(H)_j = γ + v_jᵀ (D + γYᵀY) v_j − 2γ (v_j · Y[:, j]),
+        v_j = R⁻¹ S[:, j]
+
+    — two triangular-solve-shaped contractions, no n×n materialization.
+    The use case is the large-n MAP→sampler handoff: the dense-B fleet
+    hands `chain_init_from_map` a full covariance; an L-BFGS fleet can
+    hand over this diagonal instead (the samplers' diag-mass form).
+    Stale slots (i >= hist) are masked exactly as in
+    `lbfgs_direction_compact`.
+    """
+    mh, n = S.shape
+    dtype = S.dtype
+    ids = jnp.arange(mh)
+    valid = ids < hist
+    vmask = valid.astype(dtype)
+    Sm = S * vmask[:, None]
+    Ym = Y * vmask[:, None]
+
+    SY = Sm @ Ym.T  # (m, m)
+    R = jnp.triu(SY) + jnp.diag(1.0 - vmask)  # unit diag on stale slots
+    D = jnp.diag(jnp.diagonal(SY))
+    G = D + gamma * (Ym @ Ym.T)
+
+    V = solve_triangular(R, Sm, lower=False)  # (m, n): v_j in column j
+    quad = jnp.einsum("aj,ab,bj->j", V, G, V)
+    cross = jnp.sum(V * Ym, axis=0)
+    return gamma * jnp.ones((n,), dtype) + quad - 2.0 * gamma * cross

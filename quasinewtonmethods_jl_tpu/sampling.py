@@ -72,20 +72,37 @@ def get_sampler(name: str):
 
 
 def chain_init_from_map(result, jitter: float = 0.0, key=None):
-    """(x0s, mass) from a batched MAP result (`optimize_batched*`).
+    """(x0s, mass) from a batched MAP result (`optimize_batched*` or the
+    L-BFGS fleet engines).
 
-    Returns the per-chain initial positions and a SINGLE dense mass
-    preconditioner B ≈ posterior covariance: the lane-averaged converged
-    inverse Hessian over successful lanes (averaging smooths per-lane
-    noise; all lanes of a well-posed MAP land on the same mode). Optional
-    Gaussian jitter decorrelates chains that share the mode.
+    Returns the per-chain initial positions and a SINGLE mass
+    preconditioner ≈ posterior covariance, lane-averaged over CONVERGED
+    lanes (averaging smooths per-lane noise; all lanes of a well-posed
+    MAP land on the same mode): the dense (n, n) B for BFGS fleets, or —
+    for L-BFGS fleets, whose curvature lives in the history rings — the
+    compact-form diag(H) (O(m²·n), `ops.lbfgs_compact
+    .lbfgs_diag_inv_hessian`), i.e. the samplers' diagonal-mass form.
+    That is the large-n handoff: no n×n matrix ever materializes.
+    Optional Gaussian jitter decorrelates chains that share the mode.
     """
     from .state import Status
 
     x0s = result.x
     ok = (result.status == Status.CONVERGED).astype(x0s.dtype)
     w = ok / jnp.maximum(jnp.sum(ok), 1.0)
-    mass = jnp.einsum("b,bij->ij", w, result.state.B)
+    state = result.state
+    if hasattr(state, "B"):
+        mass = jnp.einsum("b,bij->ij", w, state.B)
+    else:  # L-BFGS: diagonal of the compact-form inverse-Hessian estimate
+        from .ops.lbfgs_compact import lbfgs_diag_inv_hessian
+
+        diags = jax.vmap(lbfgs_diag_inv_hessian)(
+            state.S, state.Y, state.hist, state.gamma
+        )  # (batch, n)
+        # clamp: a lane that never pushed a pair contributes gamma = 1s;
+        # negative entries (indefinite secant noise) are floored out
+        diags = jnp.maximum(diags, 1e-10)
+        mass = jnp.einsum("b,bn->n", w, diags)
     if jitter and key is not None:
         x0s = x0s + jitter * jax.random.normal(key, x0s.shape, x0s.dtype)
     return x0s, mass

@@ -491,3 +491,58 @@ def test_lbfgs_batched_resume_rejects_scalar_state(rng):
     res = qnm.optimize_lbfgs(quad, jnp.asarray(rng.standard_normal(6)))
     with pytest.raises(ValueError, match="batched"):
         optimize_lbfgs_batched_fused_from_state(quad, res.state)
+
+
+def test_lbfgs_diag_inv_hessian_matches_dense(rng):
+    """diag(H) from the compact form must equal the diagonal of the dense
+    product-form H, including partial windows and masked stale slots."""
+    from quasinewtonmethods_jl_tpu.ops.lbfgs_compact import (
+        lbfgs_diag_inv_hessian,
+    )
+
+    n, m = 9, 5
+    S = jnp.zeros((m, n)); Y = jnp.zeros((m, n)); rho = jnp.zeros((m,))
+    hist = jnp.zeros((), jnp.int32); gamma = jnp.ones(())
+    for k in range(4):
+        s = jnp.asarray(rng.standard_normal(n) * 0.1)
+        y = s * rng.uniform(0.5, 2.0) + 0.01 * jnp.asarray(
+            rng.standard_normal(n)
+        )
+        S, Y, rho, hist, gamma = lbfgs_push(S, Y, rho, hist, gamma, s, y)
+        H = dense_h_from_history(S, Y, rho, int(hist), float(gamma), n)
+        d = lbfgs_diag_inv_hessian(S, Y, hist, gamma)
+        np.testing.assert_allclose(
+            np.asarray(d), np.diagonal(H), rtol=1e-9, atol=1e-12
+        )
+    # stale-slot masking: poison the slots above hist, answer must not move
+    S_bad = S.at[int(hist):].set(99.0)
+    Y_bad = Y.at[int(hist):].set(-99.0)
+    d2 = lbfgs_diag_inv_hessian(S_bad, Y_bad, hist, gamma)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d), rtol=1e-12)
+
+
+def test_chain_init_from_lbfgs_fleet(rng):
+    """The large-n MAP->sampler handoff: an L-BFGS fleet's compact-form
+    diag(H) approximates the posterior's diagonal covariance and feeds
+    the samplers as a diagonal mass — no n×n matrix anywhere."""
+    scales = jnp.asarray(np.geomspace(0.5, 8.0, 24))
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x / scales)
+
+    X0 = jnp.asarray(rng.standard_normal((16, 24)) * 2.0)
+    fleet = qnm.optimize_lbfgs_batched(logdensity, X0, history=10,
+                                       tol=1e-8)
+    assert np.all(np.asarray(fleet.status) == qnm.Status.CONVERGED)
+    x0s, mass = qnm.chain_init_from_map(fleet)
+    assert mass.ndim == 1 and mass.shape == (24,)
+    # secant-subspace estimate: right to within a factor ~4 per dim
+    ratio = np.asarray(mass) / np.asarray(scales)
+    assert np.all(ratio > 0.25) and np.all(ratio < 4.0), ratio
+    # and it is a valid sampler mass
+    res = qnm.hmc_sample(logdensity, jax.random.PRNGKey(0), x0s,
+                         mass=mass, n_samples=300, n_warmup=150,
+                         n_leapfrog=8)
+    draws = np.asarray(res.samples).reshape(-1, 24)
+    np.testing.assert_allclose(draws.var(axis=0), np.asarray(scales),
+                               rtol=0.5)
