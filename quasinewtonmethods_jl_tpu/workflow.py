@@ -59,6 +59,7 @@ def map_then_sample(
     x0: jax.Array,  # (n,) center for jittered starts, or (chains, n) starts
     n_chains: int = 64,
     sampler: str = "chees",
+    map_engine: str = "bfgs",
     n_samples: int = 1000,
     n_warmup: int = 500,
     init_scale: float = 1.0,
@@ -75,10 +76,13 @@ def map_then_sample(
     or explicit (chains, n) starts; integer input is promoted to float.
     ``sampler``: 'chees' (default — fleet-adaptive trajectories +
     diagonal mass, TPU-native), 'hmc' (dense-B preconditioned, fixed
-    path length), or 'nuts'. The MAP fleet's converged-lane-averaged B
-    becomes the dense mass for 'hmc' ('chees'/'nuts' adapt their own
-    diagonal by default; pass ``mass=...`` through ``sampler_kwargs``
-    to override). ``map_tol`` defaults by dtype — 1e-3 for f32 (the
+    path length), or 'nuts'. ``map_engine``: 'bfgs' (dense B, the
+    reference algorithm) or 'lbfgs' (the large-n fleet engine — the
+    handed-over mass is then the compact-form diag(H), O(m²·n), so the
+    pipeline never materializes an n×n matrix). The MAP fleet's
+    converged-lane-averaged curvature becomes the mass for 'hmc'
+    ('chees'/'nuts' adapt their own diagonal by default; pass
+    ``mass=...`` through ``sampler_kwargs`` to override). ``map_tol`` defaults by dtype — 1e-3 for f32 (the
     repo's f32-TPU contract) and 1e-6 otherwise. ``map_kwargs`` /
     ``sampler_kwargs`` OVERRIDE the pipeline's defaults on collision
     (e.g. map_kwargs={'tol': ...} wins over map_tol). Raises ValueError
@@ -106,7 +110,16 @@ def map_then_sample(
         map_tol = 1e-3 if x0.dtype == jnp.float32 else 1e-6
     mk = dict(tol=map_tol, value_and_grad_fn=value_and_grad_fn)
     mk.update(map_kwargs or {})  # explicit map_kwargs win
-    fleet = optimize_batched(obj, x0s, **mk)
+    if map_engine == "lbfgs":
+        from .parallel.batch import optimize_lbfgs_batched
+
+        fleet = optimize_lbfgs_batched(obj, x0s, **mk)
+    elif map_engine == "bfgs":
+        fleet = optimize_batched(obj, x0s, **mk)
+    else:
+        raise ValueError(
+            f"unknown map_engine {map_engine!r}; use 'bfgs' or 'lbfgs'"
+        )
 
     # one status readback serves both the failure check and the masks
     statuses = np.asarray(fleet.status)

@@ -142,3 +142,27 @@ def test_pipeline_diagnostics_opt_out_keeps_samples_on_device():
     assert out.diagnostics is None
     assert isinstance(out.samples, jax.Array)  # not fetched
     assert out.samples.shape == (20, 8, 2)
+
+
+def test_pipeline_lbfgs_engine_large_n():
+    """map_engine='lbfgs': the large-n pipeline — compact-form diag(H)
+    mass, no n x n matrix anywhere — must sample a 16x-spread diagonal
+    Gaussian correctly through dense-free hmc."""
+    scales = jnp.asarray(np.geomspace(0.5, 8.0, 48))
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x / scales)
+
+    out = qnm.map_then_sample(
+        logdensity, jax.random.PRNGKey(7), jnp.zeros(48),
+        n_chains=24, map_engine="lbfgs", sampler="hmc",
+        n_samples=400, n_warmup=200, n_leapfrog=8, map_tol=1e-8,
+    )
+    assert out.mass.ndim == 1  # diagonal handoff, not dense
+    draws = np.asarray(out.samples).reshape(-1, 48)
+    np.testing.assert_allclose(
+        draws.var(axis=0), np.asarray(scales), rtol=0.5
+    )
+    with pytest.raises(ValueError, match="map_engine"):
+        qnm.map_then_sample(logdensity, jax.random.PRNGKey(0),
+                            jnp.zeros(4), map_engine="newton")
