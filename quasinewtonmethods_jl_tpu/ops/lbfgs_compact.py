@@ -34,6 +34,25 @@ from jax.scipy.linalg import solve_triangular
 __all__ = ["lbfgs_direction_compact", "lbfgs_diag_inv_hessian"]
 
 
+def _masked_compact_setup(S, Y, hist, dtype):
+    """ONE home for the stale-slot masking invariant (module docstring):
+    zero the rows at slots >= hist, build the Gram pieces on the masked
+    rings, and pad R/D with unit entries so the triangular solves stay
+    well-posed. vmask entries are exactly 0/1, so masking inputs vs
+    masking products is bitwise-identical."""
+    mh = S.shape[0]
+    valid = jnp.arange(mh) < hist
+    vmask = valid.astype(dtype)
+    Sm = S * vmask[:, None]
+    Ym = Y * vmask[:, None]
+    SY = Sm @ Ym.T  # (m, m): SY[i, j] = s_i' y_j, stale rows/cols zeroed
+    YY = Ym @ Ym.T
+    unit_invalid = 1.0 - vmask
+    R = jnp.triu(SY) + jnp.diag(unit_invalid)  # unit diag on empty slots
+    D = jnp.diag(SY) + unit_invalid  # (m,)
+    return vmask, Sm, Ym, SY, YY, R, D
+
+
 def lbfgs_direction_compact(
     S: jax.Array,  # (m, n) step history, oldest..newest in 0..hist-1
     Y: jax.Array,  # (m, n) gradient-difference history
@@ -43,23 +62,11 @@ def lbfgs_direction_compact(
     g: jax.Array,  # (n,) current gradient
 ) -> Tuple[jax.Array, jax.Array]:
     """d ≈ B⁻¹g (ascent direction) and m_dir = dᵀg — compact form."""
-    mh = S.shape[0]
     dtype = g.dtype
+    vmask, Sm, Ym, _SY, YY, R, D = _masked_compact_setup(S, Y, hist, dtype)
 
-    ids = jnp.arange(mh)
-    valid = ids < hist  # (m,)
-    vmask = valid.astype(dtype)
-    vmask2 = vmask[:, None] * vmask[None, :]
-
-    SY = (S @ Y.T) * vmask2  # (m, m): SY[i, j] = s_iᵀ y_j, stale rows zeroed
-    YY = (Y @ Y.T) * vmask2  # (m, m)
-
-    unit_invalid = jnp.where(valid, jnp.zeros((), dtype), jnp.ones((), dtype))
-    R = jnp.triu(SY) + jnp.diag(unit_invalid)  # unit diag on empty slots
-    D = jnp.diag(SY) + unit_invalid  # (m,)
-
-    Sg = (S @ g) * vmask  # (m,)
-    Yg = (Y @ g) * vmask  # (m,)
+    Sg = Sm @ g  # (m,)
+    Yg = Ym @ g  # (m,)
 
     a = solve_triangular(R, Sg, lower=False)  # R⁻¹ Sᵀg
     t = D * a + gamma * (YY @ a) - gamma * Yg
@@ -89,21 +96,13 @@ def lbfgs_diag_inv_hessian(
     The use case is the large-n MAP→sampler handoff: the dense-B fleet
     hands `chain_init_from_map` a full covariance; an L-BFGS fleet can
     hand over this diagonal instead (the samplers' diag-mass form).
-    Stale slots (i >= hist) are masked exactly as in
-    `lbfgs_direction_compact`.
+    Stale slots (i >= hist) are masked by the same `_masked_compact_setup`
+    the direction uses — one home for the invariant.
     """
-    mh, n = S.shape
+    n = S.shape[1]
     dtype = S.dtype
-    ids = jnp.arange(mh)
-    valid = ids < hist
-    vmask = valid.astype(dtype)
-    Sm = S * vmask[:, None]
-    Ym = Y * vmask[:, None]
-
-    SY = Sm @ Ym.T  # (m, m)
-    R = jnp.triu(SY) + jnp.diag(1.0 - vmask)  # unit diag on stale slots
-    D = jnp.diag(jnp.diagonal(SY))
-    G = D + gamma * (Ym @ Ym.T)
+    _vmask, Sm, Ym, _SY, YY, R, D = _masked_compact_setup(S, Y, hist, dtype)
+    G = jnp.diag(D) + gamma * YY
 
     V = solve_triangular(R, Sm, lower=False)  # (m, n): v_j in column j
     quad = jnp.einsum("aj,ab,bj->j", V, G, V)

@@ -41,7 +41,9 @@ class MapThenSampleResult(NamedTuple):
         compute_diagnostics=False was requested)
     map_result: the full batched MAP fleet result
     x_map: (n,) the best converged mode
-    mass: the preconditioner handed to the sampler ((n, n) B or None)
+    mass: the preconditioner handed to the sampler — (n, n) B for
+        map_engine='bfgs', (n,) compact-form diag(H) for 'lbfgs', or
+        None when the sampler adapts its own
     sampler_result: the sampler's own result object (adapted state etc.)
     """
 
