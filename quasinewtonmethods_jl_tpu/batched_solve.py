@@ -606,7 +606,10 @@ def _make_update_fn(kernel: str, block_batch: int):
         return partial(_blocked_update, block_batch=block_batch, matvec="xla")
     if kernel == "xla":
         return fused_bfgs_update_reference
-    raise ValueError(f"unknown kernel {kernel!r}; use 'xla' or 'pallas'")
+    raise ValueError(
+        f"unknown kernel {kernel!r}; use 'xla', 'pallas', 'pallas_interpret',"
+        " 'pallas_blocked', 'pallas_blocked_interpret' or 'pallas_hybrid'"
+    )
 
 
 # VMEM feasibility for the fused Pallas kernel: it holds roughly 4

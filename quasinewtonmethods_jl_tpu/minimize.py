@@ -22,7 +22,6 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from .lbfgs_solve import LBFGSResult
 from .ops.linesearch import BackTracking
 from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT, OptimizeResult
 

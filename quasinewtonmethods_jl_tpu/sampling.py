@@ -87,12 +87,24 @@ def chain_init_from_map(result, jitter: float = 0.0, key=None):
     """
     from .state import Status
 
+    if jitter and key is None:
+        raise ValueError(
+            "chain_init_from_map: jitter > 0 needs an explicit `key` "
+            "(silently skipping it would hand back perfectly correlated "
+            "chain starts)"
+        )
     x0s = result.x
     ok = (result.status == Status.CONVERGED).astype(x0s.dtype)
+    # zero converged lanes: fall back to an identity mass instead of the
+    # all-zero average (which yields NaN momenta via cholesky/sqrt).
+    # Branchless so the helper stays jittable.
+    any_ok = jnp.sum(ok) > 0
     w = ok / jnp.maximum(jnp.sum(ok), 1.0)
     state = result.state
     if hasattr(state, "B"):
+        n = x0s.shape[-1]
         mass = jnp.einsum("b,bij->ij", w, state.B)
+        mass = jnp.where(any_ok, mass, jnp.eye(n, dtype=x0s.dtype))
     else:  # L-BFGS: diagonal of the compact-form inverse-Hessian estimate
         from .ops.lbfgs_compact import lbfgs_diag_inv_hessian
 
@@ -103,6 +115,7 @@ def chain_init_from_map(result, jitter: float = 0.0, key=None):
         # negative entries (indefinite secant noise) are floored out
         diags = jnp.maximum(diags, 1e-10)
         mass = jnp.einsum("b,bn->n", w, diags)
+        mass = jnp.where(any_ok, mass, jnp.ones_like(mass))
     if jitter and key is not None:
         x0s = x0s + jitter * jax.random.normal(key, x0s.shape, x0s.dtype)
     return x0s, mass
@@ -213,7 +226,6 @@ def hmc_sample(
     wants; tune ``n_leapfrog`` to the problem scale.
     """
     vag = as_value_and_grad(obj, value_and_grad_fn)
-    vag_b = jax.vmap(vag)
     # value-only for Metropolis ratios: the trajectory's final gradient was
     # already computed inside the leapfrog — never pay a second backward
     f_b = jax.vmap(as_value_fn(obj, value_and_grad_fn))

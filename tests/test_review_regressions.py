@@ -133,3 +133,42 @@ print("ok")
              "PATH": "/usr/bin:/bin", "HOME": "/tmp"},
     )
     assert proc.returncode == 0 and "ok" in proc.stdout, proc.stderr[-1500:]
+
+
+def test_chain_init_from_map_zero_converged_identity_mass(rng):
+    """round-3 ADVICE: with zero converged lanes the averaged mass used to
+    be all-zero (NaN momenta downstream); it must fall back to identity."""
+    from quasinewtonmethods_jl_tpu.parallel.batch import (
+        optimize_batched, optimize_lbfgs_batched,
+    )
+    from quasinewtonmethods_jl_tpu.sampling import chain_init_from_map
+
+    def bad(x):  # non-finite everywhere: every lane fails immediately
+        return jnp.nan * jnp.sum(x)
+
+    x0 = jnp.asarray(rng.standard_normal((4, 6)))
+    res = optimize_batched(bad, x0, max_iterations=3)
+    assert not bool(jnp.any(res.status == qnm.Status.CONVERGED))
+    x0s, mass = chain_init_from_map(res)
+    np.testing.assert_allclose(np.asarray(mass), np.eye(6), atol=0)
+
+    res_l = optimize_lbfgs_batched(bad, x0, history=3, max_iterations=3)
+    _, mass_l = chain_init_from_map(res_l)
+    np.testing.assert_allclose(np.asarray(mass_l), np.ones(6), atol=0)
+
+
+def test_chain_init_from_map_jitter_without_key_raises(rng):
+    from quasinewtonmethods_jl_tpu.parallel.batch import optimize_batched
+    from quasinewtonmethods_jl_tpu.sampling import chain_init_from_map
+
+    x0 = jnp.asarray(rng.standard_normal((4, 6))) + 1.0
+    res = optimize_batched(rosenbrock_logdensity, x0)
+    with pytest.raises(ValueError, match="jitter"):
+        chain_init_from_map(res, jitter=0.1)
+
+
+def test_unknown_kernel_message_lists_all_kernels():
+    from quasinewtonmethods_jl_tpu.batched_solve import _make_update_fn
+
+    with pytest.raises(ValueError, match="pallas_blocked"):
+        _make_update_fn("nope", 128)
