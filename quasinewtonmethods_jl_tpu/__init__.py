@@ -39,7 +39,15 @@ from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
-from .diagnostics import ChainDiagnostics, diagnose_chains, ess, split_rhat
+from .diagnostics import (
+    ChainDiagnostics,
+    diagnose_chains,
+    diagnose_chains_device,
+    ess,
+    ess_device,
+    split_rhat,
+    split_rhat_device,
+)
 from .laplace import laplace_evidence
 from .workflow import MapThenSampleResult, map_then_sample
 from .sampling import (
@@ -74,8 +82,11 @@ __all__ = [
     "ChEESResult",
     "ChainDiagnostics",
     "diagnose_chains",
+    "diagnose_chains_device",
     "ess",
+    "ess_device",
     "split_rhat",
+    "split_rhat_device",
     "HMCResult",
     "NUTSResult",
     "laplace_evidence",

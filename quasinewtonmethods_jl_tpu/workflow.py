@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .diagnostics import ChainDiagnostics, diagnose_chains
+from .diagnostics import ChainDiagnostics, diagnose_chains_device
 from .parallel.batch import optimize_batched
 from .sampling import chain_init_from_map, get_sampler
 from .state import Status
@@ -159,7 +159,11 @@ def map_then_sample(
     if not compute_diagnostics:
         diag = None
     elif kw["n_samples"] >= 8:
-        diag = diagnose_chains(res.samples)
+        # ON-DEVICE diagnostics (diagnose_chains_device): the draws stay on
+        # the chip; only four (n,)-sized summaries ever cross the tunnel.
+        # (The round-2 default fetched all draws for host FFTs — 39 s of
+        # transfer against 98 ms of compute at 4096 chains x 1M draws.)
+        diag = diagnose_chains_device(res.samples)
     else:
         # too few draws for split R-hat / ESS: report moments, NaN stats —
         # never discard a completed pipeline over its diagnostics

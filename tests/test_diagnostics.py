@@ -13,8 +13,11 @@ import pytest
 import quasinewtonmethods_jl_tpu as qnm
 from quasinewtonmethods_jl_tpu.diagnostics import (
     diagnose_chains,
+    diagnose_chains_device,
     ess,
+    ess_device,
     split_rhat,
+    split_rhat_device,
 )
 
 
@@ -83,3 +86,76 @@ def test_diagnose_chains_on_sampler_output():
     assert np.all(d.ess > 300)
     np.testing.assert_allclose(d.mean, 0.0, atol=0.12)
     np.testing.assert_allclose(d.std, 1.0, atol=0.12)
+
+
+# ---- on-device implementation: parity with the host oracle (round 3) ----
+
+
+def _fixtures():
+    rng = np.random.default_rng(7)
+    iid = rng.standard_normal((400, 8, 3))
+    ar = np.zeros((600, 6, 2))
+    innov = rng.standard_normal((600, 6, 2))
+    for t in range(1, 600):
+        ar[t] = 0.8 * ar[t - 1] + innov[t]
+    disjoint = rng.standard_normal((300, 4, 2)) * 0.1
+    disjoint[:, :2, 0] += 3.0
+    drifting = rng.standard_normal((500, 4, 1)) * 0.3 + np.linspace(
+        -2, 2, 500
+    )[:, None, None]
+    const = np.zeros((100, 4, 1))
+    return {"iid": iid, "ar1": ar, "disjoint": disjoint,
+            "drifting": drifting, "const": const}
+
+
+@pytest.mark.parametrize("name", ["iid", "ar1", "disjoint", "drifting", "const"])
+def test_device_diagnostics_match_host(name):
+    """diagnose_chains_device is the same math as the numpy oracle —
+    f64 parity to near machine eps on every calibration fixture."""
+    x = _fixtures()[name]
+    host = diagnose_chains(x)
+    dev = jax.tree_util.tree_map(
+        np.asarray, diagnose_chains_device(jnp.asarray(x))
+    )
+    np.testing.assert_allclose(dev.rhat, host.rhat, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(dev.ess, host.ess, rtol=1e-8)
+    np.testing.assert_allclose(dev.mean, host.mean, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(dev.std, host.std, rtol=1e-12)
+
+
+def test_device_diagnostics_f32_drift_bounded():
+    """The f32 on-chip path must stay within diagnostic noise of the f64
+    oracle (centering before the FFT removes the cancellation risk)."""
+    x = _fixtures()["ar1"]
+    host = diagnose_chains(x)
+    dev = diagnose_chains_device(jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(np.asarray(dev.rhat), host.rhat, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dev.ess), host.ess, rtol=1e-3)
+
+
+def test_device_diagnostics_shape_guards():
+    with pytest.raises(ValueError, match="4 draws"):
+        split_rhat_device(jnp.zeros((2, 4, 1)))
+    with pytest.raises(ValueError, match="8 draws"):
+        ess_device(jnp.zeros((6, 4, 1)))
+
+
+def test_map_then_sample_default_diagnostics_are_device_arrays():
+    """The pipeline default must keep diagnostics on device: the returned
+    summaries are jax arrays (fetch is the caller's choice), and their
+    values agree with the host oracle over the same draws."""
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    out = qnm.map_then_sample(
+        logdensity, jax.random.PRNGKey(3), jnp.zeros(2),
+        n_chains=8, n_samples=64, n_warmup=64,
+    )
+    assert isinstance(out.diagnostics.rhat, jax.Array)
+    host = diagnose_chains(out.samples)
+    np.testing.assert_allclose(
+        np.asarray(out.diagnostics.rhat), host.rhat, rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.diagnostics.ess), host.ess, rtol=1e-6
+    )
