@@ -52,12 +52,18 @@ from .laplace import laplace_evidence
 from .workflow import MapThenSampleResult, map_then_sample
 from .sampling import (
     ChEESResult,
+    ChEESState,
     HMCResult,
+    HMCState,
     NUTSResult,
+    NUTSState,
     chain_init_from_map,
     chees_sample,
+    chees_sample_from_state,
     hmc_sample,
+    hmc_sample_from_state,
     nuts_sample,
+    nuts_sample_from_state,
 )
 from .solve import (
     MAX_ITERATIONS_DEFAULT,
@@ -80,6 +86,7 @@ __all__ = [
     "bfgs_update",
     "initial_inv_hessian",
     "ChEESResult",
+    "ChEESState",
     "ChainDiagnostics",
     "diagnose_chains",
     "diagnose_chains_device",
@@ -88,14 +95,19 @@ __all__ = [
     "split_rhat",
     "split_rhat_device",
     "HMCResult",
+    "HMCState",
     "NUTSResult",
+    "NUTSState",
     "laplace_evidence",
     "MapThenSampleResult",
     "map_then_sample",
     "chain_init_from_map",
     "chees_sample",
+    "chees_sample_from_state",
     "hmc_sample",
+    "hmc_sample_from_state",
     "nuts_sample",
+    "nuts_sample_from_state",
     "minimize",
     "optimize",
     "optimize_batched",

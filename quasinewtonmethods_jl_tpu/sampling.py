@@ -36,13 +36,43 @@ from .api import as_value_and_grad, as_value_fn
 __all__ = [
     "get_sampler",
     "HMCResult",
+    "HMCState",
     "ChEESResult",
+    "ChEESState",
     "NUTSResult",
+    "NUTSState",
     "hmc_sample",
+    "hmc_sample_from_state",
     "chees_sample",
+    "chees_sample_from_state",
     "nuts_sample",
+    "nuts_sample_from_state",
     "chain_init_from_map",
 ]
+
+
+class HMCState(NamedTuple):
+    """Full resumable sampler state for `hmc_sample` (the sampler-side
+    analog of the optimizers' BFGSState/LBFGSState): positions, cached
+    log-densities, the COMPLETE dual-averaging accumulators, the base RNG
+    key, and the phase counters. `hmc_sample_from_state` continues a run
+    (finish warmup, then draw) trajectory-identically to one long run;
+    `utils.checkpoint.save_state`/`load_state` serialize it.
+
+    Per-step RNG keys derive as fold_in(fold_in(key, phase), global_step),
+    so resumption needs only the counters — no key stream is consumed by
+    chunking."""
+
+    x: jax.Array  # (chains, n) current positions
+    f: jax.Array  # (chains,) logdensity at x
+    log_eps: jax.Array  # (chains,) dual-averaging iterate
+    log_eps_bar: jax.Array  # (chains,) averaged iterate (the frozen eps)
+    h_bar: jax.Array  # (chains,) DA error accumulator
+    t_da: jax.Array  # () DA step count
+    mu: jax.Array  # () DA shrink target log(10 * eps0)
+    key: jax.Array  # the run's base PRNG key
+    i_warm: jax.Array  # () int32 warmup steps completed
+    i_samp: jax.Array  # () int32 sampling steps completed
 
 
 class HMCResult(NamedTuple):
@@ -51,13 +81,15 @@ class HMCResult(NamedTuple):
     samples: (n_samples, chains, n) post-warmup draws
     accept_rate: (chains,) mean Metropolis acceptance over sampling
     step_size: (chains,) final (adapted) leapfrog step size
-    final_x: (chains, n) last state (resumable)
+    final_x: (chains, n) last state
+    state: HMCState — resume via `hmc_sample_from_state`
     """
 
     samples: jax.Array
     accept_rate: jax.Array
     step_size: jax.Array
     final_x: jax.Array
+    state: HMCState
 
 
 def get_sampler(name: str):
@@ -195,9 +227,96 @@ def _leapfrog(grad_fn, x, p, eps, mass, n_steps):
     jax.jit,
     static_argnames=(
         "obj", "value_and_grad_fn", "n_samples", "n_warmup", "n_leapfrog",
-        "target_accept",
+        "target_accept", "i_warm0", "i_samp0",
     ),
 )
+def _hmc_core(
+    obj, state: HMCState, mass, n_samples, n_warmup, n_leapfrog,
+    target_accept, value_and_grad_fn, i_warm0, i_samp0,
+) -> HMCResult:
+    """Shared chunkable core: run ``n_warmup`` more warmup steps (global
+    indices i_warm0..) then ``n_samples`` draws (global indices i_samp0..).
+    Per-step keys are fold_in(fold_in(key, phase), global_step), so a
+    chunked run replays the long run's exact key stream."""
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    # value-only for Metropolis ratios: the trajectory's final gradient was
+    # already computed inside the leapfrog — never pay a second backward
+    f_b = jax.vmap(as_value_fn(obj, value_and_grad_fn))
+
+    chains, n = state.x.shape
+    dtype = state.x.dtype
+
+    mass_b, chol_u = _mass_setup(mass, n, dtype)
+
+    def leap_b(x, p, eps):
+        def one(xc, pc, ec):
+            return _leapfrog(lambda xx: vag(xx)[1], xc, pc, ec, mass_b,
+                             n_leapfrog)
+        return jax.vmap(one)(x, p, eps)
+
+    def hmc_step(x, f, eps, k):
+        k1, k2 = jax.random.split(k)
+        p = _draw_momentum(k1, chains, n, dtype, mass_b, chol_u)
+        x_new, p_new = leap_b(x, p, eps)
+        f_new = f_b(x_new)
+        log_ratio = (f_new - _kinetic(p_new, mass_b)) - (f - _kinetic(p, mass_b))
+        # NaN-robust: a diverged trajectory (non-finite ratio) is rejected
+        accept_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
+        accept_prob = jnp.where(jnp.isfinite(accept_prob), accept_prob, 0.0)
+        u = jax.random.uniform(k2, (chains,), dtype)
+        acc = u < accept_prob
+        x = jnp.where(acc[:, None], x_new, x)
+        f = jnp.where(acc, f_new, f)
+        return x, f, acc, accept_prob
+
+    # first-ever call: the cached logdensity is not populated yet
+    f0 = f_b(state.x) if (i_warm0 == 0 and i_samp0 == 0) else state.f
+    k_warm = jax.random.fold_in(state.key, 0)
+    k_samp = jax.random.fold_in(state.key, 1)
+
+    # ---- warmup: dual averaging toward target_accept (per chain) ----
+    def warm_body(carry, i):
+        x, f, log_eps, log_eps_bar, h_bar, t = carry
+        k = jax.random.fold_in(k_warm, i)
+        x, f, _acc, a_prob = hmc_step(x, f, jnp.exp(log_eps), k)
+        log_eps, log_eps_bar, h_bar, t = _da_update(
+            h_bar, log_eps_bar, t, target_accept - a_prob, state.mu
+        )
+        return (x, f, log_eps, log_eps_bar, h_bar, t), None
+
+    carry_w = (state.x, f0, state.log_eps, state.log_eps_bar, state.h_bar,
+               state.t_da)
+    if n_warmup > 0:
+        carry_w, _ = lax.scan(
+            warm_body, carry_w, i_warm0 + jnp.arange(n_warmup)
+        )
+    x, f, log_eps, log_eps_bar, h_bar, t_da = carry_w
+    eps_final = jnp.exp(log_eps_bar)
+
+    # ---- sampling at the adapted step ----
+    def sample_body(carry, j):
+        x, f = carry
+        x, f, acc, _ = hmc_step(x, f, eps_final, jax.random.fold_in(k_samp, j))
+        return (x, f), (x, acc)
+
+    (x, f), (samples, accs) = lax.scan(
+        sample_body, (x, f), i_samp0 + jnp.arange(n_samples)
+    )
+    out_state = HMCState(
+        x=x, f=f, log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar,
+        t_da=t_da, mu=state.mu, key=state.key,
+        i_warm=jnp.asarray(i_warm0 + n_warmup, jnp.int32),
+        i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
+    )
+    return HMCResult(
+        samples=samples,
+        accept_rate=jnp.mean(accs.astype(dtype), axis=0),
+        step_size=eps_final,
+        final_x=x,
+        state=out_state,
+    )
+
+
 def hmc_sample(
     obj,
     key: jax.Array,
@@ -224,80 +343,87 @@ def hmc_sample(
     This is deliberately plain HMC, not NUTS: fixed path length keeps the
     program free of data-dependent trip counts, which is what the TPU
     wants; tune ``n_leapfrog`` to the problem scale.
+
+    The result carries a resumable `state`; `hmc_sample_from_state`
+    continues (or checkpoint-chunks) the run trajectory-identically.
     """
-    vag = as_value_and_grad(obj, value_and_grad_fn)
-    # value-only for Metropolis ratios: the trajectory's final gradient was
-    # already computed inside the leapfrog — never pay a second backward
-    f_b = jax.vmap(as_value_fn(obj, value_and_grad_fn))
-
-    chains, n = x0s.shape
+    x0s = jnp.asarray(x0s)
+    chains, _n = x0s.shape
     dtype = x0s.dtype
-
-    mass_b, chol_u = _mass_setup(mass, n, dtype)
-
-    def leap_b(x, p, eps):
-        def one(xc, pc, ec):
-            return _leapfrog(lambda xx: vag(xx)[1], xc, pc, ec, mass_b,
-                             n_leapfrog)
-        return jax.vmap(one)(x, p, eps)
-
-    def hmc_step(x, f, eps, k):
-        k1, k2 = jax.random.split(k)
-        p = _draw_momentum(k1, chains, n, dtype, mass_b, chol_u)
-        x_new, p_new = leap_b(x, p, eps)
-        f_new = f_b(x_new)
-        log_ratio = (f_new - _kinetic(p_new, mass_b)) - (f - _kinetic(p, mass_b))
-        # NaN-robust: a diverged trajectory (non-finite ratio) is rejected
-        accept_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
-        accept_prob = jnp.where(jnp.isfinite(accept_prob), accept_prob, 0.0)
-        u = jax.random.uniform(k2, (chains,), dtype)
-        acc = u < accept_prob
-        x = jnp.where(acc[:, None], x_new, x)
-        f = jnp.where(acc, f_new, f)
-        return x, f, acc, accept_prob
-
-    f0 = f_b(x0s)
-
-    # ---- warmup: dual averaging toward target_accept (per chain) ----
-    mu = jnp.log(10.0 * jnp.asarray(step_size, dtype))
-
-    def warm_body(carry, k):
-        x, f, log_eps, log_eps_bar, h_bar, t = carry
-        x, f, _acc, a_prob = hmc_step(x, f, jnp.exp(log_eps), k)
-        log_eps, log_eps_bar, h_bar, t = _da_update(
-            h_bar, log_eps_bar, t, target_accept - a_prob, mu
-        )
-        return (x, f, log_eps, log_eps_bar, h_bar, t), None
-
     log_eps0 = jnp.full((chains,), jnp.log(jnp.asarray(step_size, dtype)))
-    if n_warmup > 0:
-        (x, f, _le, log_eps_bar, _hb, _t), _ = lax.scan(
-            warm_body,
-            (x0s, f0, log_eps0, log_eps0, jnp.zeros((chains,), dtype),
-             jnp.zeros((), dtype)),
-            jax.random.split(key, n_warmup),
+    state0 = HMCState(
+        x=x0s,
+        f=jnp.full((chains,), jnp.nan, dtype),
+        log_eps=log_eps0,
+        log_eps_bar=log_eps0,
+        h_bar=jnp.zeros((chains,), dtype),
+        t_da=jnp.zeros((), dtype),
+        mu=jnp.log(10.0 * jnp.asarray(step_size, dtype)),
+        key=key,
+        i_warm=jnp.zeros((), jnp.int32),
+        i_samp=jnp.zeros((), jnp.int32),
+    )
+    return _hmc_core(
+        obj, state0, mass, n_samples, n_warmup, n_leapfrog, target_accept,
+        value_and_grad_fn, 0, 0,
+    )
+
+
+def hmc_sample_from_state(
+    obj,
+    state: HMCState,
+    mass: Optional[jax.Array] = None,
+    n_samples: int = 0,
+    n_warmup: int = 0,
+    n_leapfrog: int = 16,
+    target_accept: float = 0.8,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> HMCResult:
+    """Continue an `hmc_sample` run from its saved state: run ``n_warmup``
+    MORE warmup steps, then ``n_samples`` more draws. Chunked calls are
+    trajectory-identical to one long run with the same totals (same base
+    key, same configuration args — ``mass``/``n_leapfrog``/
+    ``target_accept`` are config, not state, and must be re-passed).
+    Warmup cannot resume after sampling has begun (phases are monotone).
+    """
+    i_warm0, i_samp0 = int(state.i_warm), int(state.i_samp)
+    if n_warmup > 0 and i_samp0 > 0:
+        raise ValueError(
+            "cannot add warmup after sampling has begun "
+            f"(state has {i_samp0} draws)"
         )
-        eps_final = jnp.exp(log_eps_bar)
-    else:
-        x, f = x0s, f0
-        eps_final = jnp.exp(log_eps0)
-
-    # ---- sampling at the adapted step ----
-    def sample_body(carry, k):
-        x, f = carry
-        x, f, acc, _ = hmc_step(x, f, eps_final, k)
-        return (x, f), (x, acc)
-
-    key_s = jax.random.fold_in(key, 1)
-    (x, f), (samples, accs) = lax.scan(
-        sample_body, (x, f), jax.random.split(key_s, n_samples)
+    return _hmc_core(
+        obj, state, mass, n_samples, n_warmup, n_leapfrog, target_accept,
+        value_and_grad_fn, i_warm0, i_samp0,
     )
-    return HMCResult(
-        samples=samples,
-        accept_rate=jnp.mean(accs.astype(dtype), axis=0),
-        step_size=eps_final,
-        final_x=x,
-    )
+
+
+class ChEESState(NamedTuple):
+    """Resumable state for `chees_sample`: positions, cached logdensity,
+    the full adaptation state (dual-averaging accumulators, Adam moments
+    on log T, the fleet-variance mass EMA), the base RNG key, and the
+    phase counters. ``n_warmup_total`` / ``mass_freeze`` pin the Halton
+    index offset and the mass-freeze step so chunked runs replay the long
+    run exactly. Serializable via `utils.checkpoint.save_state`."""
+
+    x: jax.Array  # (chains, n)
+    f: jax.Array  # (chains,)
+    log_eps: jax.Array  # () DA iterate (shared step size)
+    log_eps_bar: jax.Array  # () averaged iterate
+    h_bar: jax.Array  # ()
+    t_da: jax.Array  # ()
+    mu: jax.Array  # () DA shrink target
+    log_T: jax.Array  # () Adam iterate (mean trajectory length)
+    m1: jax.Array  # () Adam first moment
+    m2: jax.Array  # () Adam second moment
+    t_adam: jax.Array  # () Adam step count
+    log_T_min: jax.Array  # () lower clip (config bound at init)
+    var_ema: jax.Array  # (n,) fleet-variance mass EMA
+    key: jax.Array
+    i_warm: jax.Array  # () int32
+    i_samp: jax.Array  # () int32
+    n_warmup_total: jax.Array  # () int32 planned warmup length
+    mass_freeze: jax.Array  # () int32 freeze step (n_warmup_total // 2)
 
 
 class ChEESResult(NamedTuple):
@@ -308,7 +434,8 @@ class ChEESResult(NamedTuple):
     step_size: () adapted shared leapfrog step size
     traj_length: () adapted mean trajectory length (time units)
     mass_diag: (n,) the (possibly fleet-adapted) diagonal preconditioner
-    final_x: (chains, n) last state (resumable)
+    final_x: (chains, n) last state
+    state: ChEESState — resume via `chees_sample_from_state`
     """
 
     samples: jax.Array
@@ -317,6 +444,7 @@ class ChEESResult(NamedTuple):
     traj_length: jax.Array
     mass_diag: jax.Array
     final_x: jax.Array
+    state: ChEESState
 
 
 def _halton(count: int) -> jnp.ndarray:
@@ -337,79 +465,33 @@ def _halton(count: int) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=(
-        "obj", "value_and_grad_fn", "n_samples", "n_warmup", "step_size",
-        "traj_length", "target_accept", "max_leapfrog", "adapt_mass",
+        "obj", "value_and_grad_fn", "n_samples", "n_warmup",
+        "target_accept", "max_leapfrog", "adapt_mass",
+        "i_warm0", "i_samp0", "n_warmup_total", "mass_freeze",
     ),
 )
-def chees_sample(
-    obj,
-    key: jax.Array,
-    x0s: jax.Array,  # (chains, n) initial positions (e.g. the MAP fleet)
-    mass: Optional[jax.Array] = None,  # (n,n) dense / (n,) diag ~ cov; None = adapt diag
-    n_samples: int = 1000,
-    n_warmup: int = 500,
-    step_size: float = 0.1,
-    traj_length: float = 1.0,
-    target_accept: float = 0.75,
-    max_leapfrog: int = 1024,
-    adapt_mass: bool = True,
-    value_and_grad_fn: Optional[Callable] = None,
+def _chees_core(
+    obj, state: ChEESState, mass, n_samples, n_warmup, target_accept,
+    max_leapfrog, adapt_mass, value_and_grad_fn, i_warm0, i_samp0,
+    n_warmup_total, mass_freeze,
 ) -> ChEESResult:
-    """Batched HMC with ChEES-adapted trajectory lengths — the TPU-native
-    answer to NUTS.
-
-    NUTS decides the trajectory length per chain by growing a binary tree
-    until a U-turn: data-dependent, per-chain control flow that serializes
-    a lockstep fleet (every chain waits for the deepest tree) and resists
-    XLA compilation. ChEES (Hoffman, Radul & Sountsov, AISTATS 2021)
-    gets the same adaptivity *across* the fleet instead: all chains run
-    the SAME jittered trajectory each round, and the mean trajectory
-    length is learned by gradient ascent on the Change-in-Estimator of
-    the Expected Square criterion
-
-        ChEES = E[ (||x' - E x'||^2 - ||x - E x||^2)^2 ] / 4,
-
-    whose gradient signal per chain is Delta_c * <x'_c - mean(x'), p'_c>
-    (weighted by the Metropolis acceptance probability) — an expectation
-    the many-chain fleet estimates in one cross-chain reduction per round.
-    This is exactly the regime the MAP fleet hands over (thousands of
-    lanes), and the whole sampler stays two `lax.scan`s of fixed shape
-    with one shared dynamic-trip leapfrog loop per round.
-
-    Adaptation (warmup phase only):
-      * trajectory length: Adam on log T with the ChEES gradient; each
-        round uses t = u * 2T with u from a base-2 Halton sequence
-        (low-discrepancy jitter, per the paper), clamped so the leapfrog
-        count stays in [1, max_leapfrog];
-      * step size: dual averaging of the fleet-mean acceptance toward
-        ``target_accept`` (shared eps — chains are lockstep anyway);
-      * mass: with ``adapt_mass`` and no explicit ``mass``, the diagonal
-        preconditioner is the ACROSS-CHAIN variance of the fleet state
-        (EMA-smoothed, frozen after warmup/2) — with thousands of chains
-        the fleet itself is the sample the usual within-chain Welford
-        window has to accumulate; another across-fleet estimator, like
-        `chain_init_from_map`'s averaged B.
-
-    Returns post-warmup draws at frozen (eps, T, mass), trajectory still
-    Halton-jittered (recommended practice).
-    """
+    """Chunkable core (see `_hmc_core` for the key-stream discipline).
+    ``n_warmup_total`` pins the Halton offset of the sampling phase and
+    ``mass_freeze`` the EMA freeze step — both static, carried in the
+    state as data so resumption replays the long run exactly."""
     vag = as_value_and_grad(obj, value_and_grad_fn)
     vag_b = jax.vmap(vag)
     # value-only for Metropolis ratios: the trajectory's final gradient was
     # already computed inside the leapfrog — never pay a second backward
     f_b = jax.vmap(as_value_fn(obj, value_and_grad_fn))
 
-    chains, n = x0s.shape
-    dtype = x0s.dtype
+    chains, n = state.x.shape
+    dtype = state.x.dtype
 
     # dense (n, n) mass (e.g. the B from chain_init_from_map) is static by
     # construction (adaptation is diagonal-only), so _mass_setup's Cholesky
     # is hoisted out of both scans
     mass0, chol_u = _mass_setup(mass, n, dtype)
-    if mass is not None or chains < _MASS_ADAPT_MIN_CHAINS:
-        # the across-chain variance of a tiny fleet is a degenerate metric
-        # (1 chain -> 0 -> the 1e-10 clamp); keep the identity instead
-        adapt_mass = False
 
     def grad_b(x):
         return vag_b(x)[1]
@@ -466,28 +548,37 @@ def chees_sample(
         g_chees = jnp.where(jnp.isfinite(g_chees), g_chees, 0.0)
         return x_out, f_out, a_prob, g_chees
 
-    f0 = f_b(x0s)
+    # first-ever call: populate the cached logdensity
+    f0 = f_b(state.x) if (i_warm0 == 0 and i_samp0 == 0) else state.f
     # astype(dtype): _halton builds in f64; without the cast, f32 chains
     # under jax_enable_x64 promote the warmup carry (t_jit -> g_chees ->
     # log_T/m1/m2) to f64 and lax.scan rejects the carry (regression-tested)
-    us = _halton(n_warmup + n_samples).astype(dtype)
+    # The Halton index is GLOBAL (warmup step i -> halton[i]; sampling step
+    # j -> halton[n_warmup_total + j]) so chunked runs see the long run's
+    # exact jitter sequence.
+    us_all = _halton(n_warmup_total + i_samp0 + n_samples).astype(dtype)
+    us_w = us_all[i_warm0 : i_warm0 + n_warmup]
+    us_s = us_all[n_warmup_total + i_samp0 :]
+
+    k_warm = jax.random.fold_in(state.key, 0)
+    k_samp = jax.random.fold_in(state.key, 1)
 
     # ---- warmup: joint (eps, T, mass) adaptation ----
-    mu = jnp.log(10.0 * jnp.asarray(step_size, dtype))
     b1, b2, adam_lr = 0.9, 0.95, 0.025
-    log_T_min = jnp.log(jnp.asarray(step_size, dtype) * 0.5)
-    mass_freeze = max(n_warmup // 2, 1)
+    log_T_min = state.log_T_min
 
     def warm_body(carry, xs):
         (x, f, log_eps, log_eps_bar, h_bar, tda, log_T, m1, m2, tad,
          var_ema) = carry
-        u, k, i = xs
+        u, i = xs
+        k = jax.random.fold_in(k_warm, i)
         mass_d = var_ema if adapt_mass else mass0
         x, f, a_prob, g_chees = round_(x, f, log_eps, log_T, mass_d, u, k)
 
         # dual averaging on the fleet-mean acceptance
         log_eps, log_eps_bar, h_bar, tda = _da_update(
-            h_bar, log_eps_bar, tda, target_accept - jnp.mean(a_prob), mu
+            h_bar, log_eps_bar, tda, target_accept - jnp.mean(a_prob),
+            state.mu,
         )
 
         # Adam ascent on log T with the ChEES gradient
@@ -514,43 +605,42 @@ def chees_sample(
             None,
         )
 
-    log_eps0 = jnp.log(jnp.asarray(step_size, dtype))
-    log_T0 = jnp.log(jnp.asarray(traj_length, dtype))
-    zero = jnp.zeros((), dtype)
-    carry0 = (
-        x0s, f0, log_eps0, log_eps0, zero, zero, log_T0, zero, zero, zero,
-        jnp.ones((n,), dtype) if adapt_mass else mass0,
+    carry_w = (
+        state.x, f0, state.log_eps, state.log_eps_bar, state.h_bar,
+        state.t_da, state.log_T, state.m1, state.m2, state.t_adam,
+        state.var_ema,
     )
     if n_warmup > 0:
-        (x, f, _le, log_eps_bar, _hb, _td, log_T, _m1, _m2, _ta,
-         var_ema), _ = lax.scan(
-            warm_body,
-            carry0,
-            (
-                us[:n_warmup],
-                jax.random.split(key, n_warmup),
-                jnp.arange(n_warmup),
-            ),
+        carry_w, _ = lax.scan(
+            warm_body, carry_w,
+            (us_w, i_warm0 + jnp.arange(n_warmup)),
         )
-    else:
-        x, f, log_eps_bar, log_T, var_ema = (
-            x0s, f0, log_eps0, log_T0, carry0[-1]
-        )
+    (x, f, log_eps, log_eps_bar, h_bar, t_da, log_T, m1, m2, t_adam,
+     var_ema) = carry_w
     mass_final = var_ema if adapt_mass else mass0
     eps_final = jnp.exp(log_eps_bar)
 
     # ---- sampling at frozen (eps, T, mass), still Halton-jittered ----
     def sample_body(carry, xs):
         x, f = carry
-        u, k = xs
+        u, j = xs
+        k = jax.random.fold_in(k_samp, j)
         x, f, a_prob, _g = round_(x, f, log_eps_bar, log_T, mass_final, u, k)
         return (x, f), (x, a_prob)
 
-    key_s = jax.random.fold_in(key, 1)
     (x, f), (samples, a_probs) = lax.scan(
         sample_body,
         (x, f),
-        (us[n_warmup:], jax.random.split(key_s, n_samples)),
+        (us_s, i_samp0 + jnp.arange(n_samples)),
+    )
+    out_state = ChEESState(
+        x=x, f=f, log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar,
+        t_da=t_da, mu=state.mu, log_T=log_T, m1=m1, m2=m2, t_adam=t_adam,
+        log_T_min=state.log_T_min, var_ema=var_ema, key=state.key,
+        i_warm=jnp.asarray(i_warm0 + n_warmup, jnp.int32),
+        i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
+        n_warmup_total=jnp.asarray(n_warmup_total, jnp.int32),
+        mass_freeze=jnp.asarray(mass_freeze, jnp.int32),
     )
     return ChEESResult(
         samples=samples,
@@ -561,7 +651,187 @@ def chees_sample(
             jnp.diagonal(mass_final) if mass_final.ndim == 2 else mass_final
         ),
         final_x=x,
+        state=out_state,
     )
+
+
+def _chees_adapt_mass(adapt_mass, mass, chains):
+    """ONE home for the static adapt-mass decision (the same rule on first
+    call and on resume): an explicit mass or a tiny fleet disables the
+    across-chain variance metric (1 chain -> exactly 0 -> the 1e-10
+    clamp; 2-4 chains are biased low)."""
+    return adapt_mass and mass is None and chains >= _MASS_ADAPT_MIN_CHAINS
+
+
+def chees_sample(
+    obj,
+    key: jax.Array,
+    x0s: jax.Array,  # (chains, n) initial positions (e.g. the MAP fleet)
+    mass: Optional[jax.Array] = None,  # (n,n) dense / (n,) diag ~ cov; None = adapt diag
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    step_size: float = 0.1,
+    traj_length: float = 1.0,
+    target_accept: float = 0.75,
+    max_leapfrog: int = 1024,
+    adapt_mass: bool = True,
+    value_and_grad_fn: Optional[Callable] = None,
+    total_warmup: Optional[int] = None,
+) -> ChEESResult:
+    """Batched HMC with ChEES-adapted trajectory lengths — the TPU-native
+    answer to NUTS.
+
+    NUTS decides the trajectory length per chain by growing a binary tree
+    until a U-turn: data-dependent, per-chain control flow that serializes
+    a lockstep fleet (every chain waits for the deepest tree) and resists
+    XLA compilation. ChEES (Hoffman, Radul & Sountsov, AISTATS 2021)
+    gets the same adaptivity *across* the fleet instead: all chains run
+    the SAME jittered trajectory each round, and the mean trajectory
+    length is learned by gradient ascent on the Change-in-Estimator of
+    the Expected Square criterion
+
+        ChEES = E[ (||x' - E x'||^2 - ||x - E x||^2)^2 ] / 4,
+
+    whose gradient signal per chain is Delta_c * <x'_c - mean(x'), p'_c>
+    (weighted by the Metropolis acceptance probability) — an expectation
+    the many-chain fleet estimates in one cross-chain reduction per round.
+    This is exactly the regime the MAP fleet hands over (thousands of
+    lanes), and the whole sampler stays two `lax.scan`s of fixed shape
+    with one shared dynamic-trip leapfrog loop per round.
+
+    Adaptation (warmup phase only):
+      * trajectory length: Adam on log T with the ChEES gradient; each
+        round uses t = u * 2T with u from a base-2 Halton sequence
+        (low-discrepancy jitter, per the paper), clamped so the leapfrog
+        count stays in [1, max_leapfrog];
+      * step size: dual averaging of the fleet-mean acceptance toward
+        ``target_accept`` (shared eps — chains are lockstep anyway);
+      * mass: with ``adapt_mass`` and no explicit ``mass``, the diagonal
+        preconditioner is the ACROSS-CHAIN variance of the fleet state
+        (EMA-smoothed, frozen after warmup/2) — with thousands of chains
+        the fleet itself is the sample the usual within-chain Welford
+        window has to accumulate; another across-fleet estimator, like
+        `chain_init_from_map`'s averaged B.
+
+    Returns post-warmup draws at frozen (eps, T, mass), trajectory still
+    Halton-jittered (recommended practice). The result carries a resumable
+    `state`; `chees_sample_from_state` continues the run
+    trajectory-identically. For CHUNKED warmup, announce the plan up front
+    with ``total_warmup`` (it pins the Halton offset and the mass-freeze
+    step) and run ``n_warmup <= total_warmup`` steps now, the rest via
+    `chees_sample_from_state`.
+    """
+    x0s = jnp.asarray(x0s)
+    chains, n = x0s.shape
+    dtype = x0s.dtype
+    if total_warmup is None:
+        total_warmup = n_warmup
+    if n_warmup > total_warmup:
+        raise ValueError(
+            f"n_warmup ({n_warmup}) exceeds total_warmup ({total_warmup})"
+        )
+    if n_samples > 0 and n_warmup < total_warmup:
+        raise ValueError(
+            "cannot draw samples before the announced warmup plan is "
+            f"complete ({n_warmup} of {total_warmup} steps); chunk with "
+            "n_samples=0 and finish warmup via chees_sample_from_state"
+        )
+    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    zero = jnp.zeros((), dtype)
+    state0 = ChEESState(
+        x=x0s,
+        f=jnp.full((chains,), jnp.nan, dtype),
+        log_eps=jnp.log(jnp.asarray(step_size, dtype)),
+        log_eps_bar=jnp.log(jnp.asarray(step_size, dtype)),
+        h_bar=zero,
+        t_da=zero,
+        mu=jnp.log(10.0 * jnp.asarray(step_size, dtype)),
+        log_T=jnp.log(jnp.asarray(traj_length, dtype)),
+        m1=zero,
+        m2=zero,
+        t_adam=zero,
+        log_T_min=jnp.log(jnp.asarray(step_size, dtype) * 0.5),
+        var_ema=jnp.ones((n,), dtype),
+        key=key,
+        i_warm=jnp.zeros((), jnp.int32),
+        i_samp=jnp.zeros((), jnp.int32),
+        n_warmup_total=jnp.asarray(total_warmup, jnp.int32),
+        mass_freeze=jnp.asarray(max(total_warmup // 2, 1), jnp.int32),
+    )
+    return _chees_core(
+        obj, state0, mass, n_samples, n_warmup, target_accept, max_leapfrog,
+        adapt_mass, value_and_grad_fn, 0, 0, total_warmup,
+        max(total_warmup // 2, 1),
+    )
+
+
+def chees_sample_from_state(
+    obj,
+    state: ChEESState,
+    mass: Optional[jax.Array] = None,
+    n_samples: int = 0,
+    n_warmup: int = 0,
+    target_accept: float = 0.75,
+    max_leapfrog: int = 1024,
+    adapt_mass: bool = True,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> ChEESResult:
+    """Continue a `chees_sample` run: ``n_warmup`` MORE warmup steps, then
+    ``n_samples`` more draws, trajectory-identical to one long run with the
+    same totals. The warmup plan is pinned by the first call's
+    ``total_warmup`` (it fixes the Halton offset and the mass-freeze
+    step); extending warmup beyond the plan, or drawing before the plan is
+    complete, raises. Config args (``mass``/``target_accept``/
+    ``max_leapfrog``/``adapt_mass``) are not state and must be
+    re-passed."""
+    i_warm0, i_samp0 = int(state.i_warm), int(state.i_samp)
+    n_total = int(state.n_warmup_total)
+    if n_warmup > 0 and i_samp0 > 0:
+        raise ValueError(
+            "cannot add warmup after sampling has begun "
+            f"(state has {i_samp0} draws)"
+        )
+    if i_warm0 + n_warmup > n_total:
+        raise ValueError(
+            f"warmup plan exceeded: state has {i_warm0} of "
+            f"{n_total} planned steps; requested {n_warmup} more"
+        )
+    if n_samples > 0 and i_warm0 + n_warmup < n_total:
+        raise ValueError(
+            "cannot draw samples before the announced warmup plan is "
+            f"complete ({i_warm0 + n_warmup} of {n_total} steps)"
+        )
+    chains = state.x.shape[0]
+    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    return _chees_core(
+        obj, state, mass, n_samples, n_warmup, target_accept, max_leapfrog,
+        adapt_mass, value_and_grad_fn, i_warm0, i_samp0, n_total,
+        int(state.mass_freeze),
+    )
+
+
+class NUTSState(NamedTuple):
+    """Resumable state for `nuts_sample`: positions, cached (logdensity,
+    gradient), the per-chain dual-averaging accumulators, the
+    fleet-variance mass EMA, the base RNG key, and the phase counters.
+    ``n_warmup_total`` / ``mass_freeze`` pin the freeze schedule so
+    chunked runs replay the long run exactly. Serializable via
+    `utils.checkpoint.save_state`."""
+
+    x: jax.Array  # (chains, n)
+    f: jax.Array  # (chains,)
+    g: jax.Array  # (chains, n) gradient at x
+    log_eps: jax.Array  # (chains,)
+    log_eps_bar: jax.Array  # (chains,)
+    h_bar: jax.Array  # (chains,)
+    t_da: jax.Array  # ()
+    mu: jax.Array  # ()
+    var_ema: jax.Array  # (n,)
+    key: jax.Array
+    i_warm: jax.Array  # () int32
+    i_samp: jax.Array  # () int32
+    n_warmup_total: jax.Array  # () int32
+    mass_freeze: jax.Array  # () int32
 
 
 class NUTSResult(NamedTuple):
@@ -572,7 +842,8 @@ class NUTSResult(NamedTuple):
     step_size: (chains,) adapted leapfrog step size
     mean_tree_depth: (chains,) mean doublings per draw over sampling
     mass_diag: (n,) the (possibly fleet-adapted) diagonal preconditioner
-    final_x: (chains, n) last state (resumable)
+    final_x: (chains, n) last state
+    state: NUTSState — resume via `nuts_sample_from_state`
     """
 
     samples: jax.Array
@@ -581,30 +852,26 @@ class NUTSResult(NamedTuple):
     mean_tree_depth: jax.Array
     mass_diag: jax.Array
     final_x: jax.Array
+    state: NUTSState
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "obj", "value_and_grad_fn", "n_samples", "n_warmup", "step_size",
+        "obj", "value_and_grad_fn", "n_samples", "n_warmup",
         "max_depth", "target_accept", "max_energy_change", "adapt_mass",
+        "i_warm0", "i_samp0", "mass_freeze",
     ),
 )
-def nuts_sample(
-    obj,
-    key: jax.Array,
-    x0s: jax.Array,  # (chains, n) initial positions (e.g. the MAP fleet)
-    mass: Optional[jax.Array] = None,  # (n,n) dense / (n,) diag ~ cov
-    n_samples: int = 1000,
-    n_warmup: int = 500,
-    step_size: float = 0.1,
-    max_depth: int = 8,
-    target_accept: float = 0.8,
-    max_energy_change: float = 1000.0,
-    adapt_mass: bool = True,
-    value_and_grad_fn: Optional[Callable] = None,
+def _nuts_core(
+    obj, state: NUTSState, mass, n_samples, n_warmup, max_depth,
+    target_accept, max_energy_change, adapt_mass, value_and_grad_fn,
+    i_warm0, i_samp0, mass_freeze,
 ) -> NUTSResult:
-    """Batched multinomial NUTS (iterative formulation) over lockstep chains.
+    """Chunkable core (see `_hmc_core` for the key-stream discipline);
+    the docstring lives on `nuts_sample`.
+
+    Batched multinomial NUTS (iterative formulation) over lockstep chains.
 
     The No-U-Turn Sampler (Hoffman & Gelman 2014) with the modern
     refinements Stan ships: multinomial sampling over the trajectory
@@ -638,12 +905,9 @@ def nuts_sample(
     vag = as_value_and_grad(obj, value_and_grad_fn)
     vag_b = jax.vmap(vag, in_axes=0, out_axes=(0, 0))
 
-    chains, n = x0s.shape
-    dtype = x0s.dtype
+    chains, n = state.x.shape
+    dtype = state.x.dtype
     mass_b, chol_u = _mass_setup(mass, n, dtype)
-    if mass is not None or chains < _MASS_ADAPT_MIN_CHAINS:
-        adapt_mass = False  # see chees_sample: tiny-fleet variance is
-        # a degenerate metric; identity is strictly better
     neg_inf = jnp.asarray(-jnp.inf, dtype)
 
     def leapfrog_step(x, p, g, eps_d, mass_d):
@@ -830,21 +1094,24 @@ def nuts_sample(
         alpha = sa / jnp.maximum(na, 1).astype(dtype)
         return xp, fp, gp, alpha, depth
 
-    f0, g0 = vag_b(x0s)
+    # first-ever call: populate the cached (logdensity, gradient)
+    if i_warm0 == 0 and i_samp0 == 0:
+        f0, g0 = vag_b(state.x)
+    else:
+        f0, g0 = state.f, state.g
+    k_warm = jax.random.fold_in(state.key, 0)
+    k_samp = jax.random.fold_in(state.key, 1)
 
     # ---- warmup: per-chain dual averaging + fleet-diagonal mass ----
-    mu = jnp.log(10.0 * jnp.asarray(step_size, dtype))
-    mass_freeze = max(n_warmup // 2, 1)
-
-    def warm_body(carry, xs):
+    def warm_body(carry, i):
         x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema = carry
-        k, i = xs
+        k = jax.random.fold_in(k_warm, i)
         mass_d = var_ema if adapt_mass else mass_b
         x, f, g, alpha, _depth = one_draw(
             x, f, g, jnp.exp(log_eps), mass_d, k
         )
         log_eps, log_eps_bar, h_bar, t = _da_update(
-            h_bar, log_eps_bar, t, target_accept - alpha, mu
+            h_bar, log_eps_bar, t, target_accept - alpha, state.mu
         )
         if adapt_mass:
             # same fleet estimator as chees_sample: across-chain variance
@@ -854,29 +1121,35 @@ def nuts_sample(
             var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * var_now, var_ema)
         return (x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema), None
 
-    log_eps0 = jnp.full((chains,), jnp.log(jnp.asarray(step_size, dtype)))
-    var0 = jnp.ones((n,), dtype) if adapt_mass else mass_b
+    carry_w = (state.x, f0, g0, state.log_eps, state.log_eps_bar,
+               state.h_bar, state.t_da, state.var_ema)
     if n_warmup > 0:
-        (x, f, g, _le, log_eps_bar, _hb, _t, var_ema), _ = lax.scan(
-            warm_body,
-            (x0s, f0, g0, log_eps0, log_eps0, jnp.zeros((chains,), dtype),
-             jnp.zeros((), dtype), var0),
-            (jax.random.split(key, n_warmup), jnp.arange(n_warmup)),
+        carry_w, _ = lax.scan(
+            warm_body, carry_w, i_warm0 + jnp.arange(n_warmup)
         )
-    else:
-        x, f, g, log_eps_bar, var_ema = x0s, f0, g0, log_eps0, var0
+    x, f, g, log_eps, log_eps_bar, h_bar, t_da, var_ema = carry_w
     eps_final = jnp.exp(log_eps_bar)
     mass_final = var_ema if adapt_mass else mass_b
 
     # ---- sampling at the adapted (eps, mass) ----
-    def sample_body(carry, k):
+    def sample_body(carry, j):
         x, f, g = carry
-        x, f, g, alpha, depth = one_draw(x, f, g, eps_final, mass_final, k)
+        x, f, g, alpha, depth = one_draw(
+            x, f, g, eps_final, mass_final, jax.random.fold_in(k_samp, j)
+        )
         return (x, f, g), (x, alpha, depth)
 
-    key_s = jax.random.fold_in(key, 1)
     (x, f, g), (samples, alphas, depths) = lax.scan(
-        sample_body, (x, f, g), jax.random.split(key_s, n_samples)
+        sample_body, (x, f, g), i_samp0 + jnp.arange(n_samples)
+    )
+    out_state = NUTSState(
+        x=x, f=f, g=g, log_eps=log_eps, log_eps_bar=log_eps_bar,
+        h_bar=h_bar, t_da=t_da, mu=state.mu, var_ema=var_ema,
+        key=state.key,
+        i_warm=jnp.asarray(i_warm0 + n_warmup, jnp.int32),
+        i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
+        n_warmup_total=state.n_warmup_total,
+        mass_freeze=jnp.asarray(mass_freeze, jnp.int32),
     )
     return NUTSResult(
         samples=samples,
@@ -887,4 +1160,111 @@ def nuts_sample(
             jnp.diagonal(mass_final) if mass_final.ndim == 2 else mass_final
         ),
         final_x=x,
+        state=out_state,
+    )
+
+
+def nuts_sample(
+    obj,
+    key: jax.Array,
+    x0s: jax.Array,  # (chains, n) initial positions (e.g. the MAP fleet)
+    mass: Optional[jax.Array] = None,  # (n,n) dense / (n,) diag ~ cov
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    step_size: float = 0.1,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    max_energy_change: float = 1000.0,
+    adapt_mass: bool = True,
+    value_and_grad_fn: Optional[Callable] = None,
+    total_warmup: Optional[int] = None,
+) -> NUTSResult:
+    """Batched multinomial NUTS over lockstep chains — see `_nuts_core`
+    for the full algorithm notes (iterative tree building, checkpoint
+    stack, fleet-diagonal mass adaptation, TPU shape discipline).
+
+    The result carries a resumable `state`; `nuts_sample_from_state`
+    continues the run trajectory-identically. For CHUNKED warmup announce
+    the plan with ``total_warmup`` (pins the mass-freeze step) and run
+    ``n_warmup <= total_warmup`` steps now, the rest via the resume entry
+    point.
+    """
+    x0s = jnp.asarray(x0s)
+    chains, n = x0s.shape
+    dtype = x0s.dtype
+    if total_warmup is None:
+        total_warmup = n_warmup
+    if n_warmup > total_warmup:
+        raise ValueError(
+            f"n_warmup ({n_warmup}) exceeds total_warmup ({total_warmup})"
+        )
+    if n_samples > 0 and n_warmup < total_warmup:
+        raise ValueError(
+            "cannot draw samples before the announced warmup plan is "
+            f"complete ({n_warmup} of {total_warmup} steps); chunk with "
+            "n_samples=0 and finish warmup via nuts_sample_from_state"
+        )
+    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    log_eps0 = jnp.full((chains,), jnp.log(jnp.asarray(step_size, dtype)))
+    state0 = NUTSState(
+        x=x0s,
+        f=jnp.full((chains,), jnp.nan, dtype),
+        g=jnp.zeros_like(x0s),
+        log_eps=log_eps0,
+        log_eps_bar=log_eps0,
+        h_bar=jnp.zeros((chains,), dtype),
+        t_da=jnp.zeros((), dtype),
+        mu=jnp.log(10.0 * jnp.asarray(step_size, dtype)),
+        var_ema=jnp.ones((n,), dtype),
+        key=key,
+        i_warm=jnp.zeros((), jnp.int32),
+        i_samp=jnp.zeros((), jnp.int32),
+        n_warmup_total=jnp.asarray(total_warmup, jnp.int32),
+        mass_freeze=jnp.asarray(max(total_warmup // 2, 1), jnp.int32),
+    )
+    return _nuts_core(
+        obj, state0, mass, n_samples, n_warmup, max_depth, target_accept,
+        max_energy_change, adapt_mass, value_and_grad_fn, 0, 0,
+        max(total_warmup // 2, 1),
+    )
+
+
+def nuts_sample_from_state(
+    obj,
+    state: NUTSState,
+    mass: Optional[jax.Array] = None,
+    n_samples: int = 0,
+    n_warmup: int = 0,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    max_energy_change: float = 1000.0,
+    adapt_mass: bool = True,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> NUTSResult:
+    """Continue a `nuts_sample` run from its saved state; same chunking
+    contract as `chees_sample_from_state` (config args re-passed, phases
+    monotone, warmup plan pinned by the first call)."""
+    i_warm0, i_samp0 = int(state.i_warm), int(state.i_samp)
+    n_total = int(state.n_warmup_total)
+    if n_warmup > 0 and i_samp0 > 0:
+        raise ValueError(
+            "cannot add warmup after sampling has begun "
+            f"(state has {i_samp0} draws)"
+        )
+    if i_warm0 + n_warmup > n_total:
+        raise ValueError(
+            f"warmup plan exceeded: state has {i_warm0} of "
+            f"{n_total} planned steps; requested {n_warmup} more"
+        )
+    if n_samples > 0 and i_warm0 + n_warmup < n_total:
+        raise ValueError(
+            "cannot draw samples before the announced warmup plan is "
+            f"complete ({i_warm0 + n_warmup} of {n_total} steps)"
+        )
+    chains = state.x.shape[0]
+    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    return _nuts_core(
+        obj, state, mass, n_samples, n_warmup, max_depth, target_accept,
+        max_energy_change, adapt_mass, value_and_grad_fn, i_warm0, i_samp0,
+        int(state.mass_freeze),
     )

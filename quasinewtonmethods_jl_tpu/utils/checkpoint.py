@@ -24,6 +24,15 @@ import numpy as np
 
 from ..state import BFGSState, LBFGSState
 
+
+def _sampler_state_classes():
+    # deferred: sampling imports api/jax transforms; keep checkpoint cheap
+    from ..sampling import ChEESState, HMCState, NUTSState
+
+    return {"HMCState": HMCState, "ChEESState": ChEESState,
+            "NUTSState": NUTSState}
+
+
 __all__ = ["save_state", "load_state"]
 
 _STATE_CLASSES = {"BFGSState": BFGSState, "LBFGSState": LBFGSState}
@@ -37,16 +46,33 @@ def _npz_path(path) -> str:
 
 
 def save_state(path: Union[str, os.PathLike], state) -> None:
-    """Serialize a solver state NamedTuple to ``path`` (.npz).
+    """Serialize a solver or sampler state NamedTuple to ``path`` (.npz).
 
-    The class name is stored alongside the fields so `load_state` can verify
-    (or infer) the state type.
+    Accepts BFGSState / LBFGSState and the sampler states (HMCState /
+    ChEESState / NUTSState — round-3 sampler checkpoint/resume). The class
+    name is stored alongside the fields so `load_state` can verify (or
+    infer) the state type.
     """
+    import jax
+
     cls = type(state).__name__
-    if cls not in _STATE_CLASSES:
-        raise TypeError(f"expected BFGSState or LBFGSState, got {cls}")
-    arrays = {k: np.asarray(v) for k, v in state._asdict().items()}
+    if cls not in _STATE_CLASSES and cls not in _sampler_state_classes():
+        raise TypeError(
+            f"expected a solver or sampler state NamedTuple, got {cls}"
+        )
+    arrays, key_fields = {}, []
+    for k, v in state._asdict().items():
+        if hasattr(v, "dtype") and jax.dtypes.issubdtype(
+            v.dtype, jax.dtypes.prng_key
+        ):
+            # typed PRNG keys (jax.random.key) have an opaque dtype;
+            # store the raw key data and re-wrap on load
+            arrays[k] = np.asarray(jax.random.key_data(v))
+            key_fields.append(k)
+        else:
+            arrays[k] = np.asarray(v)
     arrays["__class__"] = np.asarray(cls)
+    arrays["__key_fields__"] = np.asarray(key_fields)
     np.savez(_npz_path(path), **arrays)
 
 
@@ -61,10 +87,23 @@ def load_state(
       cls: optional expected class; mismatches raise instead of silently
         reinterpreting fields.
     """
+    import jax
+
     with np.load(_npz_path(path), allow_pickle=False) as z:
         saved_cls = str(z["__class__"])
         if cls is not None and cls.__name__ != saved_cls:
             raise TypeError(f"checkpoint holds {saved_cls}, expected {cls.__name__}")
-        klass = _STATE_CLASSES[saved_cls]
-        fields = {k: jnp.asarray(z[k]) for k in klass._fields}
+        classes = {**_STATE_CLASSES, **_sampler_state_classes()}
+        klass = classes[saved_cls]
+        key_fields = (
+            set(z["__key_fields__"].tolist()) if "__key_fields__" in z else set()
+        )
+        fields = {
+            k: (
+                jax.random.wrap_key_data(jnp.asarray(z[k]))
+                if k in key_fields
+                else jnp.asarray(z[k])
+            )
+            for k in klass._fields
+        }
     return klass(**fields)
