@@ -19,6 +19,11 @@ Two curvature sources:
     secant-subspace estimate, so treat B-based evidence as a cheap
     screen, not a certified value (the B path's error is tested and
     documented, not hidden).
+  * approximate, large n: an L-BFGS fleet state carries its curvature in
+    the (m, n) history rings; log det H comes from the compact-form
+    determinant identity (`ops.lbfgs_compact.lbfgs_logdet_inv_hessian`,
+    O(m³ + m²n)) — the dense-free MAP→evidence pipeline, no n×n matrix
+    ever materializes.
 """
 
 from __future__ import annotations
@@ -51,10 +56,13 @@ def laplace_evidence(
 ) -> jax.Array:
     """log Z under the Laplace approximation at a solve result's mode.
 
-    ``result``: an `OptimizeResult` (scalar or batched fleet). With
-    ``obj`` the Hessian is computed exactly at x* (recommended); without
-    it the converged inverse Hessian B from the BFGS state stands in for
-    (−H)⁻¹ — log Z ≈ L* + (n/2) log 2π + (1/2) log det B.
+    ``result``: an `OptimizeResult` (scalar or batched fleet) or an
+    L-BFGS result. With ``obj`` the Hessian is computed exactly at x*
+    (recommended); without it the solver's own curvature stands in for
+    (−H)⁻¹ — log Z ≈ L* + (n/2) log 2π + (1/2) log det B, where log det B
+    is the dense slogdet for a BFGS state, or the O(m³ + m²n)
+    compact-form determinant identity over the history rings for an
+    L-BFGS state (large n, no dense matrix).
 
     Failed lanes (fun is NaN by the in-band contract) propagate NaN.
     Returns a scalar for a scalar solve, (batch,) for a fleet.
@@ -79,11 +87,23 @@ def laplace_evidence(
         return fun + const - 0.5 * ld
 
     state = result.state
-    if not hasattr(state, "B"):
-        raise ValueError(
-            "result has no dense inverse Hessian (L-BFGS?); pass obj= for "
-            "an exact-Hessian Laplace evidence"
-        )
-    sign, logdet_b = jnp.linalg.slogdet(state.B)
-    logdet_b = jnp.where(sign > 0, logdet_b, jnp.nan)
-    return fun + const + 0.5 * logdet_b
+    if hasattr(state, "B"):
+        sign, logdet_b = jnp.linalg.slogdet(state.B)
+        logdet_b = jnp.where(sign > 0, logdet_b, jnp.nan)
+        return fun + const + 0.5 * logdet_b
+    if hasattr(state, "S") and hasattr(state, "hist"):
+        from .ops.lbfgs_compact import lbfgs_logdet_inv_hessian
+
+        if batched:
+            logdet_b = jax.vmap(lbfgs_logdet_inv_hessian)(
+                state.S, state.Y, state.hist, state.gamma
+            )
+        else:
+            logdet_b = lbfgs_logdet_inv_hessian(
+                state.S, state.Y, state.hist, state.gamma
+            )
+        return fun + const + 0.5 * logdet_b
+    raise ValueError(
+        "result carries no curvature (neither dense B nor L-BFGS rings); "
+        "pass obj= for an exact-Hessian Laplace evidence"
+    )
