@@ -18,7 +18,16 @@ from quasinewtonmethods_jl_tpu.batched_solve import (
     optimize_batched_compacted,
     optimize_batched_fused,
 )
-from quasinewtonmethods_jl_tpu.host import optimize_host
+# deferred: the native host runtime needs a C++ toolchain; the Windows CI
+# leg runs the pure-JAX suite with test_host.py deselected, and this module
+# must stay importable there (the host comparison skips itself below)
+try:
+    from quasinewtonmethods_jl_tpu.host import optimize_host
+
+    _HOST_ERR = None
+except Exception as _e:  # pragma: no cover - toolchain-less platforms
+    optimize_host = None
+    _HOST_ERR = _e
 
 
 def _make_quadratic(rng, n, cond):
@@ -80,6 +89,9 @@ def test_all_engines_agree_on_random_quadratics(seed):
         ), f"{name}: iterations {res.iterations} vs scalar {scalar.iterations}"
 
     # native C++ via numpy callbacks (f64 end to end)
+    if optimize_host is None:
+        pytest.skip(f"native host runtime unavailable: {_HOST_ERR}")
+
     def value_and_grad(x):
         return float(-0.5 * x @ (A @ x) + b @ x), -(A @ x) + b
 
