@@ -53,6 +53,7 @@ from .workflow import MapThenSampleResult, map_then_sample
 from .sampling import (
     ChEESResult,
     ChEESState,
+    LowRankMass,
     HMCResult,
     HMCState,
     NUTSResult,
@@ -96,6 +97,7 @@ __all__ = [
     "split_rhat_device",
     "HMCResult",
     "HMCState",
+    "LowRankMass",
     "NUTSResult",
     "NUTSState",
     "laplace_evidence",

@@ -35,6 +35,7 @@ __all__ = [
     "lbfgs_direction_compact",
     "lbfgs_diag_inv_hessian",
     "lbfgs_logdet_inv_hessian",
+    "lbfgs_lowrank_inv_hessian",
 ]
 
 
@@ -160,3 +161,46 @@ def lbfgs_logdet_inv_hessian(
     sign, logdet_k = jnp.linalg.slogdet(K)
     logdet = n * jnp.log(gamma) + logdet_k
     return jnp.where(sign > 0, logdet, jnp.nan)
+
+
+def lbfgs_lowrank_inv_hessian(
+    S: jax.Array,  # (m, n) canonical ring, oldest..newest in 0..hist-1
+    Y: jax.Array,  # (m, n)
+    hist: jax.Array,  # () int
+    gamma: jax.Array,  # ()
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(gamma, Q, sig): the compact inverse-Hessian estimate as an exact
+    spectral low-rank form
+
+        H = γ·(I − QQᵀ) + Q·diag(sig)·Qᵀ,   Q (n, 2m) orthonormal,
+
+    i.e. H acts as γ off the ring subspace and with eigenvalues ``sig``
+    (= γ + eig of the projected middle) on it. O(m²·n + m³): QR of the
+    (n, 2m) factor U = [Sᵀ, γYᵀ], then an eigendecomposition of the 2m×2m
+    projected BNS middle. This is the large-n handoff that keeps the ring
+    CORRELATION structure (the samplers' `LowRankMass` metric) instead of
+    collapsing to diag(H); ``sig`` is clamped positive so downstream
+    Cholesky-free sampling (closed-form M^±1/2 in the same basis) is
+    always defined. Stale slots contribute zero columns to U (masked by
+    `_masked_compact_setup`), hence γ-eigenvalues — harmless identity
+    directions of the metric.
+    """
+    dtype = S.dtype
+    mh = S.shape[0]
+    _vmask, Sm, Ym, _SY, YY, R, D = _masked_compact_setup(S, Y, hist, dtype)
+    U = jnp.concatenate([Sm.T, gamma * Ym.T], axis=1)  # (n, 2m)
+    Q, Rt = jnp.linalg.qr(U)  # Q (n, 2m), Rt (2m, 2m)
+
+    # BNS middle M (symmetric, indefinite); projected onto the ring basis:
+    # S_mid = Rt M Rtᵀ via two triangular solves against R
+    G = jnp.diag(D) + gamma * YY
+    Rt_top, Rt_bot = Rt[:, :mh], Rt[:, mh:]  # (2m, m) halves of Rt·[I;0],[0;I]
+    A = solve_triangular(R, Rt_top.T, lower=False)  # R⁻¹ Rt_topᵀ -> (m, 2m)
+    # M [X_top; X_bot] = [R⁻ᵀ(G A − X_bot); −A] per block structure
+    top = solve_triangular(R, G @ A - Rt_bot.T, lower=False, trans=1)
+    MX = jnp.concatenate([top, -A], axis=0)  # (2m, 2m) = M Rtᵀ
+    S_mid = Rt @ MX  # (2m, 2m), symmetric up to fp noise
+    S_mid = 0.5 * (S_mid + S_mid.T)
+    sig_rel, P = jnp.linalg.eigh(S_mid)
+    sig = jnp.maximum(gamma + sig_rel, 1e-10)  # H's on-subspace eigenvalues
+    return gamma, Q @ P, sig

@@ -35,6 +35,7 @@ from .api import as_value_and_grad, as_value_fn
 
 __all__ = [
     "get_sampler",
+    "LowRankMass",
     "HMCResult",
     "HMCState",
     "ChEESResult",
@@ -103,18 +104,27 @@ def get_sampler(name: str):
     return samplers[name]
 
 
-def chain_init_from_map(result, jitter: float = 0.0, key=None):
+def chain_init_from_map(result, jitter: float = 0.0, key=None,
+                        mass_form: str = "auto"):
     """(x0s, mass) from a batched MAP result (`optimize_batched*` or the
     L-BFGS fleet engines).
 
     Returns the per-chain initial positions and a SINGLE mass
-    preconditioner ≈ posterior covariance, lane-averaged over CONVERGED
-    lanes (averaging smooths per-lane noise; all lanes of a well-posed
-    MAP land on the same mode): the dense (n, n) B for BFGS fleets, or —
-    for L-BFGS fleets, whose curvature lives in the history rings — the
-    compact-form diag(H) (O(m²·n), `ops.lbfgs_compact
-    .lbfgs_diag_inv_hessian`), i.e. the samplers' diagonal-mass form.
-    That is the large-n handoff: no n×n matrix ever materializes.
+    preconditioner ≈ posterior covariance. ``mass_form``:
+
+      * 'auto' (default): the dense (n, n) B for BFGS fleets,
+        lane-averaged over CONVERGED lanes (averaging smooths per-lane
+        noise; all lanes of a well-posed MAP land on the same mode); for
+        L-BFGS fleets the compact-form diag(H) (O(m²·n),
+        `ops.lbfgs_compact.lbfgs_diag_inv_hessian`) — the samplers'
+        diagonal-mass form, no n×n matrix ever materializes.
+      * 'lowrank' (L-BFGS fleets): a `LowRankMass` built from the BEST
+        converged lane's ring via `lbfgs_lowrank_inv_hessian` — keeps
+        the ring's correlation structure (2m directions) where 'auto'
+        collapses to a diagonal, still O(m²·n). All lanes estimate the
+        same curvature at the shared mode, so one lane's spectral form
+        is the right large-n stand-in for the dense fleet average.
+
     Optional Gaussian jitter decorrelates chains that share the mode.
     """
     from .state import Status
@@ -125,6 +135,10 @@ def chain_init_from_map(result, jitter: float = 0.0, key=None):
             "(silently skipping it would hand back perfectly correlated "
             "chain starts)"
         )
+    if mass_form not in ("auto", "lowrank"):
+        raise ValueError(
+            f"mass_form must be 'auto' or 'lowrank', got {mass_form!r}"
+        )
     x0s = result.x
     ok = (result.status == Status.CONVERGED).astype(x0s.dtype)
     # zero converged lanes: fall back to an identity mass instead of the
@@ -134,9 +148,27 @@ def chain_init_from_map(result, jitter: float = 0.0, key=None):
     w = ok / jnp.maximum(jnp.sum(ok), 1.0)
     state = result.state
     if hasattr(state, "B"):
+        if mass_form == "lowrank":
+            raise ValueError(
+                "mass_form='lowrank' is the L-BFGS handoff; a BFGS fleet "
+                "already has the dense B (use the default)"
+            )
         n = x0s.shape[-1]
         mass = jnp.einsum("b,bij->ij", w, state.B)
         mass = jnp.where(any_ok, mass, jnp.eye(n, dtype=x0s.dtype))
+    elif mass_form == "lowrank":
+        from .ops.lbfgs_compact import lbfgs_lowrank_inv_hessian
+
+        # best converged lane (the -inf-masked argmax the workflow uses)
+        best = jnp.argmax(jnp.where(ok > 0, result.fun, -jnp.inf))
+        gamma, Q, sig = lbfgs_lowrank_inv_hessian(
+            state.S[best], state.Y[best], state.hist[best],
+            state.gamma[best],
+        )
+        # no converged lane: identity metric (gamma 1, empty-rank sig=1)
+        gamma = jnp.where(any_ok, gamma, jnp.ones_like(gamma))
+        sig = jnp.where(any_ok, sig, jnp.ones_like(sig))
+        mass = LowRankMass(gamma=gamma, Q=Q, sig=sig)
     else:  # L-BFGS: diagonal of the compact-form inverse-Hessian estimate
         from .ops.lbfgs_compact import lbfgs_diag_inv_hessian
 
@@ -153,40 +185,99 @@ def chain_init_from_map(result, jitter: float = 0.0, key=None):
     return x0s, mass
 
 
+class LowRankMass(NamedTuple):
+    """Low-rank + scalar covariance-like metric for large n:
+
+        M = γ·(I − QQᵀ) + Q·diag(sig)·Qᵀ,  Q (n, r) orthonormal, sig > 0
+
+    — M acts as γ off the captured subspace and with eigenvalues ``sig``
+    on it, so M^(1/2) and M^(-1/2) are CLOSED-FORM in the same basis (no
+    n×n Cholesky anywhere): exactly the form the L-BFGS compact
+    representation factors into (`ops.lbfgs_compact
+    .lbfgs_lowrank_inv_hessian`, `chain_init_from_map(mass_form=
+    'lowrank')`). Accepted wherever the samplers take ``mass``."""
+
+    gamma: jax.Array  # ()
+    Q: jax.Array  # (n, r) orthonormal columns
+    sig: jax.Array  # (r,) positive eigenvalues along Q
+
+    @property
+    def diag(self) -> jax.Array:
+        """diag(M) = γ + Σ_j (sig_j − γ)·Q_ij² — for reporting."""
+        return self.gamma + jnp.sum(
+            (self.sig[None, :] - self.gamma) * self.Q * self.Q, axis=1
+        )
+
+
 def _mass_setup(mass, n, dtype):
     """(mass_arr, chol_u) for a covariance-like preconditioner: (n, n)
     dense (chol_u = upper Cholesky factor, momenta p = U^-1 z have
-    cov(p) = mass^-1 = M), (n,) diagonal, or None (identity diagonal).
-    ONE home for the validation + Cholesky both samplers share."""
+    cov(p) = mass^-1 = M), (n,) diagonal, `LowRankMass` (closed-form
+    roots, chol_u unused), or None (identity diagonal). ONE home for the
+    validation + Cholesky all samplers share."""
     if mass is None:
         return jnp.ones((n,), dtype), None
+    if isinstance(mass, LowRankMass):
+        return mass, None
     mass = jnp.asarray(mass, dtype)
     if mass.ndim == 2:
         return mass, jnp.linalg.cholesky(mass).T
     if mass.ndim == 1:
         return mass, None
-    raise ValueError("mass must be (n, n), (n,), or None")
+    raise ValueError("mass must be (n, n), (n,), LowRankMass, or None")
 
 
 def _draw_momentum(k, chains, n, dtype, mass_arr, chol_u):
+    """p ~ N(0, M⁻¹) for every metric form. Dense without a precomputed
+    chol_u (the fleet-adapted dense EMA inside warmup) factors on the
+    fly — n is sampler-scale there, the n³ is noise next to the
+    leapfrog gradients."""
     z = jax.random.normal(k, (chains, n), dtype)
+    if isinstance(mass_arr, LowRankMass):
+        # M^(-1/2) z = z/sqrt(γ) + Q[(1/sqrt(sig) − 1/sqrt(γ))·(Qᵀz)]
+        g, Q, sig = mass_arr.gamma, mass_arr.Q, mass_arr.sig
+        qz = z @ Q  # (chains, r)
+        return z * jax.lax.rsqrt(g) + (
+            qz * (jax.lax.rsqrt(sig) - jax.lax.rsqrt(g))[None, :]
+        ) @ Q.T
     if mass_arr.ndim == 2:
+        if chol_u is None:
+            chol_u = jnp.linalg.cholesky(mass_arr).T
         return jax.scipy.linalg.solve_triangular(chol_u, z.T, lower=False).T
     return z / jnp.sqrt(mass_arr)[None, :]
 
 
 def _apply_mass(mass_arr, p):
-    """M^-1 p — the preconditioned leapfrog velocity (dense or diagonal)."""
+    """M^-1 p — the preconditioned leapfrog velocity (any metric form)."""
+    if isinstance(mass_arr, LowRankMass):
+        g, Q, sig = mass_arr.gamma, mass_arr.Q, mass_arr.sig
+        return g * p + ((p @ Q) * (sig - g)[None, :]) @ Q.T
     if mass_arr.ndim == 2:
         return p @ mass_arr.T
     return mass_arr[None, :] * p
 
 
 def _kinetic(p, mass_arr):
-    """0.5 p' M^-1 p with M^-1 = mass_arr (dense or diagonal)."""
+    """0.5 p' M^-1 p with M^-1 = mass_arr (any metric form)."""
+    if isinstance(mass_arr, LowRankMass):
+        g, Q, sig = mass_arr.gamma, mass_arr.Q, mass_arr.sig
+        pq = p @ Q
+        return 0.5 * (
+            g * jnp.sum(p * p, axis=1)
+            + jnp.sum(pq * pq * (sig - g)[None, :], axis=1)
+        )
     if mass_arr.ndim == 2:
         return 0.5 * jnp.einsum("ci,ij,cj->c", p, mass_arr, p)
     return 0.5 * jnp.sum(mass_arr[None, :] * p * p, axis=1)
+
+
+def _mass_diag(mass_arr) -> jax.Array:
+    """(n,) diagonal of any metric form — the result-field reporting."""
+    if isinstance(mass_arr, LowRankMass):
+        return mass_arr.diag
+    if mass_arr.ndim == 2:
+        return jnp.diagonal(mass_arr)
+    return mass_arr
 
 
 # Dual averaging toward a target acceptance (Hoffman & Gelman 2014, the
@@ -210,13 +301,24 @@ def _da_update(h_bar, log_eps_bar, t, accept_err, mu):
     return log_eps, log_eps_bar, h_bar, t
 
 
+def _apply_mass_single(mass, p):
+    """M^-1 p for one chain's (n,) momentum (any metric form)."""
+    if isinstance(mass, LowRankMass):
+        return mass.gamma * p + mass.Q @ (
+            (mass.sig - mass.gamma) * (mass.Q.T @ p)
+        )
+    if mass.ndim == 2:
+        return mass @ p
+    return mass * p
+
+
 def _leapfrog(grad_fn, x, p, eps, mass, n_steps):
     """Standard velocity-Verlet with M⁻¹ = mass (ascent form: dp/dt = +∇)."""
 
     def body(_, carry):
         x, p = carry
         p = p + 0.5 * eps * grad_fn(x)
-        x = x + eps * (mass @ p if mass.ndim == 2 else mass * p)
+        x = x + eps * _apply_mass_single(mass, p)
         p = p + 0.5 * eps * grad_fn(x)
         return x, p
 
@@ -418,7 +520,7 @@ class ChEESState(NamedTuple):
     m2: jax.Array  # () Adam second moment
     t_adam: jax.Array  # () Adam step count
     log_T_min: jax.Array  # () lower clip (config bound at init)
-    var_ema: jax.Array  # (n,) fleet-variance mass EMA
+    var_ema: jax.Array  # (n,) variance or (n, n) covariance mass EMA
     key: jax.Array
     i_warm: jax.Array  # () int32
     i_samp: jax.Array  # () int32
@@ -512,17 +614,20 @@ def _chees_core(
         )
         return x, p
 
-    def round_(x, f, log_eps, log_T, mass_d, u, k):
+    def round_(x, f, log_eps, log_T, mass_d, u, k, chol_d=None):
         """One jittered-trajectory HMC round shared by warmup/sampling.
 
         Returns new (x, f), acceptance probabilities, and the ChEES
-        gradient w.r.t. log T."""
+        gradient w.r.t. log T. ``chol_d``: precomputed upper Cholesky for
+        a STATIC dense mass; the fleet-adapted dense EMA passes None and
+        factors per round (n is sampler-scale; the n^3 is noise next to
+        the leapfrog gradients)."""
         eps = jnp.exp(log_eps)
         t_jit = u * 2.0 * jnp.exp(log_T)
         n_steps = jnp.clip(
             jnp.round(t_jit / eps).astype(jnp.int32), 1, max_leapfrog
         )
-        p = _draw_momentum(k, chains, n, dtype, mass_d, chol_u)
+        p = _draw_momentum(k, chains, n, dtype, mass_d, chol_d)
         x_new, p_new = leapfrog_dyn(x, p, eps, mass_d, n_steps)
         f_new = f_b(x_new)
         log_ratio = (f_new - _kinetic(p_new, mass_d)) - (
@@ -572,8 +677,13 @@ def _chees_core(
          var_ema) = carry
         u, i = xs
         k = jax.random.fold_in(k_warm, i)
-        mass_d = var_ema if adapt_mass else mass0
-        x, f, a_prob, g_chees = round_(x, f, log_eps, log_T, mass_d, u, k)
+        if adapt_mass:
+            mass_d, chol_d = var_ema, None
+        else:
+            mass_d, chol_d = mass0, chol_u
+        x, f, a_prob, g_chees = round_(
+            x, f, log_eps, log_T, mass_d, u, k, chol_d
+        )
 
         # dual averaging on the fleet-mean acceptance
         log_eps, log_eps_bar, h_bar, tda = _da_update(
@@ -592,8 +702,18 @@ def _chees_core(
             log_T, log_T_min, jnp.log(max_leapfrog * jnp.exp(log_eps_bar))
         )
 
-        # fleet-diagonal mass: across-chain variance, EMA, frozen at half
-        if adapt_mass:
+        # fleet mass: across-chain variance (diag) or covariance (dense)
+        # EMA, frozen at half-warmup. The dense EMA stays PD: it mixes a
+        # PD carry (eye init) with a PSD sample covariance + tiny ridge.
+        if adapt_mass == "dense":
+            xc = x - jnp.mean(x, axis=0, keepdims=True)
+            cov_now = xc.T @ xc / (chains - 1)
+            cov_now = cov_now + 1e-8 * jnp.eye(n, dtype=dtype) * (
+                1.0 + jnp.trace(cov_now) / n
+            )
+            upd = i < mass_freeze
+            var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * cov_now, var_ema)
+        elif adapt_mass:
             var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
             upd = i < mass_freeze
             var_ema = jnp.where(
@@ -619,13 +739,20 @@ def _chees_core(
      var_ema) = carry_w
     mass_final = var_ema if adapt_mass else mass0
     eps_final = jnp.exp(log_eps_bar)
+    chol_final = (
+        jnp.linalg.cholesky(mass_final).T
+        if adapt_mass == "dense"
+        else (chol_u if not adapt_mass else None)
+    )
 
     # ---- sampling at frozen (eps, T, mass), still Halton-jittered ----
     def sample_body(carry, xs):
         x, f = carry
         u, j = xs
         k = jax.random.fold_in(k_samp, j)
-        x, f, a_prob, _g = round_(x, f, log_eps_bar, log_T, mass_final, u, k)
+        x, f, a_prob, _g = round_(
+            x, f, log_eps_bar, log_T, mass_final, u, k, chol_final
+        )
         return (x, f), (x, a_prob)
 
     (x, f), (samples, a_probs) = lax.scan(
@@ -647,9 +774,7 @@ def _chees_core(
         accept_rate=jnp.mean(a_probs, axis=0),
         step_size=eps_final,
         traj_length=jnp.exp(log_T),
-        mass_diag=(
-            jnp.diagonal(mass_final) if mass_final.ndim == 2 else mass_final
-        ),
+        mass_diag=_mass_diag(mass_final),
         final_x=x,
         state=out_state,
     )
@@ -658,9 +783,21 @@ def _chees_core(
 def _chees_adapt_mass(adapt_mass, mass, chains):
     """ONE home for the static adapt-mass decision (the same rule on first
     call and on resume): an explicit mass or a tiny fleet disables the
-    across-chain variance metric (1 chain -> exactly 0 -> the 1e-10
-    clamp; 2-4 chains are biased low)."""
-    return adapt_mass and mass is None and chains >= _MASS_ADAPT_MIN_CHAINS
+    across-chain metric (1 chain -> exactly 0 -> the 1e-10 clamp; 2-4
+    chains are biased low). Returns the normalized mode: False, 'diag'
+    (the default across-chain variance EMA), or 'dense' (full
+    across-chain covariance EMA — the fleet-as-estimator answer to
+    correlated posteriors, round-2 VERDICT item 4; use for n up to a few
+    hundred)."""
+    if not adapt_mass or mass is not None or chains < _MASS_ADAPT_MIN_CHAINS:
+        return False
+    if adapt_mass is True:
+        return "diag"
+    if adapt_mass in ("diag", "dense"):
+        return adapt_mass
+    raise ValueError(
+        f"adapt_mass must be bool, 'diag' or 'dense', got {adapt_mass!r}"
+    )
 
 
 def chees_sample(
@@ -737,6 +874,11 @@ def chees_sample(
             "n_samples=0 and finish warmup via chees_sample_from_state"
         )
     adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    var0 = (
+        jnp.eye(n, dtype=dtype)
+        if adapt_mass == "dense"
+        else jnp.ones((n,), dtype)
+    )
     zero = jnp.zeros((), dtype)
     state0 = ChEESState(
         x=x0s,
@@ -751,7 +893,7 @@ def chees_sample(
         m2=zero,
         t_adam=zero,
         log_T_min=jnp.log(jnp.asarray(step_size, dtype) * 0.5),
-        var_ema=jnp.ones((n,), dtype),
+        var_ema=var0,
         key=key,
         i_warm=jnp.zeros((), jnp.int32),
         i_samp=jnp.zeros((), jnp.int32),
@@ -826,7 +968,7 @@ class NUTSState(NamedTuple):
     h_bar: jax.Array  # (chains,)
     t_da: jax.Array  # ()
     mu: jax.Array  # ()
-    var_ema: jax.Array  # (n,)
+    var_ema: jax.Array  # (n,) variance or (n, n) covariance EMA
     key: jax.Array
     i_warm: jax.Array  # () int32
     i_samp: jax.Array  # () int32
@@ -1028,11 +1170,13 @@ def _nuts_core(
         )
         return x_e, p_e, g_e, lw, xp, fp, gp, turn, div, sa, na
 
-    def one_draw(x, f, g, eps, mass_d, k):
+    def one_draw(x, f, g, eps, mass_d, k, chol_d=None):
         """One NUTS transition for all chains. Returns the new (x, f, g),
-        the mean leaf-acceptance surrogate, and the tree depth."""
+        the mean leaf-acceptance surrogate, and the tree depth. ``chol_d``
+        as in chees's round_: precomputed for a static dense mass, None
+        for the fleet-adapted dense EMA (factored per draw)."""
         kp, kd = jax.random.split(k)
-        p0 = _draw_momentum(kp, chains, n, dtype, mass_d, chol_u)
+        p0 = _draw_momentum(kp, chains, n, dtype, mass_d, chol_d)
         h0 = f - _kinetic(p0, mass_d)
 
         def cond(c):
@@ -1106,14 +1250,27 @@ def _nuts_core(
     def warm_body(carry, i):
         x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema = carry
         k = jax.random.fold_in(k_warm, i)
-        mass_d = var_ema if adapt_mass else mass_b
+        if adapt_mass:
+            mass_d, chol_d = var_ema, None
+        else:
+            mass_d, chol_d = mass_b, chol_u
         x, f, g, alpha, _depth = one_draw(
-            x, f, g, jnp.exp(log_eps), mass_d, k
+            x, f, g, jnp.exp(log_eps), mass_d, k, chol_d
         )
         log_eps, log_eps_bar, h_bar, t = _da_update(
             h_bar, log_eps_bar, t, target_accept - alpha, state.mu
         )
-        if adapt_mass:
+        if adapt_mass == "dense":
+            # full across-chain covariance EMA (fleet-as-estimator);
+            # PD: mixes the PD carry with a ridged PSD sample covariance
+            xc = x - jnp.mean(x, axis=0, keepdims=True)
+            cov_now = xc.T @ xc / (chains - 1)
+            cov_now = cov_now + 1e-8 * jnp.eye(n, dtype=dtype) * (
+                1.0 + jnp.trace(cov_now) / n
+            )
+            upd = i < mass_freeze
+            var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * cov_now, var_ema)
+        elif adapt_mass:
             # same fleet estimator as chees_sample: across-chain variance
             # EMA, frozen at warmup/2 so eps re-adapts to the final metric
             var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
@@ -1130,12 +1287,18 @@ def _nuts_core(
     x, f, g, log_eps, log_eps_bar, h_bar, t_da, var_ema = carry_w
     eps_final = jnp.exp(log_eps_bar)
     mass_final = var_ema if adapt_mass else mass_b
+    chol_final = (
+        jnp.linalg.cholesky(mass_final).T
+        if adapt_mass == "dense"
+        else (chol_u if not adapt_mass else None)
+    )
 
     # ---- sampling at the adapted (eps, mass) ----
     def sample_body(carry, j):
         x, f, g = carry
         x, f, g, alpha, depth = one_draw(
-            x, f, g, eps_final, mass_final, jax.random.fold_in(k_samp, j)
+            x, f, g, eps_final, mass_final, jax.random.fold_in(k_samp, j),
+            chol_final,
         )
         return (x, f, g), (x, alpha, depth)
 
@@ -1156,9 +1319,7 @@ def _nuts_core(
         accept_prob=jnp.mean(alphas, axis=0),
         step_size=eps_final,
         mean_tree_depth=jnp.mean(depths.astype(dtype), axis=0),
-        mass_diag=(
-            jnp.diagonal(mass_final) if mass_final.ndim == 2 else mass_final
-        ),
+        mass_diag=_mass_diag(mass_final),
         final_x=x,
         state=out_state,
     )
@@ -1205,6 +1366,11 @@ def nuts_sample(
             "n_samples=0 and finish warmup via nuts_sample_from_state"
         )
     adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    var0 = (
+        jnp.eye(n, dtype=dtype)
+        if adapt_mass == "dense"
+        else jnp.ones((n,), dtype)
+    )
     log_eps0 = jnp.full((chains,), jnp.log(jnp.asarray(step_size, dtype)))
     state0 = NUTSState(
         x=x0s,
@@ -1215,7 +1381,7 @@ def nuts_sample(
         h_bar=jnp.zeros((chains,), dtype),
         t_da=jnp.zeros((), dtype),
         mu=jnp.log(10.0 * jnp.asarray(step_size, dtype)),
-        var_ema=jnp.ones((n,), dtype),
+        var_ema=var0,
         key=key,
         i_warm=jnp.zeros((), jnp.int32),
         i_samp=jnp.zeros((), jnp.int32),

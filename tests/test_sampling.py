@@ -439,3 +439,182 @@ def test_nuts_fleet_mass_adaptation_shrinks_trees():
     # the adapted metric itself is right to within a factor ~3
     ratio = np.asarray(on.mass_diag) / np.asarray(scales)
     assert np.all(ratio > 1 / 3) and np.all(ratio < 3.0)
+
+
+# ---- round 3: fleet covariance mass adaptation + low-rank metric ----
+
+
+def test_lowrank_mass_ops_match_dense():
+    """LowRankMass apply/kinetic/diag/momentum-draw agree with the dense
+    materialization M = g(I-QQ') + Q diag(sig) Q' algebraically."""
+    from quasinewtonmethods_jl_tpu.sampling import (
+        LowRankMass, _apply_mass, _kinetic, _mass_diag,
+    )
+
+    rng = np.random.default_rng(0)
+    n, r = 10, 4
+    Q, _ = jnp.linalg.qr(jnp.asarray(rng.standard_normal((n, r))))
+    sig = jnp.asarray(rng.uniform(0.5, 3.0, r))
+    gamma = jnp.asarray(1.4)
+    M = LowRankMass(gamma=gamma, Q=Q, sig=sig)
+    Md = gamma * (jnp.eye(n) - Q @ Q.T) + Q @ jnp.diag(sig) @ Q.T
+
+    p = jnp.asarray(rng.standard_normal((7, n)))
+    np.testing.assert_allclose(
+        np.asarray(_apply_mass(M, p)), np.asarray(p @ Md.T), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(_kinetic(p, M)),
+        0.5 * np.einsum(
+            "ci,ij,cj->c", np.asarray(p), np.asarray(Md), np.asarray(p)
+        ),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(_mass_diag(M)), np.asarray(jnp.diagonal(Md)), rtol=1e-12
+    )
+    # the momentum transform is exactly M^(-1/2): T T' == inv(M)
+    qz = jnp.eye(n) @ Q
+    T = jnp.eye(n) * jax.lax.rsqrt(gamma) + (
+        qz * (jax.lax.rsqrt(sig) - jax.lax.rsqrt(gamma))[None, :]
+    ) @ Q.T
+    np.testing.assert_allclose(
+        np.asarray(T @ T.T), np.asarray(jnp.linalg.inv(Md)), rtol=1e-10
+    )
+
+
+def test_hmc_lowrank_mass_recovers_correlated_gaussian():
+    from quasinewtonmethods_jl_tpu.sampling import LowRankMass
+
+    rng = np.random.default_rng(1)
+    n, r = 10, 4
+    Q, _ = jnp.linalg.qr(jnp.asarray(rng.standard_normal((n, r))))
+    sig = jnp.asarray(rng.uniform(0.5, 3.0, r))
+    M = LowRankMass(gamma=jnp.asarray(1.4), Q=Q, sig=sig)
+    Md = 1.4 * (jnp.eye(n) - Q @ Q.T) + Q @ jnp.diag(sig) @ Q.T
+    Ci = jnp.linalg.inv(Md)
+
+    def logd(x):
+        return -0.5 * x @ Ci @ x
+
+    res = qnm.hmc_sample(
+        logd, jax.random.PRNGKey(0), jnp.zeros((64, n)), mass=M,
+        n_samples=800, n_warmup=400,
+    )
+    emp = np.cov(np.asarray(res.samples).reshape(-1, n).T)
+    err = np.max(np.abs(emp - np.asarray(Md))) / np.max(np.abs(np.asarray(Md)))
+    assert err < 0.25, err
+
+
+def test_nuts_dense_fleet_adaptation_matches_oracle_depth():
+    """The round-2 verdict's acceptance bar: on a correlated Gaussian
+    (where the builder measured diag mass does NOT reduce NUTS depth),
+    across-chain dense covariance adaptation must get grad-evals/draw
+    within 1.3x of an oracle run given the true covariance as mass."""
+    rng = np.random.default_rng(7)
+    n = 8
+    rho = 0.95
+    C = np.full((n, n), rho) + (1 - rho) * np.eye(n)
+    scales = np.geomspace(0.5, 5.0, n)
+    C = C * np.outer(scales, scales)
+    Ci = jnp.linalg.inv(jnp.asarray(C))
+
+    def logd(x):
+        return -0.5 * x @ Ci @ x
+
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((64, n))
+    kw = dict(n_samples=200, n_warmup=300, max_depth=9)
+    oracle = qnm.nuts_sample(logd, key, x0, mass=jnp.asarray(C), **kw)
+    dense = qnm.nuts_sample(logd, key, x0, adapt_mass="dense", **kw)
+    do = float(oracle.mean_tree_depth.mean())
+    dd = float(dense.mean_tree_depth.mean())
+    assert 2.0 ** dd <= 1.3 * 2.0 ** do, (dd, do)
+    emp = np.cov(np.asarray(dense.samples).reshape(-1, n).T)
+    assert np.max(np.abs(emp - C)) / np.max(np.abs(C)) < 0.2
+
+
+def test_chees_dense_adaptation_moments():
+    rng = np.random.default_rng(9)
+    n = 6
+    A = rng.standard_normal((n, n))
+    C = A @ A.T / n + np.eye(n)
+    Ci = jnp.linalg.inv(jnp.asarray(C))
+
+    def logd(x):
+        return -0.5 * x @ Ci @ x
+
+    res = qnm.chees_sample(
+        logd, jax.random.PRNGKey(1), jnp.zeros((64, n)), adapt_mass="dense",
+        n_samples=500, n_warmup=400,
+    )
+    emp = np.cov(np.asarray(res.samples).reshape(-1, n).T)
+    err = np.max(np.abs(emp - C)) / np.max(np.abs(C))
+    assert err < 0.3, err
+    # the reported mass diagonal tracks the target's diagonal scale-wise
+    ratio = np.asarray(res.mass_diag) / np.diag(C)
+    assert np.all(ratio > 0.2) and np.all(ratio < 5.0)
+
+
+def test_dense_adaptation_chunked_equals_long():
+    """The resume discipline extends to the dense-mass mode: the (n, n)
+    covariance EMA rides the state and replays exactly."""
+    def logd(t):
+        return -0.5 * jnp.sum(t * t * jnp.array([1.0, 4.0, 0.25]))
+
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((16, 3)))
+    long = qnm.chees_sample(
+        logd, key, x0, n_samples=20, n_warmup=20, adapt_mass="dense"
+    )
+    r1 = qnm.chees_sample(
+        logd, key, x0, n_samples=0, n_warmup=12, total_warmup=20,
+        adapt_mass="dense",
+    )
+    r2 = qnm.chees_sample_from_state(
+        logd, r1.state, n_samples=20, n_warmup=8, adapt_mass="dense"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(long.samples), np.asarray(r2.samples)
+    )
+    assert r2.state.var_ema.shape == (3, 3)
+
+
+def test_chain_init_from_map_lowrank_handoff():
+    """mass_form='lowrank' hands the samplers a LowRankMass built from
+    the best lane's ring; sampling a correlated Gaussian through it
+    recovers the moments (the dense-free large-n pipeline)."""
+    from quasinewtonmethods_jl_tpu.sampling import LowRankMass
+
+    rng = np.random.default_rng(11)
+    n = 12
+    A = rng.standard_normal((n, n))
+    C = A @ A.T / n + np.eye(n)
+    Ci = jnp.linalg.inv(jnp.asarray(C))
+
+    def logd(x):
+        return -0.5 * x @ Ci @ x
+
+    x0 = jnp.asarray(rng.standard_normal((8, n)))
+    fleet = qnm.optimize_lbfgs_batched(logd, x0, history=12, tol=1e-8)
+    assert np.any(np.asarray(fleet.status) == qnm.Status.CONVERGED)
+    chains, mass = qnm.chain_init_from_map(fleet, mass_form="lowrank")
+    assert isinstance(mass, LowRankMass)
+    res = qnm.hmc_sample(
+        logd, jax.random.PRNGKey(2), chains, mass=mass,
+        n_samples=600, n_warmup=300,
+    )
+    emp = np.cov(np.asarray(res.samples).reshape(-1, n).T)
+    err = np.max(np.abs(emp - C)) / np.max(np.abs(C))
+    assert err < 0.35, err
+
+
+def test_chain_init_lowrank_on_bfgs_raises():
+    def logd(x):
+        return -jnp.sum((x - 1.0) ** 2)
+
+    fleet = qnm.optimize_batched(logd, jnp.zeros((4, 3)))
+    with pytest.raises(ValueError, match="lowrank"):
+        qnm.chain_init_from_map(fleet, mass_form="lowrank")
+    with pytest.raises(ValueError, match="mass_form"):
+        qnm.chain_init_from_map(fleet, mass_form="nope")
