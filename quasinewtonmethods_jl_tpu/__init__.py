@@ -38,6 +38,7 @@ from .minimize import minimize
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
+from .polish import PolishResult, polish_newton
 from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
 from .diagnostics import (
     ChainDiagnostics,
@@ -134,6 +135,8 @@ __all__ = [
     "BFGSState",
     "LBFGSState",
     "Status",
+    "PolishResult",
+    "polish_newton",
     "init_bfgs_state",
     "init_lbfgs_state",
     "__version__",
