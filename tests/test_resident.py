@@ -1,0 +1,130 @@
+"""Whole-solve VMEM-resident Pallas engine: lane-for-lane identity with
+the per-iteration engines (interpret mode on CPU), plus the dispatch
+guards. The on-chip A/B evidence lives in STATUS.md (round 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.batched_solve import optimize_batched_fused
+from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+from quasinewtonmethods_jl_tpu.ops.linesearch import BackTracking
+from quasinewtonmethods_jl_tpu.resident_solve import (
+    optimize_batched_resident,
+    resident_feasible,
+)
+
+
+def _assert_result_identical(a, b):
+    for f in ["x", "fun", "grad", "status", "iterations", "n_fev", "n_gev",
+              "n_resets"]:
+        av, bv = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        assert np.array_equal(av, bv, equal_nan=True), f
+    for f in ["grad_old", "step", "B", "fresh", "stall"]:
+        av = np.asarray(getattr(a.state, f))
+        bv = np.asarray(getattr(b.state, f))
+        assert np.array_equal(av, bv, equal_nan=True), f
+
+
+def test_resident_matches_per_iteration_kernel_bitwise(rng):
+    """Same multiply-reduce algebra as the per-iteration Pallas kernel →
+    bitwise-identical trajectories (both in interpret mode on CPU)."""
+    X = jnp.asarray(rng.standard_normal((8, 6)))
+    ref = optimize_batched_fused(
+        rosenbrock_logdensity, X, tol=1e-8, kernel="pallas_interpret",
+        block_batch=4,
+    )
+    res = optimize_batched_resident(
+        rosenbrock_logdensity, X, tol=1e-8, block_batch=4, interpret=True
+    )
+    _assert_result_identical(ref, res)
+
+
+def test_resident_matches_xla_engine_closely(rng):
+    """vs the XLA engine only reduction order differs (einsum vs
+    multiply-reduce): statuses/counters identical, floats to ~1e-10."""
+    X = jnp.asarray(rng.standard_normal((8, 6)))
+    ref = optimize_batched_fused(rosenbrock_logdensity, X, tol=1e-8)
+    res = optimize_batched_resident(
+        rosenbrock_logdensity, X, tol=1e-8, block_batch=4, interpret=True
+    )
+    for f in ["status", "iterations", "n_fev", "n_gev", "n_resets"]:
+        assert np.array_equal(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(res, f))
+        ), f
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(ref.x), atol=1e-9
+    )
+
+
+def test_resident_failure_paths_match(rng):
+    def nasty(x):
+        return jnp.where(jnp.sum(x * x) > 4.0, jnp.nan, -jnp.sum(x * x))
+
+    Xf = jnp.asarray(rng.standard_normal((4, 3))) * 3
+    r1 = optimize_batched_fused(nasty, Xf, tol=1e-8)
+    r2 = optimize_batched_resident(
+        nasty, Xf, tol=1e-8, block_batch=4, interpret=True
+    )
+    assert np.array_equal(np.asarray(r1.status), np.asarray(r2.status))
+
+    X = jnp.asarray(rng.standard_normal((8, 6)))
+    r3 = optimize_batched_fused(
+        rosenbrock_logdensity, X, tol=1e-14, max_iterations=5
+    )
+    r4 = optimize_batched_resident(
+        rosenbrock_logdensity, X, tol=1e-14, max_iterations=5,
+        block_batch=4, interpret=True,
+    )
+    assert np.array_equal(np.asarray(r3.status), np.asarray(r4.status))
+    assert np.array_equal(
+        np.asarray(r3.iterations), np.asarray(r4.iterations)
+    )
+
+
+def test_resident_lane_padding(rng):
+    """batch not a multiple of block_batch: padded lanes are stripped and
+    real lanes match the unpadded run."""
+    X = jnp.asarray(rng.standard_normal((6, 5)))
+    res = optimize_batched_resident(
+        rosenbrock_logdensity, X, tol=1e-8, block_batch=4, interpret=True
+    )
+    assert res.x.shape == (6, 5)
+    assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED)
+
+
+def test_resident_dispatch_guards(rng):
+    X = jnp.asarray(rng.standard_normal((4, 6)), jnp.float32)
+    with pytest.raises(ValueError, match="x0s must be"):
+        optimize_batched_resident(rosenbrock_logdensity, X[0])
+    from quasinewtonmethods_jl_tpu.ops.wolfe import Wolfe
+
+    with pytest.raises(ValueError, match="BackTracking"):
+        optimize_batched_resident(
+            rosenbrock_logdensity, X, ls=Wolfe(), interpret=True
+        )
+    # VMEM infeasible (large n) without interpret -> clear error
+    assert not resident_feasible(512, 4)
+    with pytest.raises(ValueError, match="infeasible"):
+        optimize_batched_resident(
+            rosenbrock_logdensity,
+            jnp.asarray(rng.standard_normal((4, 512)), jnp.float32),
+        )
+
+
+def test_resident_order3_and_no_h0(rng):
+    """Config axes (cubic line search, h0_scale off) stay lane-identical
+    to the per-iteration kernel."""
+    X = jnp.asarray(rng.standard_normal((4, 5)))
+    for kw in [dict(ls=BackTracking(order=3)), dict(h0_scale=False)]:
+        ref = optimize_batched_fused(
+            rosenbrock_logdensity, X, tol=1e-8,
+            kernel="pallas_interpret", block_batch=4, **kw,
+        )
+        res = optimize_batched_resident(
+            rosenbrock_logdensity, X, tol=1e-8, block_batch=4,
+            interpret=True, **kw,
+        )
+        _assert_result_identical(ref, res)
