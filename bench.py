@@ -27,7 +27,10 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import quasinewtonmethods_jl_tpu as qnm
-from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+from quasinewtonmethods_jl_tpu.models import (
+    rosenbrock_logdensity,
+    rosenbrock_value_and_grad,
+)
 
 BATCH = 4096
 N = 60
@@ -49,12 +52,16 @@ def main():
     rng = np.random.default_rng(20260816)
 
     def solve(X):
+        # analytic value+grad: the same parity choice as the reference's
+        # benchmark, whose objective supplies ∂logdensity! analytically
+        # (reference README.md:34-48); measured +1-2% over AD on chip
         return qnm.optimize_batched_fused(
             rosenbrock_logdensity,
             X,
             tol=TOL,
             max_iterations=MAX_ITERS,
             kernel=kernel,
+            value_and_grad_fn=rosenbrock_value_and_grad,
         )
 
     def fetch(r):
