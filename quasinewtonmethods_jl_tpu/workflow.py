@@ -53,6 +53,7 @@ class MapThenSampleResult(NamedTuple):
     x_map: jax.Array
     mass: Optional[jax.Array]
     sampler_result: object
+    polish_result: object = None  # PolishResult when polish_steps > 0
 
 
 def map_then_sample(
@@ -70,6 +71,8 @@ def map_then_sample(
     compute_diagnostics: bool = True,
     value_and_grad_fn: Optional[Callable] = None,
     map_kwargs: Optional[dict] = None,
+    polish_steps: int = 0,
+    mass_form: str = "auto",
     **sampler_kwargs,
 ) -> MapThenSampleResult:
     """MAP fleet -> preconditioner -> sampler -> diagnostics, in one call.
@@ -91,6 +94,13 @@ def map_then_sample(
     when NO lane converges (statuses quoted); on partial convergence
     failed lanes' chain starts are replaced by the best converged mode
     (jittered) so no chain starts off-mode.
+
+    ``polish_steps > 0`` inserts the evidence-grade stage between MAP and
+    handoff: `polish_newton` refines the converged lanes' iterates (the
+    chain inits and x_map come from the polished modes; ~255 ms for 3
+    steps over a 4096x60 fleet on chip). ``mass_form='lowrank'`` (with
+    map_engine='lbfgs') hands the sampler a `LowRankMass` built from the
+    best lane's ring instead of the diagonal (see chain_init_from_map).
     """
     sample_fn = get_sampler(sampler)
     x0 = jnp.asarray(x0)
@@ -136,7 +146,24 @@ def map_then_sample(
             "loosen map_tol or improve the starts"
         )
 
-    chains, mass = chain_init_from_map(fleet, jitter=jitter, key=k_jit)
+    pol = None
+    if polish_steps > 0:
+        from .polish import polish_newton
+
+        pol = polish_newton(
+            obj, fleet, steps=polish_steps,
+            value_and_grad_fn=value_and_grad_fn,
+        )
+        # the polished modes (same dtype) feed the handoff; curvature
+        # state (B / rings) stays the solver's — polish refines iterates
+        fleet = fleet._replace(
+            x=pol.x.astype(fleet.x.dtype),
+            fun=pol.fun.astype(fleet.fun.dtype),
+        )
+
+    chains, mass = chain_init_from_map(
+        fleet, jitter=jitter, key=k_jit, mass_form=mass_form
+    )
     conv_j = jnp.asarray(converged)
     # best converged mode, device-side (multistart's -inf-masked argmax)
     best = jnp.argmax(jnp.where(conv_j, fleet.fun, -jnp.inf))
@@ -153,6 +180,10 @@ def map_then_sample(
     )
     if sampler == "hmc":
         kw["mass"] = mass  # the dense-B handoff is the point of 'hmc'
+    elif mass_form == "lowrank":
+        # an explicitly requested low-rank metric overrides the default
+        # self-adaptation of chees/nuts — using it is the point
+        kw["mass"] = mass
     kw.update(sampler_kwargs)  # explicit sampler kwargs win
     res = sample_fn(obj, k_sample, chains, **kw)
 
@@ -181,4 +212,5 @@ def map_then_sample(
         x_map=x_map,
         mass=kw.get("mass"),
         sampler_result=res,
+        polish_result=pol,
     )

@@ -166,3 +166,36 @@ def test_pipeline_lbfgs_engine_large_n():
     with pytest.raises(ValueError, match="map_engine"):
         qnm.map_then_sample(logdensity, jax.random.PRNGKey(0),
                             jnp.zeros(4), map_engine="newton")
+
+
+def test_pipeline_polish_and_lowrank_mass():
+    """round 3: polish_steps inserts the evidence-grade stage (polished
+    modes feed the handoff) and mass_form='lowrank' hands a LowRankMass
+    to the sampler (overriding self-adaptation)."""
+    from quasinewtonmethods_jl_tpu.sampling import LowRankMass
+
+    rng = np.random.default_rng(0)
+    n = 8
+    A = rng.standard_normal((n, n))
+    C = A @ A.T / n + np.eye(n)
+    Ci = jnp.asarray(np.linalg.inv(C))
+
+    def logd(x):
+        return -0.5 * x @ Ci @ x
+
+    out = qnm.map_then_sample(
+        logd, jax.random.PRNGKey(0), jnp.zeros(n), n_chains=16,
+        map_engine="lbfgs", mass_form="lowrank", polish_steps=2,
+        n_samples=100, n_warmup=80,
+    )
+    assert out.polish_result is not None
+    assert isinstance(out.mass, LowRankMass)
+    assert float(out.polish_result.grad_norm_after.max()) <= float(
+        out.polish_result.grad_norm_before.max()
+    )
+    # default path: no polish stage, result field stays None
+    out2 = qnm.map_then_sample(
+        logd, jax.random.PRNGKey(0), jnp.zeros(n), n_chains=8,
+        n_samples=16, n_warmup=16,
+    )
+    assert out2.polish_result is None
