@@ -141,6 +141,28 @@ def main():
     say(f"nuts_sample:         depth {float(nu.mean_tree_depth.mean()):.1f}, "
         f"accept {float(nu.accept_prob.mean()):.2f}")
 
+    # on-device diagnostics: parity with the host oracle, (n,)-sized fetch
+    ddev = qnm.diagnose_chains_device(ch.samples)
+    say(f"device diagnostics:  max rhat {float(jnp.max(ddev.rhat)):.3f} "
+        f"(host {float(diag.rhat.max()):.3f})")
+
+    # sampler checkpoint/resume: chunked == long, bitwise
+    part = qnm.chees_sample(gauss, key, jnp.zeros((16, 3), dtype),
+                            n_samples=0, n_warmup=60, total_warmup=100)
+    rest = qnm.chees_sample_from_state(gauss, part.state,
+                                       n_samples=150, n_warmup=40)
+    say(f"chees resume:        chunked == long: "
+        f"{bool(jnp.array_equal(rest.samples, ch.samples))}")
+
+    # evidence-grade polish + Laplace evidence (ring-based for L-BFGS)
+    fleet = qnm.optimize_batched(gauss, jax.random.normal(key, (8, 3), dtype),
+                                 tol=tol)
+    pol = qnm.polish_newton(gauss, fleet, steps=2)
+    lz = qnm.laplace_evidence(fleet, obj=gauss)
+    say(f"polish+evidence:     max|grad| {float(pol.grad_norm_before.max()):.1e}"
+        f" -> {float(pol.grad_norm_after.max()):.1e}, "
+        f"logZ {float(lz[0]):.3f} (exact {1.5 * float(jnp.log(2 * jnp.pi)):.3f})")
+
     # -- native host runtime -------------------------------------------------
     try:
         from quasinewtonmethods_jl_tpu.host import rosenbrock_host
