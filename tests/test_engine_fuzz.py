@@ -18,6 +18,9 @@ from quasinewtonmethods_jl_tpu.batched_solve import (
     optimize_batched_compacted,
     optimize_batched_fused,
 )
+from quasinewtonmethods_jl_tpu.resident_solve import (
+    optimize_batched_resident as _resident,
+)
 # deferred: the native host runtime needs a C++ toolchain; the Windows CI
 # leg runs the pure-JAX suite with test_host.py deselected, and this module
 # must stay importable there (the host comparison skips itself below)
@@ -73,6 +76,9 @@ def test_all_engines_agree_on_random_quadratics(seed):
         "fused+blocked": optimize_batched_fused(
             logdensity, X0, kernel="pallas_blocked_interpret",
             block_batch=4, tol=tol
+        ),
+        "resident": _resident(
+            logdensity, X0, block_batch=4, interpret=True, tol=tol
         ),
     }
     for name, res in engines.items():
