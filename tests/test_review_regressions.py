@@ -172,3 +172,38 @@ def test_unknown_kernel_message_lists_all_kernels():
 
     with pytest.raises(ValueError, match="pallas_blocked"):
         _make_update_fn("nope", 128)
+
+
+def test_objective_matmuls_traced_at_highest_precision():
+    """round-3 chip finding: TPU's default bf16 dot passes make a dense
+    quadratic's gradient noise ~1e-2-relative, so tol=1e-3 was UNREACHABLE
+    on chip (0/256 converged vs 255/256 on CPU, same code). The objective
+    wrappers must pin float32-accurate matmul precision, exactly like the
+    engine's own einsum does."""
+    from quasinewtonmethods_jl_tpu.api import (
+        as_value_and_grad, as_value_fn,
+    )
+
+    Q = jnp.eye(4) * 2.0
+
+    def quad(x):
+        return -0.5 * x @ (Q @ x)
+
+    def quad_vag(x):
+        g = -(Q @ x)
+        return -0.5 * x @ (Q @ x), g
+
+    for fn in [
+        as_value_and_grad(quad, None),
+        as_value_and_grad(None, quad_vag),
+        as_value_fn(quad, None),
+    ]:
+        jaxpr = jax.make_jaxpr(fn)(jnp.ones(4))
+        precisions = [
+            str(e.params.get("precision"))
+            for e in jaxpr.jaxpr.eqns
+            if e.primitive.name == "dot_general"
+        ]
+        assert precisions and all("HIGHEST" in p for p in precisions), (
+            precisions
+        )
