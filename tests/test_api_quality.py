@@ -62,3 +62,11 @@ def test_status_enum_complete():
         "LINESEARCH_FAILURE",
         "NONFINITE_VALUE",
     }
+
+
+def test_public_api_is_documented():
+    """Docs-completeness gate (the Documenter-autodocs analog): every name
+    exported from the package root must appear in docs/api.md."""
+    api_md = (PKG_DIR.parent / "docs" / "api.md").read_text()
+    missing = [name for name in qnm.__all__ if name not in api_md]
+    assert not missing, f"undocumented public names: {missing}"
