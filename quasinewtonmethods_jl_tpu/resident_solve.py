@@ -38,8 +38,11 @@ pays (blocks execute back-to-back on the core; a fast block's budget is
 not spent waiting on a slow one).
 
 Semantics are lane-for-lane identical to `optimize_batched_fused` with
-`fold_eval=False` (same peel, same masks, same status codes) —
-regression-tested via interpret mode against the XLA engine.
+`fold_eval=False` (same peel, same masks, same status codes): statuses
+and iteration/evaluation counters match EXACTLY; float leaves agree to
+last-ulp reassociation noise (the objective evaluated inside the kernel
+can differ by 1 ulp from a solver-level evaluation — fuzz-verified).
+Regression-tested via interpret mode against both per-iteration engines.
 """
 
 from __future__ import annotations

@@ -18,19 +18,33 @@ from quasinewtonmethods_jl_tpu.resident_solve import (
 
 
 def _assert_result_identical(a, b):
-    for f in ["x", "fun", "grad", "status", "iterations", "n_fev", "n_gev",
-              "n_resets"]:
+    """Trajectory identity: every discrete quantity (statuses, iteration
+    and evaluation counters, resets) must be EXACT; float leaves must
+    agree to last-ulp reassociation noise. (Bitwise float equality is
+    fixture-dependent: the objective evaluated INSIDE the kernel can
+    differ by 1 ulp from the solver-level evaluation — found by fuzzing;
+    trip counts and branch decisions still match exactly.)"""
+    for f in ["status", "iterations", "n_fev", "n_gev", "n_resets"]:
         av, bv = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
-        assert np.array_equal(av, bv, equal_nan=True), f
-    for f in ["grad_old", "step", "B", "fresh", "stall"]:
+        assert np.array_equal(av, bv), f
+    for f in ["x", "fun", "grad"]:
+        av, bv = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        np.testing.assert_allclose(bv, av, rtol=1e-12, atol=1e-12,
+                                   equal_nan=True, err_msg=f)
+    for f in ["fresh", "stall"]:
         av = np.asarray(getattr(a.state, f))
         bv = np.asarray(getattr(b.state, f))
-        assert np.array_equal(av, bv, equal_nan=True), f
+        assert np.array_equal(av, bv), f
+    for f in ["grad_old", "step", "B"]:
+        av = np.asarray(getattr(a.state, f))
+        bv = np.asarray(getattr(b.state, f))
+        np.testing.assert_allclose(bv, av, rtol=1e-12, atol=1e-12,
+                                   equal_nan=True, err_msg=f)
 
 
-def test_resident_matches_per_iteration_kernel_bitwise(rng):
+def test_resident_matches_per_iteration_kernel(rng):
     """Same multiply-reduce algebra as the per-iteration Pallas kernel →
-    bitwise-identical trajectories (both in interpret mode on CPU)."""
+    exact trip counts, floats to last-ulp (both in interpret mode)."""
     X = jnp.asarray(rng.standard_normal((8, 6)))
     ref = optimize_batched_fused(
         rosenbrock_logdensity, X, tol=1e-8, kernel="pallas_interpret",
@@ -151,3 +165,46 @@ def test_resident_data_closing_objective(rng):
         quad, X, tol=1e-8, block_batch=4, interpret=True
     )
     _assert_result_identical(ref, res)
+
+
+def test_resident_random_configs_trajectory_identity(rng):
+    """Bounded fuzz (the one-off deep fuzz found the ulp-contract issue):
+    random objectives / dims / orders / caps — trip counts exact, floats
+    to last-ulp."""
+    for trial in range(4):
+        n = int(rng.integers(2, 9))
+        batch = int(rng.integers(2, 9))
+        kind = ["rosen", "quad", "logsumexp", "nasty"][trial]
+        if kind == "rosen":
+            obj = rosenbrock_logdensity
+        elif kind == "quad":
+            A = rng.standard_normal((n, n))
+            Q = jnp.asarray(A @ A.T / n + np.eye(n))
+            b = jnp.asarray(rng.standard_normal(n))
+
+            def obj(x, Q=Q, b=b):
+                return -0.5 * x @ (Q @ x) + b @ x
+        elif kind == "logsumexp":
+            c = jnp.asarray(rng.standard_normal(n))
+
+            def obj(x, c=c):
+                return -jax.nn.logsumexp(x * x + c) - 0.01 * jnp.sum(x * x)
+        else:
+
+            def obj(x):
+                return jnp.where(jnp.sum(x * x) > 9.0, jnp.nan, -jnp.sum(x * x))
+
+        order = int(rng.choice([2, 3]))
+        h0 = bool(rng.choice([True, False]))
+        X = jnp.asarray(rng.standard_normal((batch, n)) * rng.uniform(0.5, 3.0))
+        kw = dict(
+            ls=BackTracking(order=order), tol=1e-8, h0_scale=h0,
+            max_iterations=int(rng.choice([5, 300])),
+        )
+        ref = optimize_batched_fused(
+            obj, X, kernel="pallas_interpret", block_batch=4, **kw
+        )
+        res = optimize_batched_resident(
+            obj, X, block_batch=4, interpret=True, **kw
+        )
+        _assert_result_identical(ref, res)
