@@ -137,6 +137,10 @@ def main():
         f"{solves_per_sec:.0f} solves/s (conv {conv_k}/{K * BATCH})"
     )
 
+    # Both methodologies in the one JSON line (advisor round-3): the
+    # headline `value` is the sustained rate; `single_call` keeps the
+    # rounds-1/2 semantics so cross-round comparisons can't conflate them.
+    single_call = BATCH / min(times)
     print(
         json.dumps(
             {
@@ -144,6 +148,11 @@ def main():
                 "value": round(solves_per_sec, 1),
                 "unit": "solves/sec/chip",
                 "vs_baseline": round(solves_per_sec / REFERENCE_SOLVES_PER_SEC, 2),
+                "methodology": f"sustained: {K} fleets pipelined, one readback",
+                "single_call": round(single_call, 1),
+                "single_call_vs_baseline": round(
+                    single_call / REFERENCE_SOLVES_PER_SEC, 2
+                ),
             }
         )
     )

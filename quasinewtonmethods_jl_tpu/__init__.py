@@ -40,6 +40,7 @@ from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .polish import PolishResult, polish_newton
 from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
+from .resident_solve import optimize_batched_resident, resident_feasible
 from .diagnostics import (
     ChainDiagnostics,
     diagnose_chains,
@@ -75,7 +76,33 @@ from .solve import (
 )
 from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_state
 
-__version__ = "0.3.0"
+def _resolve_version() -> str:
+    """Single-source the version from package metadata (the reference keeps
+    one version in Project.toml, released by TagBot —
+    /root/reference/.github/workflows/TagBot.yml). Installed: read the
+    distribution metadata; from a source checkout: parse pyproject.toml."""
+    try:
+        from importlib.metadata import version
+
+        return version("quasinewtonmethods-jl-tpu")
+    except Exception:
+        pass
+    import pathlib
+    import re
+
+    pyproject = pathlib.Path(__file__).resolve().parent.parent / "pyproject.toml"
+    try:
+        m = re.search(
+            r'^version\s*=\s*"([^"]+)"', pyproject.read_text(), re.MULTILINE
+        )
+        if m:
+            return m.group(1)
+    except OSError:
+        pass
+    return "0.0.0"
+
+
+__version__ = _resolve_version()
 
 __all__ = [
     "ProbabilityModel",
@@ -116,6 +143,8 @@ __all__ = [
     "optimize_batched",
     "optimize_batched_compacted",
     "optimize_batched_fused",
+    "optimize_batched_resident",
+    "resident_feasible",
     "optimize_batched_fused_from_state",
     "optimize_from_state",
     "optimize_lbfgs",

@@ -823,6 +823,26 @@ def _chees_adapt_mass(adapt_mass, mass, chains):
     )
 
 
+def _check_resume_mass_mode(adapt_mass, var_ema) -> None:
+    """Resume guard: the saved state's mass EMA must match the re-passed
+    ``adapt_mass`` mode. The (n,) diag variance and the (n, n) covariance
+    live in the same ``var_ema`` field, and adapt_mass is config (re-passed
+    on resume), so resuming a 'dense' run under the default ('diag') would
+    silently row-broadcast the (n,) fleet variance into the (n, n)
+    covariance EMA during remaining warmup — an asymmetric, wrong metric
+    with no error (advisor round-3 finding)."""
+    if not adapt_mass:
+        return
+    expect = 2 if adapt_mass == "dense" else 1
+    if var_ema.ndim != expect:
+        saved = "dense" if var_ema.ndim == 2 else "diag"
+        raise ValueError(
+            f"adapt_mass={adapt_mass!r} does not match the saved state's "
+            f"{saved!r} mass EMA (var_ema.ndim={var_ema.ndim}); re-pass "
+            f"adapt_mass={saved!r} to resume this run"
+        )
+
+
 def chees_sample(
     obj,
     key: jax.Array,
@@ -968,6 +988,7 @@ def chees_sample_from_state(
         )
     chains = state.x.shape[0]
     adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    _check_resume_mass_mode(adapt_mass, state.var_ema)
     return _chees_core(
         obj, state, mass, n_samples, n_warmup, target_accept, max_leapfrog,
         adapt_mass, value_and_grad_fn, i_warm0, i_samp0, n_total,
@@ -1469,6 +1490,7 @@ def nuts_sample_from_state(
         )
     chains = state.x.shape[0]
     adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    _check_resume_mass_mode(adapt_mass, state.var_ema)
     return _nuts_core(
         obj, state, mass, n_samples, n_warmup, max_depth, target_accept,
         max_energy_change, adapt_mass, value_and_grad_fn, i_warm0, i_samp0,

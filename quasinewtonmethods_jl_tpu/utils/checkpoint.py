@@ -60,19 +60,23 @@ def save_state(path: Union[str, os.PathLike], state) -> None:
         raise TypeError(
             f"expected a solver or sampler state NamedTuple, got {cls}"
         )
-    arrays, key_fields = {}, []
+    arrays, key_fields, key_impls = {}, [], []
     for k, v in state._asdict().items():
         if hasattr(v, "dtype") and jax.dtypes.issubdtype(
             v.dtype, jax.dtypes.prng_key
         ):
             # typed PRNG keys (jax.random.key) have an opaque dtype;
-            # store the raw key data and re-wrap on load
+            # store the raw key data AND the key impl name, so a key from
+            # a non-default impl (e.g. rbg) is not silently reinterpreted
+            # under threefry on load (advisor round-3 finding)
             arrays[k] = np.asarray(jax.random.key_data(v))
             key_fields.append(k)
+            key_impls.append(str(jax.random.key_impl(v)))
         else:
             arrays[k] = np.asarray(v)
     arrays["__class__"] = np.asarray(cls)
     arrays["__key_fields__"] = np.asarray(key_fields)
+    arrays["__key_impls__"] = np.asarray(key_impls)
     np.savez(_npz_path(path), **arrays)
 
 
@@ -95,12 +99,29 @@ def load_state(
             raise TypeError(f"checkpoint holds {saved_cls}, expected {cls.__name__}")
         classes = {**_STATE_CLASSES, **_sampler_state_classes()}
         klass = classes[saved_cls]
-        key_fields = (
-            set(z["__key_fields__"].tolist()) if "__key_fields__" in z else set()
+        key_field_list = (
+            z["__key_fields__"].tolist() if "__key_fields__" in z else []
         )
+        # impl recorded per key field since round 4; older checkpoints
+        # (no __key_impls__) were all written under the default impl
+        impl_list = (
+            z["__key_impls__"].tolist() if "__key_impls__" in z else []
+        )
+        key_impls = {
+            k: impl
+            for k, impl in zip(key_field_list, impl_list)
+        }
+        key_fields = set(key_field_list)
+
+        def _wrap(k, data):
+            impl = key_impls.get(k)
+            if impl is None:
+                return jax.random.wrap_key_data(data)
+            return jax.random.wrap_key_data(data, impl=impl)
+
         fields = {
             k: (
-                jax.random.wrap_key_data(jnp.asarray(z[k]))
+                _wrap(k, jnp.asarray(z[k]))
                 if k in key_fields
                 else jnp.asarray(z[k])
             )

@@ -52,6 +52,17 @@ def test_version_is_semver():
     assert len(parts) == 3 and all(p.isdigit() for p in parts)
 
 
+def test_version_single_sourced():
+    """__version__ must equal pyproject.toml's (the reference keeps ONE
+    version in Project.toml; round-3 shipped 0.3.0 vs 0.4.0 skew)."""
+    import re
+
+    pyproject = (PKG_DIR.parent / "pyproject.toml").read_text()
+    m = re.search(r'^version\s*=\s*"([^"]+)"', pyproject, re.MULTILINE)
+    assert m, "pyproject.toml lacks a version"
+    assert qnm.__version__ == m.group(1)
+
+
 def test_status_enum_complete():
     # every driver exit path has a status code
     names = {s.name for s in qnm.Status}
@@ -70,3 +81,34 @@ def test_public_api_is_documented():
     api_md = (PKG_DIR.parent / "docs" / "api.md").read_text()
     missing = [name for name in qnm.__all__ if name not in api_md]
     assert not missing, f"undocumented public names: {missing}"
+
+
+def test_documented_api_exists():
+    """Reverse docs gate: every ``### `qnm.X(...)``` / ``### `parallel.X```
+    / ``### `ops.X``` heading in docs/api.md must resolve to a real
+    attribute — the Documenter-autodocs guarantee that docs cannot claim a
+    symbol that does not exist (round 3 shipped a documented-but-unexported
+    `optimize_batched_resident`; reference docs/make.jl + ci.yml:68-89
+    structurally prevent this)."""
+    import re
+
+    api_md = (PKG_DIR.parent / "docs" / "api.md").read_text()
+    headings = re.findall(r"^### `([^`]+)`", api_md, re.MULTILINE)
+    unresolved = []
+    for h in headings:
+        # each heading may pack several symbols: "qnm.a(...)` / `qnm.b"
+        for sym in re.findall(r"(?:qnm|parallel|ops)\.[\w.]+", h):
+            root_name, _, path = sym.partition(".")
+            obj = (
+                qnm
+                if root_name == "qnm"
+                else importlib.import_module(
+                    f"quasinewtonmethods_jl_tpu.{root_name}"
+                )
+            )
+            try:
+                for part in path.split("."):
+                    obj = getattr(obj, part)
+            except AttributeError:
+                unresolved.append(sym)
+    assert not unresolved, f"api.md documents missing symbols: {unresolved}"

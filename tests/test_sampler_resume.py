@@ -163,3 +163,42 @@ def test_resume_respects_mass_freeze_schedule():
     r2 = qnm.chees_sample_from_state(_logd, r1.state, n_warmup=13)
     _assert_tree_equal(long.state.var_ema, r2.state.var_ema)
     _assert_tree_equal(long.state.log_T, r2.state.log_T)
+
+
+def test_resume_mass_mode_mismatch_rejected():
+    """Resuming an adapt_mass='dense' run without re-passing 'dense' (the
+    default resolves to 'diag') must raise instead of silently
+    row-broadcasting the (n,) fleet variance into the (n, n) covariance
+    EMA during remaining warmup (advisor round-3 medium finding). Both
+    directions and both samplers."""
+    key = jax.random.PRNGKey(6)
+    dense = qnm.chees_sample(
+        _logd, key, _x0(), n_samples=0, n_warmup=4, total_warmup=10,
+        adapt_mass="dense",
+    )
+    with pytest.raises(ValueError, match="does not match the saved"):
+        qnm.chees_sample_from_state(_logd, dense.state, n_warmup=3)
+    with pytest.raises(ValueError, match="does not match the saved"):
+        qnm.chees_sample_from_state(
+            _logd, dense.state, n_warmup=3, adapt_mass="diag"
+        )
+    # the correct re-pass still works
+    qnm.chees_sample_from_state(
+        _logd, dense.state, n_warmup=3, adapt_mass="dense"
+    )
+
+    diag = qnm.nuts_sample(
+        _logd, key, _x0(), n_samples=0, n_warmup=4, total_warmup=10
+    )
+    with pytest.raises(ValueError, match="does not match the saved"):
+        qnm.nuts_sample_from_state(
+            _logd, diag.state, n_warmup=3, adapt_mass="dense"
+        )
+    qnm.nuts_sample_from_state(_logd, diag.state, n_warmup=3)
+
+    dense_n = qnm.nuts_sample(
+        _logd, key, _x0(), n_samples=0, n_warmup=4, total_warmup=10,
+        adapt_mass="dense",
+    )
+    with pytest.raises(ValueError, match="does not match the saved"):
+        qnm.nuts_sample_from_state(_logd, dense_n.state, n_warmup=3)

@@ -77,3 +77,26 @@ def test_practically_converged_helper(rng):
     assert mask.shape == (6,)
     assert not mask[2]
     assert mask.sum() == 5
+
+
+def test_checkpoint_preserves_key_impl(tmp_path):
+    """A state saved with a non-default PRNG impl (rbg) must resume under
+    the SAME impl, not be silently reinterpreted as threefry (advisor
+    round-3 finding): the impl name is stored alongside __key_fields__."""
+    import jax
+    import quasinewtonmethods_jl_tpu as qnm
+
+    def logd(t):
+        return -0.5 * jnp.sum(t * t)
+
+    x0 = jnp.zeros((4, 3))
+    r = qnm.hmc_sample(
+        logd, jax.random.key(9, impl="rbg"), x0, n_samples=0, n_warmup=3
+    )
+    p = tmp_path / "rbg_state"
+    save_state(p, r.state)
+    st = load_state(p)
+    assert str(jax.random.key_impl(st.key)) == "rbg"
+    a = qnm.hmc_sample_from_state(logd, st, n_samples=5)
+    b = qnm.hmc_sample_from_state(logd, r.state, n_samples=5)
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
