@@ -90,72 +90,60 @@ def _solve_loop(
     peel_first: bool = False,
     update_method: str = "bfgs",
 ) -> BFGSState:
-    """``peel_first=True`` (fresh solves, k == 0 guaranteed) peels iteration
-    1 out of the while loop at trace time: the reference's m = -1 sentinel
-    (:263-264) otherwise costs a per-iteration ``lax.cond`` whose operands
-    include the (n, n) inverse Hessian — XLA copies conditional operands in
-    and out every iteration just to select a branch whose predicate is true
-    exactly once (the same copy the batched engine peels,
-    batched_solve.py). Resume paths (runtime k) keep the cond."""
+    """Rotated driver loop (round-4 scalar-latency redesign).
+
+    The loop is ROTATED relative to the reference's ``for`` loop: each
+    while-loop body runs [update -> line search -> step -> evaluate at the
+    NEW iterate -> classify], carrying the invariant that ``(s.fun,
+    s.grad)`` always hold the evaluation at ``s.x``. The initial
+    evaluation and the sentinel first iteration (m = -1, :263-264) are
+    peeled in front. This removes the per-iteration
+    ``lax.cond(finish/advance)`` of the direct transcription — measured at
+    +2.4 us/iteration on XLA-CPU (the cond joins full-state operands
+    including the (n, n) B) — for a 1.66x scalar-solve speedup (1139 ->
+    688 us typical Rosenbrock n=60) with bitwise-identical values and
+    exact counter parity (scripts/cpu_scalar_census_r4.py).
+
+    Trajectory semantics are unchanged: the body advances only states the
+    while-condition proved RUNNING, so no masking is needed; a line-search
+    failure overrides the trailing classification (the trailing evaluation
+    re-evaluates the unmoved x — bitwise the carried value — and is not
+    counted, preserving the reference's eval counts).
+
+    ``peel_first`` keeps its meaning (fresh solves, k == 0 statically
+    known): it decides whether the sentinel peel is emitted inline or
+    behind a once-per-solve runtime ``k == 0`` cond (resume paths).
+    """
     n = state.x.shape[0]
     dtype = state.x.dtype
     tol = jnp.asarray(tol, dtype)
     eye = initial_inv_hessian(n, dtype)
-
-    def cond(s: BFGSState):
-        return jnp.logical_and(s.status == Status.RUNNING, s.k < max_iterations)
-
-    def make_body(mode: str):
-        return _make_solve_body(
-            vag, f, ls, tol, h0_scale, stall_limit, eye, dtype, mode,
-            update_method,
-        )
-
-    if peel_first:
-        if max_iterations < 1:
-            return state._replace(
-                status=jnp.where(
-                    state.status == Status.RUNNING,
-                    jnp.int32(Status.MAX_ITERATIONS),
-                    state.status,
-                )
+    if max_iterations < 1:
+        # no iteration budget: no evaluation happens at all (matches the
+        # batched engines and the reference's 1:N loop with N = 0)
+        return state._replace(
+            status=jnp.where(
+                state.status == Status.RUNNING,
+                jnp.int32(Status.MAX_ITERATIONS),
+                state.status,
             )
-        state1 = make_body("first")(state)
-        final = lax.while_loop(cond, make_body("update"), state1)
-    else:
-        final = lax.while_loop(cond, make_body("cond"), state)
-    # Loop exhausted while still RUNNING -> iteration cap (reference falls
-    # off the for-loop and returns NaN, :288-291).
-    final = final._replace(
-        status=jnp.where(
-            final.status == Status.RUNNING,
-            jnp.int32(Status.MAX_ITERATIONS),
-            final.status,
         )
-    )
-    return final
-
-
-def _make_solve_body(vag, f, ls, tol, h0_scale, stall_limit, eye, dtype,
-                     mode, update_method="bfgs"):
     if update_method not in _UPDATE_FNS:
         raise ValueError(
             f"update_method must be one of {sorted(_UPDATE_FNS)}, "
             f"got {update_method!r}"
         )
     update_fn = _UPDATE_FNS[update_method]
-    def body(s: BFGSState):
-        f0, g = vag(s.x)
-        n_fev = s.n_fev + 1
-        n_gev = s.n_gev + 1
 
-        nonfinite = ~jnp.isfinite(f0)
-        converged = jnp.max(jnp.abs(g)) < tol
-        improved = jnp.where(jnp.isnan(s.fun), True, f0 > s.fun)
-        stall = jnp.where(improved, jnp.int32(0), s.stall + 1)
+    def classify(f1, g1, prev_fun, prev_stall):
+        """Status determination for the evaluation (f1, g1) at the current
+        iterate. Non-finite precedes convergence, matching :255 / :257."""
+        nonfinite = ~jnp.isfinite(f1)
+        converged = jnp.max(jnp.abs(g1)) < tol
+        improved = jnp.where(jnp.isnan(prev_fun), True, f1 > prev_fun)
+        stall = jnp.where(improved, jnp.int32(0), prev_stall + 1)
         stalled = (stall >= stall_limit) if stall_limit else jnp.asarray(False)
-        # Non-finite check precedes convergence, matching :255 before :257.
-        status_pre = jnp.where(
+        status = jnp.where(
             nonfinite,
             jnp.int32(Status.NONFINITE_VALUE),
             jnp.where(
@@ -168,79 +156,111 @@ def _make_solve_body(vag, f, ls, tol, h0_scale, stall_limit, eye, dtype,
                 ),
             ),
         )
+        return status, stall
 
-        def finish(_):
-            return s._replace(
-                grad=g, fun=f0, status=status_pre, n_fev=n_fev, n_gev=n_gev,
-                stall=stall,
+    def advance(s: BFGSState, first: bool) -> BFGSState:
+        # rotation invariant: (s.fun, s.grad) are the eval at s.x
+        f0, g = s.fun, s.grad
+        if first:
+            # sentinel m = -1 forces the steepest-ascent branch (:263-264)
+            B1, d, m = s.B, jnp.zeros_like(g), jnp.asarray(-1.0, dtype)
+        else:
+            # H0 scaling (Nocedal 6.20) when B is a fresh identity —
+            # documented improvement over the reference; h0_scale=False
+            # restores exact reference semantics.
+            B1, d, m = update_fn(
+                s.B, s.step, g, s.grad_old,
+                fresh=s.fresh if h0_scale else None,
             )
 
-        def advance(_):
-            # Iteration 1 uses the sentinel m = -1 (:263-264) which forces
-            # the steepest-ascent branch below; afterwards the rank-2 update.
-            def first(_):
-                return s.B, jnp.zeros_like(g), jnp.asarray(-1.0, dtype)
+        # m <= 0: indefinite curvature — reset to identity and take the
+        # steepest-ascent direction (:272-280). NaN m deliberately does
+        # NOT reset (NaN <= 0 is false), matching the reference's IEEE
+        # in-band failure propagation.
+        reset = m <= 0.0
+        B2 = jnp.where(reset, eye, B1)
+        d = jnp.where(reset, g, d)
+        m = jnp.where(reset, jnp.dot(g, g, preferred_element_type=dtype), m)
 
-            def update(_):
-                # H0 scaling (Nocedal 6.20) when B is a fresh identity —
-                # documented improvement over the reference; h0_scale=False
-                # restores exact reference semantics.
-                return update_fn(
-                    s.B, s.step, g, s.grad_old,
-                    fresh=s.fresh if h0_scale else None,
-                )
+        # BackTracking trials are value-only (the reference's step! ->
+        # logdensity path, :157-162 — never pay for a backward pass);
+        # Wolfe trials use value+slope.
+        alpha, ls_failed, ls_fev, ls_gev = run_linesearch(
+            ls, f, vag, s.x, d, f0, m
+        )
+        # On failure x must stay at the last good iterate (the reference
+        # breaks before update_state!, :284-285). alpha is 0 then, but
+        # 0 * d is NaN when the direction itself is NaN (degenerate
+        # update), so the masking must be explicit.
+        step = jnp.where(ls_failed, jnp.zeros_like(d), alpha * d)
+        x_new = s.x + step
 
-            if mode == "cond":  # resume path: k is a runtime value
-                B1, d, m = lax.cond(s.k == 0, first, update, None)
-            elif mode == "first":  # peeled iteration 1
-                B1, d, m = first(None)
-            else:  # every post-peel iteration
-                B1, d, m = update(None)
+        f1, g1 = vag(x_new)
+        status, stall = classify(f1, g1, f0, s.stall)
+        # the failure exit keeps the stall value the failing iteration
+        # entered with (the old driver stored the top-of-iteration stall)
+        status = jnp.where(
+            ls_failed, jnp.int32(Status.LINESEARCH_FAILURE), status
+        )
+        stall = jnp.where(ls_failed, s.stall, stall)
+        # on failure the trailing eval re-evaluated the unmoved x (bitwise
+        # the carried values) and is not counted — the reference exits
+        # without re-evaluating
+        cnt = (~ls_failed).astype(jnp.int32)
+        return BFGSState(
+            x=x_new,
+            grad=g1,
+            grad_old=g,
+            step=step,
+            B=B2,
+            fun=f1,
+            k=s.k + 1,
+            status=status,
+            n_fev=s.n_fev + ls_fev + cnt,
+            n_gev=s.n_gev + ls_gev + cnt,
+            n_resets=s.n_resets + reset.astype(jnp.int32),
+            fresh=reset,  # reset leaves a fresh identity behind
+            stall=stall,
+        )
 
-            # m <= 0: indefinite curvature — reset to identity and take the
-            # steepest-ascent direction (:272-280). NaN m deliberately does
-            # NOT reset (NaN <= 0 is false), matching the reference's IEEE
-            # in-band failure propagation.
-            reset = m <= 0.0
-            B2 = jnp.where(reset, eye, B1)
-            d = jnp.where(reset, g, d)
-            m = jnp.where(reset, jnp.dot(g, g, preferred_element_type=dtype), m)
+    def live(s: BFGSState):
+        return jnp.logical_and(
+            s.status == Status.RUNNING, s.k < max_iterations
+        )
 
-            # BackTracking trials are value-only (the reference's step! ->
-            # logdensity path, :157-162 — never pay for a backward pass);
-            # Wolfe trials use value+slope.
-            alpha, ls_failed, ls_fev, ls_gev = run_linesearch(
-                ls, f, vag, s.x, d, f0, m
-            )
-            # On failure x must stay at the last good iterate (the reference
-            # breaks before update_state!, :284-285). alpha is 0 then, but
-            # 0 * d is NaN when the direction itself is NaN (degenerate
-            # update), so the masking must be explicit.
-            step = jnp.where(ls_failed, jnp.zeros_like(d), alpha * d)
-            new_status = jnp.where(
-                ls_failed,
-                jnp.int32(Status.LINESEARCH_FAILURE),
-                jnp.int32(Status.RUNNING),
-            )
-            return BFGSState(
-                x=s.x + step,
-                grad=g,
-                grad_old=g,
-                step=step,
-                B=B2,
-                fun=f0,
-                k=s.k + 1,
-                status=new_status,
-                n_fev=n_fev + ls_fev,
-                n_gev=n_gev + ls_gev,
-                n_resets=s.n_resets + reset.astype(jnp.int32),
-                fresh=reset,  # reset leaves a fresh identity behind
-                stall=stall,
-            )
+    # peel 0: evaluate at the entry iterate and classify
+    f0, g0 = vag(state.x)
+    status0, stall0 = classify(f0, g0, state.fun, state.stall)
+    state = state._replace(
+        fun=f0, grad=g0, status=status0, stall=stall0,
+        n_fev=state.n_fev + 1, n_gev=state.n_gev + 1,
+    )
 
-        return lax.cond(status_pre != Status.RUNNING, finish, advance, None)
+    # peel 1: the sentinel first iteration. Fresh solves (peel_first) have
+    # k == 0 statically; resume paths gate it behind a ONE-TIME runtime
+    # cond (vs the old design's per-iteration branch).
+    if peel_first:
+        state = lax.cond(
+            live(state), lambda s: advance(s, True), lambda s: s, state
+        )
+    else:
+        state = lax.cond(
+            jnp.logical_and(live(state), state.k == 0),
+            lambda s: advance(s, True),
+            lambda s: s,
+            state,
+        )
 
-    return body
+    final = lax.while_loop(live, lambda s: advance(s, False), state)
+    # Loop exhausted while still RUNNING -> iteration cap (reference falls
+    # off the for-loop and returns NaN, :288-291).
+    return final._replace(
+        status=jnp.where(
+            final.status == Status.RUNNING,
+            jnp.int32(Status.MAX_ITERATIONS),
+            final.status,
+        )
+    )
 
 
 def _result_from_state(state: BFGSState) -> OptimizeResult:
