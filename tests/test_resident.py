@@ -161,8 +161,12 @@ def test_resident_data_closing_objective(rng):
     ref = optimize_batched_fused(
         quad, X, tol=1e-8, kernel="pallas_interpret", block_batch=4
     )
+    # rewrite_dots=False: this test pins the ulp-identity contract for
+    # const HOISTING; the default dot rewrite reassociates the matvec
+    # reductions and is covered (to tolerance) by
+    # test_resident_matvec_objectives_via_dot_rewrite.
     res = optimize_batched_resident(
-        quad, X, tol=1e-8, block_batch=4, interpret=True
+        quad, X, tol=1e-8, block_batch=4, interpret=True, rewrite_dots=False
     )
     _assert_result_identical(ref, res)
 
@@ -204,7 +208,85 @@ def test_resident_random_configs_trajectory_identity(rng):
         ref = optimize_batched_fused(
             obj, X, kernel="pallas_interpret", block_batch=4, **kw
         )
+        # rewrite_dots=False keeps the last-ulp contract testable for the
+        # quad trial (the rewrite reassociates matvec reductions; its own
+        # tolerance contract is tested separately)
         res = optimize_batched_resident(
-            obj, X, block_batch=4, interpret=True, **kw
+            obj, X, block_batch=4, interpret=True, rewrite_dots=False, **kw
         )
         _assert_result_identical(ref, res)
+
+
+def test_resident_matvec_objectives_via_dot_rewrite(rng):
+    """Round-4 unblocking: matvec-bearing objectives (quadratic form,
+    logistic MAP — BASELINE configs 2-3) run through the resident engine
+    with every dot_general rewritten to multiply+reduce
+    (`ops.dot_rewrite`). Statuses/counters match the fused engine
+    exactly on these fixtures; floats to reassociation tolerance. tol is
+    1e-6: at 1e-8 this logistic fixture sits on the f64 line-search
+    failure knife edge, where one-ulp reassociation noise legitimately
+    flips boundary lanes between engines."""
+    n, batch = 8, 16
+    Q = jnp.asarray(rng.standard_normal((n, n)))
+    Q = Q @ Q.T + n * jnp.eye(n)
+    A = jnp.asarray(rng.standard_normal((64, n)))
+    yv = jnp.asarray((rng.random(64) < 0.5).astype(np.float64))
+
+    def quad(x):
+        return -0.5 * x @ Q @ x
+
+    def logistic(w):
+        z = A @ w
+        return jnp.sum(yv * z - jnp.logaddexp(0.0, z)) - 0.5 * jnp.sum(w * w)
+
+    X0 = jnp.asarray(rng.standard_normal((batch, n)))
+    for obj in (quad, logistic):
+        fused = optimize_batched_fused(obj, X0, tol=1e-6)
+        res = optimize_batched_resident(
+            obj, X0, tol=1e-6, block_batch=4, interpret=True
+        )
+        for f in ["status", "iterations", "n_resets"]:
+            assert np.array_equal(
+                np.asarray(getattr(fused, f)), np.asarray(getattr(res, f))
+            ), f
+        assert (np.asarray(res.status) == int(qnm.Status.CONVERGED)).all()
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.asarray(fused.x), rtol=1e-6, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.fun), np.asarray(fused.fun), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_resident_rewrite_off_matches_on_for_dot_free(rng):
+    """rewrite_dots is a no-op for dot-free objectives: bitwise-identical
+    results either way (the pass only touches dot_general eqns)."""
+    X = jnp.asarray(rng.standard_normal((8, 6)))
+    a = optimize_batched_resident(
+        rosenbrock_logdensity, X, tol=1e-8, block_batch=4, interpret=True,
+        rewrite_dots=True,
+    )
+    b = optimize_batched_resident(
+        rosenbrock_logdensity, X, tol=1e-8, block_batch=4, interpret=True,
+        rewrite_dots=False,
+    )
+    _assert_result_identical(a, b)
+
+
+def test_dot_rewrite_control_flow_guard():
+    """A dot_general hiding inside a scan body is out of the rewrite's
+    reach and must raise the documented NotImplementedError instead of
+    shipping an unrewritten dot to Mosaic."""
+    Q = jnp.eye(4)
+
+    def scan_obj(x):
+        def body(c, _):
+            return c @ Q, None
+
+        out, _ = jax.lax.scan(body, x, None, length=2)
+        return -jnp.sum(out * out)
+
+    with pytest.raises(NotImplementedError, match="control flow"):
+        optimize_batched_resident(
+            scan_obj, jnp.ones((4, 4)), block_batch=4, interpret=True
+        )
