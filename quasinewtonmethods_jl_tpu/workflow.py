@@ -19,11 +19,13 @@ naming the failure statuses), and one place to read the results.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .diagnostics import ChainDiagnostics, diagnose_chains_device
 from .parallel.batch import optimize_batched
@@ -73,6 +75,8 @@ def map_then_sample(
     map_kwargs: Optional[dict] = None,
     polish_steps: int = 0,
     mass_form: str = "auto",
+    mesh: Optional[Mesh] = None,
+    mesh_axis: str = "data",
     **sampler_kwargs,
 ) -> MapThenSampleResult:
     """MAP fleet -> preconditioner -> sampler -> diagnostics, in one call.
@@ -101,6 +105,15 @@ def map_then_sample(
     steps over a 4096x60 fleet on chip). ``mass_form='lowrank'`` (with
     map_engine='lbfgs') hands the sampler a `LowRankMass` built from the
     best lane's ring instead of the diagonal (see chain_init_from_map).
+
+    ``mesh`` (round 4): a `jax.sharding.Mesh` shards the chains axis over
+    ``mesh_axis`` for EVERY stage — MAP fleet, polish, sampler, and
+    on-device diagnostics — the one-call multi-chip pipeline that
+    previously required hand-composing `optimize_batched_sharded` +
+    `sample_sharded` plus the failure-handling glue. n_chains must
+    divide evenly over the axis. Same seeds → same draws as the
+    unsharded pipeline (GSPMD partitions the identical program;
+    parity-tested on a virtual CPU mesh).
     """
     sample_fn = get_sampler(sampler)
     x0 = jnp.asarray(x0)
@@ -117,21 +130,47 @@ def map_then_sample(
     else:
         raise ValueError(f"x0 must be (n,) or (chains, n), got {x0.shape}")
 
+    # Multi-chip: shard the chains axis over `mesh_axis` and run every
+    # stage inside the mesh context — GSPMD partitions the fleet solve,
+    # the sampler scan, and the diagnostics reductions alike (the chains
+    # are independent; cross-device traffic is only the fleet-adaptive
+    # reductions and loop predicates, a few scalars per step over ICI).
+    # The glue (status readback, best-mode argmax, fallback fill) is
+    # unchanged — those are (chains,)-sized host/device ops.
+    if mesh is not None:
+        n_shards = mesh.shape[mesh_axis]
+        if x0s.shape[0] % n_shards != 0:
+            raise ValueError(
+                f"n_chains ({x0s.shape[0]}) must divide evenly over mesh "
+                f"axis {mesh_axis!r} ({n_shards} shards)"
+            )
+
+        def _shard(arr):
+            spec = P(mesh_axis, *([None] * (arr.ndim - 1)))
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        mesh_ctx = lambda: mesh  # noqa: E731 — Mesh is a context manager
+        x0s = _shard(x0s)
+    else:
+        _shard = lambda arr: arr  # noqa: E731
+        mesh_ctx = contextlib.nullcontext
+
     if map_tol is None:
         # the repo's precision contract: f32 is throughput mode, tol >= ~1e-3
         map_tol = 1e-3 if x0.dtype == jnp.float32 else 1e-6
     mk = dict(tol=map_tol, value_and_grad_fn=value_and_grad_fn)
     mk.update(map_kwargs or {})  # explicit map_kwargs win
-    if map_engine == "lbfgs":
-        from .parallel.batch import optimize_lbfgs_batched
+    with mesh_ctx():
+        if map_engine == "lbfgs":
+            from .parallel.batch import optimize_lbfgs_batched
 
-        fleet = optimize_lbfgs_batched(obj, x0s, **mk)
-    elif map_engine == "bfgs":
-        fleet = optimize_batched(obj, x0s, **mk)
-    else:
-        raise ValueError(
-            f"unknown map_engine {map_engine!r}; use 'bfgs' or 'lbfgs'"
-        )
+            fleet = optimize_lbfgs_batched(obj, x0s, **mk)
+        elif map_engine == "bfgs":
+            fleet = optimize_batched(obj, x0s, **mk)
+        else:
+            raise ValueError(
+                f"unknown map_engine {map_engine!r}; use 'bfgs' or 'lbfgs'"
+            )
 
     # one status readback serves both the failure check and the masks
     statuses = np.asarray(fleet.status)
@@ -150,10 +189,11 @@ def map_then_sample(
     if polish_steps > 0:
         from .polish import polish_newton
 
-        pol = polish_newton(
-            obj, fleet, steps=polish_steps,
-            value_and_grad_fn=value_and_grad_fn,
-        )
+        with mesh_ctx():
+            pol = polish_newton(
+                obj, fleet, steps=polish_steps,
+                value_and_grad_fn=value_and_grad_fn,
+            )
         # the polished modes (same dtype) feed the handoff; curvature
         # state (B / rings) stays the solver's — polish refines iterates
         fleet = fleet._replace(
@@ -185,7 +225,8 @@ def map_then_sample(
         # self-adaptation of chees/nuts — using it is the point
         kw["mass"] = mass
     kw.update(sampler_kwargs)  # explicit sampler kwargs win
-    res = sample_fn(obj, k_sample, chains, **kw)
+    with mesh_ctx():
+        res = sample_fn(obj, k_sample, _shard(chains), **kw)
 
     if not compute_diagnostics:
         diag = None
@@ -194,7 +235,12 @@ def map_then_sample(
         # the chip; only four (n,)-sized summaries ever cross the tunnel.
         # (The round-2 default fetched all draws for host FFTs — 39 s of
         # transfer against 98 ms of compute at 4096 chains x 1M draws.)
-        diag = diagnose_chains_device(res.samples)
+        # Under a mesh the draws stay SHARDED over chains: split R-hat's
+        # per-chain moments are chain-local, and the cross-chain means /
+        # Geyer ESS pooling lower to all-reduces — no gather of the draw
+        # array (asserted by tests/test_workflow.py's sharded-parity test).
+        with mesh_ctx():
+            diag = diagnose_chains_device(res.samples)
     else:
         # too few draws for split R-hat / ESS: report moments, NaN stats —
         # never discard a completed pipeline over its diagnostics

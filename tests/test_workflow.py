@@ -199,3 +199,60 @@ def test_pipeline_polish_and_lowrank_mass():
         n_samples=16, n_warmup=16,
     )
     assert out2.polish_result is None
+
+
+def test_pipeline_mesh_parity_and_validation():
+    """round 4: map_then_sample(mesh=...) runs every stage sharded over
+    the chains axis. Same seeds -> same draws as the unsharded pipeline
+    (GSPMD partitions the identical program), and the sharded draws stay
+    sharded (no gather) through the on-device diagnostics."""
+    from quasinewtonmethods_jl_tpu.parallel import make_mesh
+
+    logdensity, cov = _corr_gaussian(3)
+    mesh = make_mesh({"data": 8})
+    kw = dict(n_chains=16, sampler="chees", n_samples=64, n_warmup=48,
+              map_tol=1e-10)
+    out_un = qnm.map_then_sample(
+        logdensity, jax.random.PRNGKey(0), jnp.full(3, 2.0), **kw)
+    out_sh = qnm.map_then_sample(
+        logdensity, jax.random.PRNGKey(0), jnp.full(3, 2.0), mesh=mesh,
+        **kw)
+    # the samples arrive sharded over chains (axis 1 of (draws, chains, n))
+    shardings = {
+        d.device for d in out_sh.samples.addressable_shards
+    }
+    assert len(shardings) == 8
+    np.testing.assert_allclose(
+        np.asarray(out_sh.samples), np.asarray(out_un.samples),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh.diagnostics.rhat),
+        np.asarray(out_un.diagnostics.rhat), rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh.x_map), np.asarray(out_un.x_map), atol=1e-9
+    )
+    with pytest.raises(ValueError, match="divide evenly"):
+        qnm.map_then_sample(
+            logdensity, jax.random.PRNGKey(0), jnp.full(3, 2.0),
+            n_chains=12, mesh=mesh, n_samples=16, n_warmup=16)
+
+
+def test_pipeline_mesh_lbfgs_polish_smoke():
+    """mesh= composes with map_engine='lbfgs' + polish (each stage runs
+    in the mesh context)."""
+    from quasinewtonmethods_jl_tpu.parallel import make_mesh
+
+    def logd(x):
+        return -0.5 * jnp.sum(x * x)
+
+    mesh = make_mesh({"data": 4})
+    out = qnm.map_then_sample(
+        logd, jax.random.PRNGKey(2), jnp.full(4, 1.5), n_chains=8,
+        mesh=mesh, map_engine="lbfgs", polish_steps=1,
+        n_samples=32, n_warmup=24,
+    )
+    assert out.samples.shape == (32, 8, 4)
+    assert out.polish_result is not None
+    assert np.all(np.isfinite(np.asarray(out.samples)))
