@@ -1,4 +1,6 @@
-"""Jaxpr rewrite pass: ``dot_general`` → broadcast-multiply + ``reduce_sum``.
+"""Jaxpr rewrite pass making traced objectives Mosaic-lowerable:
+``dot_general`` → broadcast-multiply + ``reduce_sum``, plus bool-array
+``transpose`` → f32 transpose + compare (compile-helper crash #3).
 
 Why this exists (round-4 headline item): Mosaic cannot lower the
 ``dot_general`` forms that ``jax.vmap`` produces for per-lane matvecs —
@@ -8,22 +10,31 @@ crash at worst). That blocker kept every matvec-bearing objective
 (quadratic forms, logistic MAP, dataset models — BASELINE configs 2-3)
 out of the whole-solve resident Pallas engine on real TPUs.
 
-The fix is the same transformation the resident kernel already applies by
-hand to its own B·y matvec (resident_solve.py: ``jnp.sum(B * y[:, None,
-:], axis=0)``): contract by broadcasting the operands against each other
-and reducing over the contraction axes — mul + reduce_sum lower fine in
-Mosaic. This module applies that rewrite mechanically to EVERY
-``dot_general`` in an objective's traced jaxpr, so user objectives need no
-hand rewriting.
+The fix has two tiers (round-4 probe `scripts/mosaic_bisect_r4c.py`,
+verified on v5e):
 
-Cost model: for the lane-batched shapes this engine sees (n ≲ 95 lanes ×
-128-lane blocks, data dims ≲ a few hundred) the broadcast product is a
-VPU-sized tile; there is no MXU inside a Mosaic kernel worth preserving
-for these shapes anyway (the known Mosaic small-op economics,
-CLAUDE.md). The rewrite is exact up to reduction reassociation: a dot
-and a mul+sum accumulate in a different order, so floats match the XLA
-engines to tolerance, not to the ulp (statuses/trip counts still agree on
-the test fixtures; see tests/test_resident.py).
+* **Plain 2D contractions lower natively.** Mosaic compiles a no-batch
+  2D×2D single-contraction ``dot_general`` onto the MXU just fine — the
+  round-3 "batched dots" blocker never covered them. ``vmap(in_axes=1)``
+  of a data matvec ``A @ w`` produces exactly this shape ((m, n)·(n,
+  lanes)), so the common dataset-objective dots are kept AS DOTS:
+  faster (MXU vs VPU) and, decisively, no (m, n, lanes) broadcast
+  temporary stacking onto the solver's VMEM working set (the r4d sweep
+  showed those temporaries crash the compile helper from m ≈ 96 at
+  n = 60 even when chunked). Non-canonical dimension orders are
+  transposed into the canonical (((1,), (0,)), ((), ())) form first —
+  f32 transposes lower fine.
+* **Everything else** — batch dims (true per-lane dots), 1D operands,
+  multi-axis contractions — is the verified blocker and is rewritten to
+  the transformation the resident kernel already applies by hand to its
+  own B·y matvec (resident_solve.py: ``jnp.sum(B * y[:, None, :],
+  axis=0)``): broadcast the operands against each other and reduce over
+  the contraction axes — mul + reduce_sum lower fine in Mosaic.
+
+The mulsum rewrite is exact up to reduction reassociation: a dot and a
+mul+sum accumulate in a different order, so floats match the XLA engines
+to tolerance, not to the ulp (statuses/trip counts still agree on the
+test fixtures; see tests/test_resident.py).
 
 The reference's analog: `BFGS_update!` (src/QuasiNewtonMethods.jl:34-69)
 keeps its matvecs inside one fused SIMD loop rather than calling BLAS —
@@ -40,9 +51,52 @@ import jax.numpy as jnp
 
 __all__ = [
     "dot_general_as_mulsum",
+    "dot_general_mosaic",
     "eval_jaxpr_no_dots",
     "jaxpr_has_dots",
 ]
+
+
+def dot_general_mosaic(
+    lhs: jax.Array,
+    rhs: jax.Array,
+    dimension_numbers,
+    precision=None,
+    preferred_element_type=None,
+    **_unused,
+) -> jax.Array:
+    """Emit a ``dot_general`` Mosaic can lower, or fall back to mulsum.
+
+    Keeps no-batch 2D×2D single-contraction dots as REAL dots (MXU;
+    no broadcast temporary), canonicalizing the dimension order to
+    (((1,), (0,)), ((), ())) via f32-safe transposes. Anything Mosaic
+    verifiably cannot lower (batch dims, 1D operands, multi-axis
+    contractions — rounds 2-4 probes) goes through
+    `dot_general_as_mulsum`.
+    """
+    (lc, rc), (lb, rb) = dimension_numbers
+    if (
+        not lb and not rb
+        and lhs.ndim == 2 and rhs.ndim == 2
+        and len(lc) == 1 and len(rc) == 1
+    ):
+        a = lhs if lc[0] == 1 else lhs.T
+        b = rhs if rc[0] == 0 else rhs.T
+        out = jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=preferred_element_type,
+        )
+        want = (
+            jnp.dtype(preferred_element_type)
+            if preferred_element_type is not None
+            else jnp.result_type(lhs, rhs)
+        )
+        return out.astype(want)
+    return dot_general_as_mulsum(
+        lhs, rhs, dimension_numbers,
+        precision=precision, preferred_element_type=preferred_element_type,
+    )
 
 # Cap on the broadcast-product temporary, in ELEMENTS. Measured on v5e
 # (scripts/tpu_experiments_r4b.py): the resident quad kernel lowers at
@@ -197,8 +251,9 @@ _INLINE_CALL_PARAM = {
 
 
 def eval_jaxpr_no_dots(jaxpr, consts: Sequence[Any], *args):
-    """Evaluate ``jaxpr`` with every ``dot_general`` replaced by
-    `dot_general_as_mulsum`, recursing through call-like primitives
+    """Evaluate ``jaxpr`` with every ``dot_general`` routed through
+    `dot_general_mosaic` (native 2D dots kept, the rest rewritten to
+    mul+reduce), recursing through call-like primitives
     (pjit / custom_jvp / custom_vjp / remat). Control-flow primitives
     (scan/while/cond) are bound unchanged — allowed only when their bodies
     are dot-free, since the rewrite cannot reach inside them; a dot there
@@ -221,7 +276,21 @@ def eval_jaxpr_no_dots(jaxpr, consts: Sequence[Any], *args):
         prim = eqn.primitive
         name = prim.name
         if name == "dot_general":
-            outvals = [dot_general_as_mulsum(*invals, **eqn.params)]
+            outvals = [dot_general_mosaic(*invals, **eqn.params)]
+        elif (
+            name == "transpose"
+            and getattr(invals[0], "dtype", None) == jnp.bool_
+        ):
+            # Mosaic compile-helper crash #3 (verified v5e, round 4,
+            # scripts/mosaic_bisect_r4b.py + /tmp probes): transposing a
+            # BOOL array dies with the bare HTTP-500; the same transpose
+            # on f32 lowers fine. vmap(in_axes=1) of logaddexp-style
+            # inf-guards produces exactly this (bool mask transposed into
+            # lane-minor layout). Route the permutation through f32.
+            t = jnp.transpose(
+                invals[0].astype(jnp.float32), eqn.params["permutation"]
+            )
+            outvals = [t != 0]
         elif name in _INLINE_CALL_PARAM:
             sub = eqn.params[_INLINE_CALL_PARAM[name]]
             if isinstance(sub, jax.extend.core.ClosedJaxpr):

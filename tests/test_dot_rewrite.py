@@ -127,9 +127,20 @@ def test_mulsum_preferred_element_type():
     assert out.dtype == jnp.float32
 
 
-def test_rewritten_jaxpr_is_dot_free():
-    """Re-tracing the rewritten evaluator must contain no dot_general —
-    that is the whole point (Mosaic lowerability)."""
+def _collect_dots(jaxpr, out):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            out.append(eqn)
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):
+                _collect_dots(v.jaxpr, out)
+
+
+def test_rewritten_jaxpr_only_mosaic_lowerable_dots():
+    """Re-tracing the rewritten evaluator must leave ONLY dots Mosaic can
+    lower: canonical no-batch 2D matmuls (kept on purpose since round 4 —
+    MXU beats the VPU mul+reduce and skips the broadcast temporary). Any
+    batched / 1D / multi-contraction dot must be gone."""
     Q = jnp.asarray(np.random.default_rng(1).standard_normal((6, 6)),
                     jnp.float32)
 
@@ -149,7 +160,13 @@ def test_rewritten_jaxpr_is_dot_free():
         return eval_jaxpr_no_dots(closed.jaxpr, closed.consts, X)
 
     re_jaxpr = jax.make_jaxpr(rewritten)(X)
-    assert not jaxpr_has_dots(re_jaxpr.jaxpr)
+    dots = []
+    _collect_dots(re_jaxpr.jaxpr, dots)
+    for eqn in dots:
+        (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+        assert not lb and not rb, "batched dot survived the rewrite"
+        assert all(v.aval.ndim == 2 for v in eqn.invars)
+        assert (tuple(lc), tuple(rc)) == ((1,), (0,)), "non-canonical dot"
     # and values agree
     want = vag_b(X)
     got = rewritten(X)
