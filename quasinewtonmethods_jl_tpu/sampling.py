@@ -526,6 +526,10 @@ class ChEESState(NamedTuple):
     i_samp: jax.Array  # () int32
     n_warmup_total: jax.Array  # () int32 planned warmup length
     mass_freeze: jax.Array  # () int32 freeze step (n_warmup_total // 2)
+    # adapt_mass='lowrank' only (round 4): the tracked covariance
+    # subspace — None in every other mode (old checkpoints load as None)
+    lr_Q: Optional[jax.Array] = None  # (n, r) orthonormal basis
+    lr_sig: Optional[jax.Array] = None  # (r,) eigenvalues along lr_Q
 
 
 class ChEESResult(NamedTuple):
@@ -672,13 +676,21 @@ def _chees_core(
     b1, b2, adam_lr = 0.9, 0.95, 0.025
     log_T_min = state.log_T_min
 
-    def make_warm_body(frozen_chol=None):
+    def make_warm_body(frozen_chol=None, frozen=False):
       def warm_body(carry, xs):
         (x, f, log_eps, log_eps_bar, h_bar, tda, log_T, m1, m2, tad,
-         var_ema) = carry
+         var_ema, lr_Q, lr_sig) = carry
         u, i = xs
         k = jax.random.fold_in(k_warm, i)
-        if adapt_mass:
+        if adapt_mass == "lowrank":
+            # metric = γ off the tracked subspace (γ = median fleet
+            # variance — robust to the captured top directions), the
+            # tracked eigenvalues on it; closed-form roots via LowRankMass
+            mass_d = LowRankMass(
+                gamma=jnp.median(var_ema), Q=lr_Q, sig=lr_sig
+            )
+            chol_d = None
+        elif adapt_mass:
             # frozen_chol is the post-freeze hoisted factor (identical
             # values; saves a per-round n^3 cholesky in the dense mode)
             mass_d, chol_d = var_ema, frozen_chol
@@ -718,7 +730,37 @@ def _chees_core(
             )
             upd = i < mass_freeze
             var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * cov_now, var_ema)
-        elif frozen_chol is None and adapt_mass:
+        elif (not frozen) and adapt_mass == "lowrank":
+            # One subspace-iteration step per round on the EMA'd
+            # covariance OPERATOR M' = 0.9·M_prev + 0.1·C_now — never an
+            # n×n matrix: each apply is O(chains·n·r + n·r²), the QR and
+            # the (r, r) eigh rotate the basis toward M''s top-r
+            # eigenspace (the VERDICT-item-5 "periodic QR refresh",
+            # refreshed every round). Highest matmul precision: on TPU
+            # the default bf16 dots would feed metric-level noise
+            # straight into the kinetic energy.
+            upd = i < mass_freeze
+            with jax.default_matmul_precision("highest"):
+                xc = x - jnp.mean(x, axis=0, keepdims=True)
+                gam = jnp.median(var_ema)
+
+                def M_apply(V):
+                    qv = lr_Q.T @ V  # (r, cols)
+                    prev = gam * (V - lr_Q @ qv) + lr_Q @ (
+                        lr_sig[:, None] * qv
+                    )
+                    cur = xc.T @ (xc @ V) / (chains - 1)
+                    return 0.9 * prev + 0.1 * cur
+
+                Qn, _r = jnp.linalg.qr(M_apply(lr_Q))
+                B = Qn.T @ M_apply(Qn)
+                eigval, U = jnp.linalg.eigh(0.5 * (B + B.T))
+                Qn = Qn @ U
+            lr_Q = jnp.where(upd, Qn, lr_Q)
+            lr_sig = jnp.where(upd, jnp.maximum(eigval, 1e-10), lr_sig)
+            var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
+            var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * var_now, var_ema)
+        elif frozen_chol is None and adapt_mass and adapt_mass != "lowrank":
             var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
             upd = i < mass_freeze
             var_ema = jnp.where(
@@ -726,7 +768,7 @@ def _chees_core(
             )
         return (
             (x, f, log_eps, log_eps_bar, h_bar, tda, log_T, m1, m2, tad,
-             var_ema),
+             var_ema, lr_Q, lr_sig),
             None,
         )
 
@@ -735,12 +777,13 @@ def _chees_core(
     carry_w = (
         state.x, f0, state.log_eps, state.log_eps_bar, state.h_bar,
         state.t_da, state.log_T, state.m1, state.m2, state.t_adam,
-        state.var_ema,
+        state.var_ema, state.lr_Q, state.lr_sig,
     )
     if n_warmup > 0:
         # split at the (static) freeze step: the adapting prefix pays the
-        # per-round cholesky (dense mode), the frozen suffix hoists it —
-        # identical trajectories, measured ~30% of the dense-warmup cost
+        # per-round cholesky (dense) / QR+eigh (lowrank), the frozen
+        # suffix hoists/elides it — identical trajectories, measured ~30%
+        # of the dense-warmup cost
         n_a = max(0, min(n_warmup, int(mass_freeze) - i_warm0))
         n_b = n_warmup - n_a
         if n_a > 0:
@@ -755,12 +798,17 @@ def _chees_core(
                 else None
             )
             carry_w, _ = lax.scan(
-                make_warm_body(frozen), carry_w,
+                make_warm_body(frozen, frozen=True), carry_w,
                 (us_w[n_a:], i_warm0 + n_a + jnp.arange(n_b)),
             )
     (x, f, log_eps, log_eps_bar, h_bar, t_da, log_T, m1, m2, t_adam,
-     var_ema) = carry_w
-    mass_final = var_ema if adapt_mass else mass0
+     var_ema, lr_Q, lr_sig) = carry_w
+    if adapt_mass == "lowrank":
+        mass_final = LowRankMass(
+            gamma=jnp.median(var_ema), Q=lr_Q, sig=lr_sig
+        )
+    else:
+        mass_final = var_ema if adapt_mass else mass0
     eps_final = jnp.exp(log_eps_bar)
     chol_final = (
         jnp.linalg.cholesky(mass_final).T
@@ -791,6 +839,7 @@ def _chees_core(
         i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
         n_warmup_total=jnp.asarray(n_warmup_total, jnp.int32),
         mass_freeze=jnp.asarray(mass_freeze, jnp.int32),
+        lr_Q=lr_Q, lr_sig=lr_sig,
     )
     return ChEESResult(
         samples=samples,
@@ -803,42 +852,57 @@ def _chees_core(
     )
 
 
-def _chees_adapt_mass(adapt_mass, mass, chains):
+def _chees_adapt_mass(adapt_mass, mass, chains, lowrank_ok=False):
     """ONE home for the static adapt-mass decision (the same rule on first
     call and on resume): an explicit mass or a tiny fleet disables the
     across-chain metric (1 chain -> exactly 0 -> the 1e-10 clamp; 2-4
     chains are biased low). Returns the normalized mode: False, 'diag'
-    (the default across-chain variance EMA), or 'dense' (full
-    across-chain covariance EMA — the fleet-as-estimator answer to
-    correlated posteriors, round-2 VERDICT item 4; use for n up to a few
-    hundred)."""
+    (the default across-chain variance EMA), 'dense' (full across-chain
+    covariance EMA — the fleet-as-estimator answer to correlated
+    posteriors, round-2 VERDICT item 4; use for n up to a few hundred),
+    or 'lowrank' (ChEES only: rank-r across-chain covariance tracked by
+    per-round subspace iteration — dense-quality correlation capture at
+    O(n·r) state for n where dense's O(n²) EMA is unaffordable)."""
     if not adapt_mass or mass is not None or chains < _MASS_ADAPT_MIN_CHAINS:
         return False
     if adapt_mass is True:
         return "diag"
-    if adapt_mass in ("diag", "dense"):
+    if adapt_mass == "lowrank" and not lowrank_ok:
+        raise ValueError(
+            "adapt_mass='lowrank' is chees_sample-only (the subspace "
+            "iteration rides ChEES's lockstep fleet rounds); use "
+            "'diag'/'dense' here, or a static LowRankMass via `mass`"
+        )
+    if adapt_mass in ("diag", "dense", "lowrank"):
         return adapt_mass
     raise ValueError(
-        f"adapt_mass must be bool, 'diag' or 'dense', got {adapt_mass!r}"
+        f"adapt_mass must be bool, 'diag', 'dense' or 'lowrank', "
+        f"got {adapt_mass!r}"
     )
 
 
-def _check_resume_mass_mode(adapt_mass, var_ema) -> None:
+def _check_resume_mass_mode(adapt_mass, var_ema, lr_Q=None) -> None:
     """Resume guard: the saved state's mass EMA must match the re-passed
     ``adapt_mass`` mode. The (n,) diag variance and the (n, n) covariance
     live in the same ``var_ema`` field, and adapt_mass is config (re-passed
     on resume), so resuming a 'dense' run under the default ('diag') would
     silently row-broadcast the (n,) fleet variance into the (n, n)
     covariance EMA during remaining warmup — an asymmetric, wrong metric
-    with no error (advisor round-3 finding)."""
+    with no error (advisor round-3 finding). Same guard for 'lowrank'
+    (ChEES): the saved subspace (``lr_Q``) and the mode must agree, else
+    remaining warmup either drops the tracked subspace on the floor or
+    tries to subspace-iterate a None."""
     if not adapt_mass:
         return
-    expect = 2 if adapt_mass == "dense" else 1
-    if var_ema.ndim != expect:
-        saved = "dense" if var_ema.ndim == 2 else "diag"
+    saved = (
+        "lowrank" if lr_Q is not None
+        else ("dense" if var_ema.ndim == 2 else "diag")
+    )
+    if adapt_mass != saved:
         raise ValueError(
             f"adapt_mass={adapt_mass!r} does not match the saved state's "
-            f"{saved!r} mass EMA (var_ema.ndim={var_ema.ndim}); re-pass "
+            f"{saved!r} mass adaptation (var_ema.ndim={var_ema.ndim}, "
+            f"lr_Q={'set' if lr_Q is not None else 'None'}); re-pass "
             f"adapt_mass={saved!r} to resume this run"
         )
 
@@ -857,6 +921,7 @@ def chees_sample(
     adapt_mass: bool = True,
     value_and_grad_fn: Optional[Callable] = None,
     total_warmup: Optional[int] = None,
+    mass_rank: int = 16,
 ) -> ChEESResult:
     """Batched HMC with ChEES-adapted trajectory lengths — the TPU-native
     answer to NUTS.
@@ -891,7 +956,14 @@ def chees_sample(
         (EMA-smoothed, frozen after warmup/2) — with thousands of chains
         the fleet itself is the sample the usual within-chain Welford
         window has to accumulate; another across-fleet estimator, like
-        `chain_init_from_map`'s averaged B.
+        `chain_init_from_map`'s averaged B. ``adapt_mass='dense'`` tracks
+        the full (n, n) covariance EMA instead; ``adapt_mass='lowrank'``
+        tracks its top-``mass_rank`` eigenspace only (one subspace-
+        iteration step per warmup round on the EMA'd covariance operator
+        — O(chains·n·r) per round, O(n·r) state) and samples with the
+        closed-form `LowRankMass` metric: dense-quality correlation
+        capture at n = 512+ where the dense O(n²) EMA and per-round
+        O(n³) Cholesky stop being noise.
 
     Returns post-warmup draws at frozen (eps, T, mass), trajectory still
     Halton-jittered (recommended practice). The result carries a resumable
@@ -916,12 +988,22 @@ def chees_sample(
             f"complete ({n_warmup} of {total_warmup} steps); chunk with "
             "n_samples=0 and finish warmup via chees_sample_from_state"
         )
-    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
+    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains, lowrank_ok=True)
     var0 = (
         jnp.eye(n, dtype=dtype)
         if adapt_mass == "dense"
         else jnp.ones((n,), dtype)
     )
+    if adapt_mass == "lowrank":
+        # identity metric at rank r: first-r coordinate basis, unit
+        # eigenvalues — the subspace iteration rotates it toward the
+        # fleet covariance's top eigenspace from round 1. r is capped so
+        # Qᵀ·C·Q stays an honest eigenproblem (r < chains) and r <= n.
+        r = max(1, min(mass_rank, n, chains - 1))
+        lr_Q0 = jnp.eye(n, r, dtype=dtype)
+        lr_sig0 = jnp.ones((r,), dtype)
+    else:
+        lr_Q0 = lr_sig0 = None
     zero = jnp.zeros((), dtype)
     state0 = ChEESState(
         x=x0s,
@@ -942,6 +1024,8 @@ def chees_sample(
         i_samp=jnp.zeros((), jnp.int32),
         n_warmup_total=jnp.asarray(total_warmup, jnp.int32),
         mass_freeze=jnp.asarray(max(total_warmup // 2, 1), jnp.int32),
+        lr_Q=lr_Q0,
+        lr_sig=lr_sig0,
     )
     return _chees_core(
         obj, state0, mass, n_samples, n_warmup, target_accept, max_leapfrog,
@@ -987,8 +1071,8 @@ def chees_sample_from_state(
             f"complete ({i_warm0 + n_warmup} of {n_total} steps)"
         )
     chains = state.x.shape[0]
-    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
-    _check_resume_mass_mode(adapt_mass, state.var_ema)
+    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains, lowrank_ok=True)
+    _check_resume_mass_mode(adapt_mass, state.var_ema, state.lr_Q)
     return _chees_core(
         obj, state, mass, n_samples, n_warmup, target_accept, max_leapfrog,
         adapt_mass, value_and_grad_fn, i_warm0, i_samp0, n_total,

@@ -62,6 +62,11 @@ def save_state(path: Union[str, os.PathLike], state) -> None:
         )
     arrays, key_fields, key_impls = {}, [], []
     for k, v in state._asdict().items():
+        if v is None:
+            # optional fields (e.g. ChEESState.lr_Q outside the 'lowrank'
+            # mode) are simply omitted; load_state restores them from the
+            # NamedTuple default
+            continue
         if hasattr(v, "dtype") and jax.dtypes.issubdtype(
             v.dtype, jax.dtypes.prng_key
         ):
@@ -119,12 +124,23 @@ def load_state(
                 return jax.random.wrap_key_data(data)
             return jax.random.wrap_key_data(data, impl=impl)
 
-        fields = {
-            k: (
+        defaults = klass._field_defaults
+        fields = {}
+        for k in klass._fields:
+            if k not in z:
+                # omitted optional field (None at save time) or an older
+                # checkpoint predating the field — both restore to the
+                # NamedTuple default; anything required stays a hard error
+                if k in defaults:
+                    fields[k] = defaults[k]
+                    continue
+                raise KeyError(
+                    f"checkpoint {path!r} is missing required field {k!r} "
+                    f"of {saved_cls}"
+                )
+            fields[k] = (
                 _wrap(k, jnp.asarray(z[k]))
                 if k in key_fields
                 else jnp.asarray(z[k])
             )
-            for k in klass._fields
-        }
     return klass(**fields)

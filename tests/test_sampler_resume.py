@@ -106,6 +106,66 @@ def test_sampler_state_checkpoint_roundtrip(tmp_path):
         _assert_tree_equal(a.samples, b.samples)
 
 
+def test_resume_lowrank_mode_mismatch_rejected():
+    """The round-3 advisor guard extends to 'lowrank': a saved lowrank
+    state (lr_Q set) resumed under the default 'diag' (or 'dense') must
+    raise; the correct re-pass works."""
+    key = jax.random.PRNGKey(9)
+    lr = qnm.chees_sample(
+        _logd, key, _x0(), n_samples=0, n_warmup=4, total_warmup=10,
+        adapt_mass="lowrank", mass_rank=2,
+    )
+    assert lr.state.lr_Q is not None
+    with pytest.raises(ValueError, match="does not match the saved"):
+        qnm.chees_sample_from_state(_logd, lr.state, n_warmup=3)
+    with pytest.raises(ValueError, match="does not match the saved"):
+        qnm.chees_sample_from_state(
+            _logd, lr.state, n_warmup=3, adapt_mass="dense"
+        )
+    qnm.chees_sample_from_state(
+        _logd, lr.state, n_warmup=3, adapt_mass="lowrank"
+    )
+    # and the reverse direction: a diag state resumed under 'lowrank'
+    diag = qnm.chees_sample(
+        _logd, key, _x0(), n_samples=0, n_warmup=4, total_warmup=10
+    )
+    with pytest.raises(ValueError, match="does not match the saved"):
+        qnm.chees_sample_from_state(
+            _logd, diag.state, n_warmup=3, adapt_mass="lowrank"
+        )
+
+
+def test_lowrank_state_checkpoint_roundtrip(tmp_path):
+    """lr_Q/lr_sig ride save_state/load_state; a non-lowrank state saves
+    its None optional fields by omission and restores the NamedTuple
+    default (also the forward-compat path for pre-round-4 checkpoints)."""
+    key = jax.random.PRNGKey(10)
+    lr = qnm.chees_sample(
+        _logd, key, _x0(), n_samples=0, n_warmup=6, total_warmup=10,
+        adapt_mass="lowrank", mass_rank=2,
+    )
+    p = tmp_path / "lr"
+    save_state(p, lr.state)
+    st = load_state(p)
+    _assert_tree_equal(st.lr_Q, lr.state.lr_Q)
+    _assert_tree_equal(st.lr_sig, lr.state.lr_sig)
+    a = qnm.chees_sample_from_state(
+        _logd, st, n_samples=8, n_warmup=4, adapt_mass="lowrank"
+    )
+    b = qnm.chees_sample_from_state(
+        _logd, lr.state, n_samples=8, n_warmup=4, adapt_mass="lowrank"
+    )
+    _assert_tree_equal(a.samples, b.samples)
+
+    diag = qnm.chees_sample(
+        _logd, key, _x0(), n_samples=0, n_warmup=4, total_warmup=10
+    )
+    p2 = tmp_path / "diag"
+    save_state(p2, diag.state)
+    st2 = load_state(p2)
+    assert st2.lr_Q is None and st2.lr_sig is None
+
+
 def test_typed_prng_key_checkpoint(tmp_path):
     """Typed keys (jax.random.key) survive the .npz round-trip."""
     r = qnm.hmc_sample(

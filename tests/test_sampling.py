@@ -580,6 +580,82 @@ def test_dense_adaptation_chunked_equals_long():
     assert r2.state.var_ema.shape == (3, 3)
 
 
+def test_chees_lowrank_adaptation_recovers_subspace_and_moments():
+    """adapt_mass='lowrank' (round-4, VERDICT round-3 item 5): one
+    subspace-iteration step per warmup round on the EMA'd fleet-covariance
+    OPERATOR must rotate the rank-r basis onto the target's dominant
+    correlated directions — with no (n, n) object in the adaptation state
+    — and the sampled moments must recover the target."""
+    rng = np.random.default_rng(13)
+    n, r_true = 16, 3
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    V = V[:, :r_true]
+    C = np.eye(n) + V @ np.diag([30.0, 15.0, 8.0]) @ V.T
+    Ci = jnp.linalg.inv(jnp.asarray(C))
+
+    def logd(x):
+        return -0.5 * x @ Ci @ x
+
+    res = qnm.chees_sample(
+        logd, jax.random.PRNGKey(2), jnp.zeros((128, n)),
+        adapt_mass="lowrank", mass_rank=6,
+        n_samples=400, n_warmup=500,
+    )
+    st = res.state
+    # O(n·r) adaptation state only: diag EMA stays (n,), basis is (n, r)
+    assert st.var_ema.shape == (n,)
+    assert st.lr_Q.shape == (n, 6) and st.lr_sig.shape == (6,)
+    # each true top direction is (almost) inside span(lr_Q)
+    align = np.linalg.norm(np.asarray(st.lr_Q).T @ V, axis=0)
+    assert np.all(align > 0.8), align
+    # tracked eigenvalues see the amplified scales (top one ~31)
+    assert float(jnp.max(st.lr_sig)) > 5.0
+    # the frozen metric's diagonal tracks the target's diagonal
+    ratio = np.asarray(res.mass_diag) / np.diag(C)
+    assert np.all(ratio > 0.2) and np.all(ratio < 5.0), ratio
+    emp = np.cov(np.asarray(res.samples).reshape(-1, n).T)
+    err = np.max(np.abs(emp - C)) / np.max(np.abs(C))
+    assert err < 0.35, err
+
+
+def test_lowrank_adaptation_chunked_equals_long():
+    """The resume discipline extends to 'lowrank': lr_Q/lr_sig ride the
+    state and the chunked run replays the long run exactly."""
+    def logd(t):
+        return -0.5 * jnp.sum(t * t * jnp.array([1.0, 4.0, 0.25, 2.0]))
+
+    key = jax.random.PRNGKey(8)
+    x0 = jnp.asarray(np.random.default_rng(3).standard_normal((16, 4)))
+    kw = dict(adapt_mass="lowrank", mass_rank=2)
+    long = qnm.chees_sample(logd, key, x0, n_samples=20, n_warmup=20, **kw)
+    r1 = qnm.chees_sample(
+        logd, key, x0, n_samples=0, n_warmup=12, total_warmup=20, **kw
+    )
+    # NOTE: no mass_rank on resume — the rank rides the saved lr_Q shape
+    r2 = qnm.chees_sample_from_state(
+        logd, r1.state, n_samples=20, n_warmup=8, adapt_mass="lowrank"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(long.samples), np.asarray(r2.samples)
+    )
+    assert r2.state.lr_Q.shape == (4, 2)
+    np.testing.assert_array_equal(
+        np.asarray(long.state.lr_Q), np.asarray(r2.state.lr_Q)
+    )
+
+
+def test_lowrank_adapt_mass_is_chees_only():
+    """NUTS rejects adapt_mass='lowrank' with a pointer at the ChEES
+    implementation (the subspace iteration rides ChEES's fleet rounds;
+    HMC has no adapt_mass at all)."""
+    x0 = jnp.zeros((16, 3))
+    with pytest.raises(ValueError, match="chees_sample-only"):
+        qnm.nuts_sample(
+            lambda t: -0.5 * jnp.sum(t * t), jax.random.PRNGKey(0),
+            x0, n_samples=2, n_warmup=2, adapt_mass="lowrank",
+        )
+
+
 def test_chain_init_from_map_lowrank_handoff():
     """mass_form='lowrank' hands the samplers a LowRankMass built from
     the best lane's ring; sampling a correlated Gaussian through it
