@@ -60,12 +60,14 @@ from .sampling import (
     HMCState,
     NUTSResult,
     NUTSState,
+    DepthSortInfo,
     chain_init_from_map,
     chees_sample,
     chees_sample_from_state,
     hmc_sample,
     hmc_sample_from_state,
     nuts_sample,
+    nuts_sample_depth_sorted,
     nuts_sample_from_state,
 )
 from .solve import (
@@ -137,7 +139,9 @@ __all__ = [
     "hmc_sample",
     "hmc_sample_from_state",
     "nuts_sample",
+    "nuts_sample_depth_sorted",
     "nuts_sample_from_state",
+    "DepthSortInfo",
     "minimize",
     "optimize",
     "optimize_batched",
