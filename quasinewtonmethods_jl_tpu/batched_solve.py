@@ -757,6 +757,11 @@ def _auto_kernel(kernel: str, n: int, itemsize: int, block_batch: int):
     (n <= _BLOCKED_MAX_N), else the fused XLA update."""
     if kernel != "pallas":
         return kernel, block_batch
+    if itemsize > 4:
+        # Mosaic has no 64-bit lowering: x64 fleets (f64 debugging runs
+        # on TPU) silently take the fused XLA update instead of dying in
+        # `NotImplementedError: 64-bit types are not supported`
+        return "xla", block_batch
     block = pallas_feasible_block(n, itemsize, block_batch)
     if block:
         return "pallas", block

@@ -530,6 +530,12 @@ def optimize_batched_resident(
         raise ValueError(
             "the resident engine supports BackTracking line search only"
         )
+    if not interpret and x0s.dtype.itemsize > 4:
+        raise ValueError(
+            f"resident kernel cannot lower {x0s.dtype} (Mosaic has no "
+            "64-bit types); use optimize_batched_fused (its kernel "
+            "dispatch falls back to the XLA update) or interpret=True"
+        )
     if not interpret and not resident_feasible(
         x0s.shape[1], x0s.dtype.itemsize, block_batch
     ):

@@ -197,18 +197,34 @@ class LowRankMass(NamedTuple):
     n×n Cholesky anywhere): exactly the form the L-BFGS compact
     representation factors into (`ops.lbfgs_compact
     .lbfgs_lowrank_inv_hessian`, `chain_init_from_map(mass_form=
-    'lowrank')`). Accepted wherever the samplers take ``mass``."""
+    'lowrank')`). Accepted wherever the samplers take ``mass``.
+
+    ``d`` (optional, round 4): a per-coordinate OUTER scale making the
+    metric M_d = D^(1/2)·M·D^(1/2) with D = diag(d) — i.e. the low-rank
+    core lives in d-standardized coordinates. This is what
+    ``adapt_mass='lowrank'`` produces: the diagonal variance EMA
+    supplies D (everything diagonal adaptation captures) and the
+    subspace captures the residual CORRELATION of the standardized
+    fleet — a scalar-γ core alone throws the per-coordinate scales away
+    (measured: deeper NUTS trees than plain diag on a geomspaced-scale
+    target). Closed forms survive: M_d^(±1/2) ≠ D^(±1/2)·M^(±1/2) in
+    general, but every operation HMC needs factors exactly —
+    velocity M_d·p = √d·(M·(√d·p)), kinetic through the same
+    standardization, momenta p = (1/√d)·M^(-1/2)z giving
+    cov(p) = M_d^(-1)."""
 
     gamma: jax.Array  # ()
     Q: jax.Array  # (n, r) orthonormal columns
     sig: jax.Array  # (r,) positive eigenvalues along Q
+    d: Optional[jax.Array] = None  # (n,) outer scale (None = ones)
 
     @property
     def diag(self) -> jax.Array:
-        """diag(M) = γ + Σ_j (sig_j − γ)·Q_ij² — for reporting."""
-        return self.gamma + jnp.sum(
+        """diag(M_d) = d·(γ + Σ_j (sig_j − γ)·Q_ij²) — for reporting."""
+        core = self.gamma + jnp.sum(
             (self.sig[None, :] - self.gamma) * self.Q * self.Q, axis=1
         )
+        return core if self.d is None else self.d * core
 
 
 def _mass_setup(mass, n, dtype):
@@ -236,12 +252,16 @@ def _draw_momentum(k, chains, n, dtype, mass_arr, chol_u):
     leapfrog gradients."""
     z = jax.random.normal(k, (chains, n), dtype)
     if isinstance(mass_arr, LowRankMass):
-        # M^(-1/2) z = z/sqrt(γ) + Q[(1/sqrt(sig) − 1/sqrt(γ))·(Qᵀz)]
+        # core: M^(-1/2) z = z/sqrt(γ) + Q[(1/sqrt(sig) − 1/sqrt(γ))·(Qᵀz)]
         g, Q, sig = mass_arr.gamma, mass_arr.Q, mass_arr.sig
         qz = z @ Q  # (chains, r)
-        return z * jax.lax.rsqrt(g) + (
+        p = z * jax.lax.rsqrt(g) + (
             qz * (jax.lax.rsqrt(sig) - jax.lax.rsqrt(g))[None, :]
         ) @ Q.T
+        if mass_arr.d is not None:
+            # p = D^(-1/2)·M^(-1/2)·z  =>  cov(p) = (D^(1/2) M D^(1/2))^(-1)
+            p = p * jax.lax.rsqrt(mass_arr.d)[None, :]
+        return p
     if mass_arr.ndim == 2:
         if chol_u is None:
             chol_u = jnp.linalg.cholesky(mass_arr).T
@@ -253,6 +273,10 @@ def _apply_mass(mass_arr, p):
     """M^-1 p — the preconditioned leapfrog velocity (any metric form)."""
     if isinstance(mass_arr, LowRankMass):
         g, Q, sig = mass_arr.gamma, mass_arr.Q, mass_arr.sig
+        if mass_arr.d is not None:
+            sd = jnp.sqrt(mass_arr.d)[None, :]
+            ps = p * sd
+            return sd * (g * ps + ((ps @ Q) * (sig - g)[None, :]) @ Q.T)
         return g * p + ((p @ Q) * (sig - g)[None, :]) @ Q.T
     if mass_arr.ndim == 2:
         return p @ mass_arr.T
@@ -263,6 +287,8 @@ def _kinetic(p, mass_arr):
     """0.5 p' M^-1 p with M^-1 = mass_arr (any metric form)."""
     if isinstance(mass_arr, LowRankMass):
         g, Q, sig = mass_arr.gamma, mass_arr.Q, mass_arr.sig
+        if mass_arr.d is not None:
+            p = p * jnp.sqrt(mass_arr.d)[None, :]
         pq = p @ Q
         return 0.5 * (
             g * jnp.sum(p * p, axis=1)
@@ -306,6 +332,13 @@ def _da_update(h_bar, log_eps_bar, t, accept_err, mu):
 def _apply_mass_single(mass, p):
     """M^-1 p for one chain's (n,) momentum (any metric form)."""
     if isinstance(mass, LowRankMass):
+        if mass.d is not None:
+            sd = jnp.sqrt(mass.d)
+            ps = p * sd
+            return sd * (
+                mass.gamma * ps
+                + mass.Q @ ((mass.sig - mass.gamma) * (mass.Q.T @ ps))
+            )
         return mass.gamma * p + mass.Q @ (
             (mass.sig - mass.gamma) * (mass.Q.T @ p)
         )
@@ -555,6 +588,76 @@ class ChEESResult(NamedTuple):
     state: ChEESState
 
 
+def _lowrank_gamma(lr_sig, n):
+    """Off-subspace eigenvalue of the standardized low-rank core: the
+    standardized covariance has trace ≈ n (unit diagonal when the diag
+    EMA tracks the marginal scales), so the mean residual eigenvalue is
+    (n − Σsig)/(n − r). STATELESS in (lr_sig, n) — derived, not carried,
+    so chunked runs replay long runs exactly with no extra state."""
+    r = lr_sig.shape[0]
+    return jnp.maximum(
+        (n - jnp.sum(lr_sig)) / max(n - r, 1), jnp.asarray(1e-10, lr_sig.dtype)
+    )
+
+
+def _lowrank_metric(var_ema, lr_Q, lr_sig):
+    """The sampling metric for adapt_mass='lowrank': the diagonal
+    variance EMA as the outer scale (everything diag adaptation knows)
+    times the standardized low-rank core (the residual correlation).
+    Reduces to diag when the core is ≈ identity; approaches the dense
+    EMA as the rank covers the correlated directions."""
+    n = lr_Q.shape[0]
+    return LowRankMass(
+        gamma=_lowrank_gamma(lr_sig, n), Q=lr_Q, sig=lr_sig, d=var_ema
+    )
+
+
+def _lowrank_mass_step(x, var_ema, lr_Q, lr_sig, upd, chains):
+    """One subspace-iteration step on the EMA'd STANDARDIZED covariance
+    OPERATOR M' = 0.9·M_prev + 0.1·Cs_now, Cs = D^(-1/2)·C·D^(-1/2) with
+    D the diagonal variance EMA — never an n×n matrix: each apply is
+    O(chains·n·r + n·r²), the QR and the (r, r) eigh rotate the basis
+    toward M''s top-r eigenspace (a per-round "periodic QR refresh").
+    Standardizing first means the subspace only has to capture residual
+    CORRELATION — the per-coordinate scales ride the diag EMA, exactly
+    as in plain diagonal adaptation (a scalar-γ core in raw coordinates
+    measured *deeper* NUTS trees than diag on geomspaced scales).
+    Highest matmul precision: on TPU the default bf16 dots would feed
+    metric-level noise straight into the kinetic energy. Shared by the
+    ChEES and NUTS warmups (`adapt_mass='lowrank'`)."""
+    with jax.default_matmul_precision("highest"):
+        xc = x - jnp.mean(x, axis=0, keepdims=True)
+        xs = xc * jax.lax.rsqrt(var_ema)[None, :]  # standardized residuals
+        gam = _lowrank_gamma(lr_sig, lr_Q.shape[0])
+
+        def M_apply(V):
+            qv = lr_Q.T @ V  # (r, cols)
+            prev = gam * (V - lr_Q @ qv) + lr_Q @ (
+                lr_sig[:, None] * qv
+            )
+            cur = xs.T @ (xs @ V) / (chains - 1)
+            return 0.9 * prev + 0.1 * cur
+
+        Qn, _r = jnp.linalg.qr(M_apply(lr_Q))
+        B = Qn.T @ M_apply(Qn)
+        eigval, U = jnp.linalg.eigh(0.5 * (B + B.T))
+        Qn = Qn @ U
+    lr_Q = jnp.where(upd, Qn, lr_Q)
+    lr_sig = jnp.where(upd, jnp.maximum(eigval, 1e-10), lr_sig)
+    var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
+    var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * var_now, var_ema)
+    return lr_Q, lr_sig, var_ema
+
+
+def _lowrank_mass_init(mass_rank, n, chains, dtype):
+    """Identity metric at rank r: first-r coordinate basis, unit
+    eigenvalues — the subspace iteration rotates it toward the fleet
+    covariance's top eigenspace from round 1. r is capped so Qᵀ·C·Q
+    stays an honest eigenproblem (r < chains) and r <= n."""
+    r = max(1, min(mass_rank, n, chains - 1))
+    return jnp.eye(n, r, dtype=dtype), jnp.ones((r,), dtype)
+
+
 def _halton(count: int) -> jnp.ndarray:
     """Base-2 van der Corput sequence (the trajectory-length jitter grid
     the ChEES paper uses; a low-discrepancy alternative to iid uniforms)."""
@@ -685,12 +788,9 @@ def _chees_core(
         u, i = xs
         k = jax.random.fold_in(k_warm, i)
         if adapt_mass == "lowrank":
-            # metric = γ off the tracked subspace (γ = median fleet
-            # variance — robust to the captured top directions), the
-            # tracked eigenvalues on it; closed-form roots via LowRankMass
-            mass_d = LowRankMass(
-                gamma=jnp.median(var_ema), Q=lr_Q, sig=lr_sig
-            )
+            # diag-EMA outer scale x standardized low-rank core;
+            # closed-form roots via LowRankMass — see _lowrank_metric
+            mass_d = _lowrank_metric(var_ema, lr_Q, lr_sig)
             chol_d = None
         elif adapt_mass:
             # frozen_chol is the post-freeze hoisted factor (identical
@@ -733,35 +833,10 @@ def _chees_core(
             upd = i < mass_freeze
             var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * cov_now, var_ema)
         elif (not frozen) and adapt_mass == "lowrank":
-            # One subspace-iteration step per round on the EMA'd
-            # covariance OPERATOR M' = 0.9·M_prev + 0.1·C_now — never an
-            # n×n matrix: each apply is O(chains·n·r + n·r²), the QR and
-            # the (r, r) eigh rotate the basis toward M''s top-r
-            # eigenspace (the VERDICT-item-5 "periodic QR refresh",
-            # refreshed every round). Highest matmul precision: on TPU
-            # the default bf16 dots would feed metric-level noise
-            # straight into the kinetic energy.
             upd = i < mass_freeze
-            with jax.default_matmul_precision("highest"):
-                xc = x - jnp.mean(x, axis=0, keepdims=True)
-                gam = jnp.median(var_ema)
-
-                def M_apply(V):
-                    qv = lr_Q.T @ V  # (r, cols)
-                    prev = gam * (V - lr_Q @ qv) + lr_Q @ (
-                        lr_sig[:, None] * qv
-                    )
-                    cur = xc.T @ (xc @ V) / (chains - 1)
-                    return 0.9 * prev + 0.1 * cur
-
-                Qn, _r = jnp.linalg.qr(M_apply(lr_Q))
-                B = Qn.T @ M_apply(Qn)
-                eigval, U = jnp.linalg.eigh(0.5 * (B + B.T))
-                Qn = Qn @ U
-            lr_Q = jnp.where(upd, Qn, lr_Q)
-            lr_sig = jnp.where(upd, jnp.maximum(eigval, 1e-10), lr_sig)
-            var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
-            var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * var_now, var_ema)
+            lr_Q, lr_sig, var_ema = _lowrank_mass_step(
+                x, var_ema, lr_Q, lr_sig, upd, chains
+            )
         elif frozen_chol is None and adapt_mass and adapt_mass != "lowrank":
             var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
             upd = i < mass_freeze
@@ -806,9 +881,7 @@ def _chees_core(
     (x, f, log_eps, log_eps_bar, h_bar, t_da, log_T, m1, m2, t_adam,
      var_ema, lr_Q, lr_sig) = carry_w
     if adapt_mass == "lowrank":
-        mass_final = LowRankMass(
-            gamma=jnp.median(var_ema), Q=lr_Q, sig=lr_sig
-        )
+        mass_final = _lowrank_metric(var_ema, lr_Q, lr_sig)
     else:
         mass_final = var_ema if adapt_mass else mass0
     eps_final = jnp.exp(log_eps_bar)
@@ -854,7 +927,7 @@ def _chees_core(
     )
 
 
-def _chees_adapt_mass(adapt_mass, mass, chains, lowrank_ok=False):
+def _chees_adapt_mass(adapt_mass, mass, chains):
     """ONE home for the static adapt-mass decision (the same rule on first
     call and on resume): an explicit mass or a tiny fleet disables the
     across-chain metric (1 chain -> exactly 0 -> the 1e-10 clamp; 2-4
@@ -862,19 +935,13 @@ def _chees_adapt_mass(adapt_mass, mass, chains, lowrank_ok=False):
     (the default across-chain variance EMA), 'dense' (full across-chain
     covariance EMA — the fleet-as-estimator answer to correlated
     posteriors, round-2 VERDICT item 4; use for n up to a few hundred),
-    or 'lowrank' (ChEES only: rank-r across-chain covariance tracked by
-    per-round subspace iteration — dense-quality correlation capture at
-    O(n·r) state for n where dense's O(n²) EMA is unaffordable)."""
+    or 'lowrank' (ChEES and NUTS: rank-r across-chain covariance tracked
+    by per-round subspace iteration — dense-quality correlation capture
+    at O(n·r) state for n where dense's O(n²) EMA is unaffordable)."""
     if not adapt_mass or mass is not None or chains < _MASS_ADAPT_MIN_CHAINS:
         return False
     if adapt_mass is True:
         return "diag"
-    if adapt_mass == "lowrank" and not lowrank_ok:
-        raise ValueError(
-            "adapt_mass='lowrank' is chees_sample-only (the subspace "
-            "iteration rides ChEES's lockstep fleet rounds); use "
-            "'diag'/'dense' here, or a static LowRankMass via `mass`"
-        )
     if adapt_mass in ("diag", "dense", "lowrank"):
         return adapt_mass
     raise ValueError(
@@ -891,7 +958,7 @@ def _check_resume_mass_mode(adapt_mass, var_ema, lr_Q=None) -> None:
     silently row-broadcast the (n,) fleet variance into the (n, n)
     covariance EMA during remaining warmup — an asymmetric, wrong metric
     with no error (advisor round-3 finding). Same guard for 'lowrank'
-    (ChEES): the saved subspace (``lr_Q``) and the mode must agree, else
+    (ChEES/NUTS): the saved subspace (``lr_Q``) and the mode must agree, else
     remaining warmup either drops the tracked subspace on the floor or
     tries to subspace-iterate a None."""
     if not adapt_mass:
@@ -990,20 +1057,14 @@ def chees_sample(
             f"complete ({n_warmup} of {total_warmup} steps); chunk with "
             "n_samples=0 and finish warmup via chees_sample_from_state"
         )
-    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains, lowrank_ok=True)
+    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
     var0 = (
         jnp.eye(n, dtype=dtype)
         if adapt_mass == "dense"
         else jnp.ones((n,), dtype)
     )
     if adapt_mass == "lowrank":
-        # identity metric at rank r: first-r coordinate basis, unit
-        # eigenvalues — the subspace iteration rotates it toward the
-        # fleet covariance's top eigenspace from round 1. r is capped so
-        # Qᵀ·C·Q stays an honest eigenproblem (r < chains) and r <= n.
-        r = max(1, min(mass_rank, n, chains - 1))
-        lr_Q0 = jnp.eye(n, r, dtype=dtype)
-        lr_sig0 = jnp.ones((r,), dtype)
+        lr_Q0, lr_sig0 = _lowrank_mass_init(mass_rank, n, chains, dtype)
     else:
         lr_Q0 = lr_sig0 = None
     zero = jnp.zeros((), dtype)
@@ -1073,7 +1134,7 @@ def chees_sample_from_state(
             f"complete ({i_warm0 + n_warmup} of {n_total} steps)"
         )
     chains = state.x.shape[0]
-    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains, lowrank_ok=True)
+    adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
     _check_resume_mass_mode(adapt_mass, state.var_ema, state.lr_Q)
     return _chees_core(
         obj, state, mass, n_samples, n_warmup, target_accept, max_leapfrog,
@@ -1104,6 +1165,10 @@ class NUTSState(NamedTuple):
     i_samp: jax.Array  # () int32
     n_warmup_total: jax.Array  # () int32
     mass_freeze: jax.Array  # () int32
+    # adapt_mass='lowrank' only (round 4): the tracked covariance
+    # subspace — None in every other mode (old checkpoints load as None)
+    lr_Q: Optional[jax.Array] = None  # (n, r) orthonormal basis
+    lr_sig: Optional[jax.Array] = None  # (r,) eigenvalues along lr_Q
 
 
 class NUTSResult(NamedTuple):
@@ -1377,11 +1442,16 @@ def _nuts_core(
     k_samp = jax.random.fold_in(state.key, 1)
 
     # ---- warmup: per-chain dual averaging + fleet mass ----
-    def make_warm_body(frozen_chol=None):
+    def make_warm_body(frozen_chol=None, frozen=False):
       def warm_body(carry, i):
-        x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema = carry
+        x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema, lr_Q, lr_sig = carry
         k = jax.random.fold_in(k_warm, i)
-        if adapt_mass:
+        if adapt_mass == "lowrank":
+            # diag-EMA outer scale x standardized low-rank core;
+            # closed-form roots via LowRankMass — see _lowrank_metric
+            mass_d = _lowrank_metric(var_ema, lr_Q, lr_sig)
+            chol_d = None
+        elif adapt_mass:
             mass_d, chol_d = var_ema, frozen_chol
         else:
             mass_d, chol_d = mass_b, chol_u
@@ -1401,18 +1471,28 @@ def _nuts_core(
             )
             upd = i < mass_freeze
             var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * cov_now, var_ema)
-        elif frozen_chol is None and adapt_mass:
+        elif (not frozen) and adapt_mass == "lowrank":
+            upd = i < mass_freeze
+            lr_Q, lr_sig, var_ema = _lowrank_mass_step(
+                x, var_ema, lr_Q, lr_sig, upd, chains
+            )
+        elif frozen_chol is None and adapt_mass and adapt_mass != "lowrank":
             # same fleet estimator as chees_sample: across-chain variance
             # EMA, frozen at warmup/2 so eps re-adapts to the final metric
             var_now = jnp.maximum(jnp.var(x, axis=0), 1e-10)
             upd = i < mass_freeze
             var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * var_now, var_ema)
-        return (x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema), None
+        return (
+            (x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema,
+             lr_Q, lr_sig),
+            None,
+        )
 
       return warm_body
 
     carry_w = (state.x, f0, g0, state.log_eps, state.log_eps_bar,
-               state.h_bar, state.t_da, state.var_ema)
+               state.h_bar, state.t_da, state.var_ema,
+               state.lr_Q, state.lr_sig)
     if n_warmup > 0:
         # split at the (static) freeze step — see _chees_core
         n_a = max(0, min(n_warmup, int(mass_freeze) - i_warm0))
@@ -1428,12 +1508,16 @@ def _nuts_core(
                 else None
             )
             carry_w, _ = lax.scan(
-                make_warm_body(frozen), carry_w,
+                make_warm_body(frozen, frozen=True), carry_w,
                 i_warm0 + n_a + jnp.arange(n_b),
             )
-    x, f, g, log_eps, log_eps_bar, h_bar, t_da, var_ema = carry_w
+    (x, f, g, log_eps, log_eps_bar, h_bar, t_da, var_ema,
+     lr_Q, lr_sig) = carry_w
     eps_final = jnp.exp(log_eps_bar)
-    mass_final = var_ema if adapt_mass else mass_b
+    if adapt_mass == "lowrank":
+        mass_final = _lowrank_metric(var_ema, lr_Q, lr_sig)
+    else:
+        mass_final = var_ema if adapt_mass else mass_b
     chol_final = (
         jnp.linalg.cholesky(mass_final).T
         if adapt_mass == "dense"
@@ -1460,6 +1544,7 @@ def _nuts_core(
         i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
         n_warmup_total=state.n_warmup_total,
         mass_freeze=jnp.asarray(mass_freeze, jnp.int32),
+        lr_Q=lr_Q, lr_sig=lr_sig,
     )
     return NUTSResult(
         samples=samples,
@@ -1486,10 +1571,19 @@ def nuts_sample(
     adapt_mass: bool = True,
     value_and_grad_fn: Optional[Callable] = None,
     total_warmup: Optional[int] = None,
+    mass_rank: int = 16,
 ) -> NUTSResult:
     """Batched multinomial NUTS over lockstep chains — see `_nuts_core`
     for the full algorithm notes (iterative tree building, checkpoint
     stack, fleet-diagonal mass adaptation, TPU shape discipline).
+
+    ``adapt_mass`` accepts the same modes as `chees_sample`: True/diag,
+    'dense' (full across-chain covariance EMA), and 'lowrank' (round 4:
+    top-``mass_rank`` eigenspace via per-round subspace iteration,
+    sampling through the closed-form `LowRankMass` metric — the
+    large-n answer where dense is O(n²)/round). Correlation-aware mass
+    is a direct NUTS throughput lever: each doubling costs 2^depth
+    gradients, and a better metric is what shrinks the depth.
 
     The result carries a resumable `state`; `nuts_sample_from_state`
     continues the run trajectory-identically. For CHUNKED warmup announce
@@ -1518,6 +1612,10 @@ def nuts_sample(
         if adapt_mass == "dense"
         else jnp.ones((n,), dtype)
     )
+    if adapt_mass == "lowrank":
+        lr_Q0, lr_sig0 = _lowrank_mass_init(mass_rank, n, chains, dtype)
+    else:
+        lr_Q0 = lr_sig0 = None
     log_eps0 = jnp.full((chains,), jnp.log(jnp.asarray(step_size, dtype)))
     state0 = NUTSState(
         x=x0s,
@@ -1534,6 +1632,8 @@ def nuts_sample(
         i_samp=jnp.zeros((), jnp.int32),
         n_warmup_total=jnp.asarray(total_warmup, jnp.int32),
         mass_freeze=jnp.asarray(max(total_warmup // 2, 1), jnp.int32),
+        lr_Q=lr_Q0,
+        lr_sig=lr_sig0,
     )
     return _nuts_core(
         obj, state0, mass, n_samples, n_warmup, max_depth, target_accept,
@@ -1576,7 +1676,7 @@ def nuts_sample_from_state(
         )
     chains = state.x.shape[0]
     adapt_mass = _chees_adapt_mass(adapt_mass, mass, chains)
-    _check_resume_mass_mode(adapt_mass, state.var_ema)
+    _check_resume_mass_mode(adapt_mass, state.var_ema, state.lr_Q)
     return _nuts_core(
         obj, state, mass, n_samples, n_warmup, max_depth, target_accept,
         max_energy_change, adapt_mass, value_and_grad_fn, i_warm0, i_samp0,

@@ -56,6 +56,7 @@ class MapThenSampleResult(NamedTuple):
     mass: Optional[jax.Array]
     sampler_result: object
     polish_result: object = None  # PolishResult when polish_steps > 0
+    depth_sort_info: object = None  # DepthSortInfo when depth_sort=True
 
 
 def map_then_sample(
@@ -77,6 +78,7 @@ def map_then_sample(
     mass_form: str = "auto",
     mesh: Optional[Mesh] = None,
     mesh_axis: str = "data",
+    depth_sort: bool = False,
     **sampler_kwargs,
 ) -> MapThenSampleResult:
     """MAP fleet -> preconditioner -> sampler -> diagnostics, in one call.
@@ -114,6 +116,17 @@ def map_then_sample(
     divide evenly over the axis. Same seeds → same draws as the
     unsharded pipeline (GSPMD partitions the identical program;
     parity-tested on a virtual CPU mesh).
+
+    ``depth_sort`` (round 4, ``sampler='nuts'`` only, single-chip):
+    after warmup, sampling runs through `nuts_sample_depth_sorted` —
+    chains sort into depth-homogeneous sub-fleets when the probed
+    tree-depth persistence/spread says the geometry can pay. When the
+    probe says no, the pipeline's draws are bitwise what
+    ``depth_sort=False`` produces (chunked-run identity + the sorted
+    path's identical fallback). Depth-sort tuning knobs
+    (``groups``, ``probe_draws``, ``min_persistence``,
+    ``min_depth_spread``) pass through ``sampler_kwargs``; the decision
+    record lands in the result's ``depth_sort_info``.
     """
     sample_fn = get_sampler(sampler)
     x0 = jnp.asarray(x0)
@@ -225,8 +238,40 @@ def map_then_sample(
         # self-adaptation of chees/nuts — using it is the point
         kw["mass"] = mass
     kw.update(sampler_kwargs)  # explicit sampler kwargs win
-    with mesh_ctx():
-        res = sample_fn(obj, k_sample, _shard(chains), **kw)
+    ds_info = None
+    if depth_sort:
+        if sampler != "nuts":
+            raise ValueError(
+                f"depth_sort=True requires sampler='nuts' (got "
+                f"{sampler!r}); ChEES/HMC trajectories are fleet-shared "
+                "— there is no per-chain tree depth to sort on"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "depth_sort=True is single-chip (the sort is a host-side "
+                "permutation of the fleet state); drop mesh= or depth_sort"
+            )
+        from .sampling import nuts_sample, nuts_sample_depth_sorted
+
+        ds_keys = (
+            "groups", "probe_draws", "min_persistence", "min_depth_spread"
+        )
+        ds_kw = {k: kw.pop(k) for k in ds_keys if k in kw}
+        n_total = kw.pop("n_samples")
+        warm = nuts_sample(
+            obj, k_sample, chains, n_samples=0,
+            total_warmup=kw["n_warmup"], **kw,
+        )
+        # the depth-sorted entry takes sampling-phase config only
+        for k in ("n_warmup", "step_size", "mass_rank"):
+            kw.pop(k, None)
+        res, ds_info = nuts_sample_depth_sorted(
+            obj, warm.state, n_total, **ds_kw, **kw
+        )
+        kw["n_samples"] = n_total  # the diagnostics gate below reads it
+    else:
+        with mesh_ctx():
+            res = sample_fn(obj, k_sample, _shard(chains), **kw)
 
     if not compute_diagnostics:
         diag = None
@@ -259,4 +304,5 @@ def map_then_sample(
         mass=kw.get("mass"),
         sampler_result=res,
         polish_result=pol,
+        depth_sort_info=ds_info,
     )

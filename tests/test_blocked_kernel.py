@@ -126,6 +126,10 @@ def test_auto_kernel_dispatch():
     assert _auto_kernel("pallas", 512, 4, 128) == ("xla", 128)
     assert _auto_kernel("pallas", 100, 4, 128) == ("xla", 128)
     assert _auto_kernel("xla", 128, 4, 128) == ("xla", 128)
+    # 64-bit fleets (x64 debugging on TPU): Mosaic has no 64-bit
+    # lowering, so 'pallas' resolves to the XLA update at any n
+    assert _auto_kernel("pallas", 60, 8, 128) == ("xla", 128)
+    assert _auto_kernel("pallas", 128, 8, 128) == ("xla", 128)
 
 
 def test_blocked_engine_matches_xla_engine(rng):

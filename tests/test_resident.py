@@ -290,3 +290,14 @@ def test_dot_rewrite_control_flow_guard():
         optimize_batched_resident(
             scan_obj, jnp.ones((4, 4)), block_batch=4, interpret=True
         )
+
+
+def test_resident_rejects_64bit_compiled_path():
+    """x64 fleets can't lower through Mosaic — the engine must say so up
+    front (interpret mode still accepts f64; regression for the deep
+    `NotImplementedError: 64-bit types` a TPU x64 run used to hit)."""
+    x0 = jnp.zeros((8, 4), jnp.float64)
+    with pytest.raises(ValueError, match="64-bit"):
+        qnm.optimize_batched_resident(
+            lambda t: -jnp.sum(t * t), x0, tol=1e-6
+        )

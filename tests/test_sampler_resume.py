@@ -166,6 +166,30 @@ def test_lowrank_state_checkpoint_roundtrip(tmp_path):
     assert st2.lr_Q is None and st2.lr_sig is None
 
 
+def test_nuts_lowrank_resume_guard_and_checkpoint(tmp_path):
+    """The lowrank resume-mode guard and checkpoint round-trip cover
+    NUTS too (round 4: adapt_mass='lowrank' extended from ChEES)."""
+    key = jax.random.PRNGKey(11)
+    lr = qnm.nuts_sample(
+        _logd, key, _x0(), n_samples=0, n_warmup=4, total_warmup=10,
+        adapt_mass="lowrank", mass_rank=2,
+    )
+    assert lr.state.lr_Q is not None
+    with pytest.raises(ValueError, match="does not match the saved"):
+        qnm.nuts_sample_from_state(_logd, lr.state, n_warmup=3)
+    p = tmp_path / "nuts_lr"
+    save_state(p, lr.state)
+    st = load_state(p)
+    _assert_tree_equal(st.lr_Q, lr.state.lr_Q)
+    a = qnm.nuts_sample_from_state(
+        _logd, st, n_samples=6, n_warmup=6, adapt_mass="lowrank"
+    )
+    b = qnm.nuts_sample_from_state(
+        _logd, lr.state, n_samples=6, n_warmup=6, adapt_mass="lowrank"
+    )
+    _assert_tree_equal(a.samples, b.samples)
+
+
 def test_typed_prng_key_checkpoint(tmp_path):
     """Typed keys (jax.random.key) survive the .npz round-trip."""
     r = qnm.hmc_sample(

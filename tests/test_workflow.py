@@ -256,3 +256,56 @@ def test_pipeline_mesh_lbfgs_polish_smoke():
     assert out.samples.shape == (32, 8, 4)
     assert out.polish_result is not None
     assert np.all(np.isfinite(np.asarray(out.samples)))
+
+
+def test_pipeline_depth_sort_fallback_identity_and_validation():
+    """map_then_sample(depth_sort=True): when the probe refuses to sort,
+    the pipeline's draws are bitwise what depth_sort=False produces
+    (chunked-warmup identity + the sorted path's identical fallback);
+    non-NUTS samplers and mesh are rejected."""
+    logd, _ = _corr_gaussian(3)
+    key = jax.random.PRNGKey(4)
+    kw = dict(n_chains=16, sampler="nuts", n_samples=14, n_warmup=20,
+              max_depth=5)
+    plain = qnm.map_then_sample(logd, key, jnp.zeros(3), **kw)
+    ds = qnm.map_then_sample(
+        logd, key, jnp.zeros(3), depth_sort=True, probe_draws=3,
+        min_persistence=2.0, **kw,
+    )
+    assert ds.depth_sort_info is not None and not ds.depth_sort_info.sorted
+    np.testing.assert_array_equal(
+        np.asarray(ds.samples), np.asarray(plain.samples)
+    )
+    assert plain.depth_sort_info is None
+
+    with pytest.raises(ValueError, match="requires sampler='nuts'"):
+        qnm.map_then_sample(
+            logd, key, jnp.zeros(3), n_chains=16, sampler="chees",
+            n_samples=8, n_warmup=8, depth_sort=True,
+        )
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    with pytest.raises(ValueError, match="single-chip"):
+        qnm.map_then_sample(
+            logd, key, jnp.zeros(3), n_chains=16, sampler="nuts",
+            n_samples=8, n_warmup=8, depth_sort=True, mesh=mesh,
+        )
+
+
+def test_pipeline_depth_sort_sorted_path():
+    """Forcing the sort (thresholds at the floor) exercises the
+    sub-fleet path end to end through the pipeline, including the
+    decision record and diagnostics over the scattered draws."""
+    from quasinewtonmethods_jl_tpu.models import funnel_logdensity
+
+    res = qnm.map_then_sample(
+        funnel_logdensity, jax.random.PRNGKey(5), jnp.zeros(3),
+        n_chains=18, sampler="nuts", n_samples=16, n_warmup=24,
+        max_depth=5, depth_sort=True, groups=3, probe_draws=3,
+        min_persistence=-2.0, min_depth_spread=0.0,
+    )
+    info = res.depth_sort_info
+    assert info.sorted and info.group_sizes == (6, 6, 6)
+    assert res.samples.shape == (16, 18, 3)
+    assert res.diagnostics is not None
+    assert np.isfinite(np.asarray(res.samples)).all()
