@@ -1169,6 +1169,11 @@ class NUTSState(NamedTuple):
     # subspace — None in every other mode (old checkpoints load as None)
     lr_Q: Optional[jax.Array] = None  # (n, r) orthonormal basis
     lr_sig: Optional[jax.Array] = None  # (r,) eigenvalues along lr_Q
+    # warmup depth telemetry (round 4): per-chain tree-depth SUMS over
+    # the two tail windows of the warmup plan (`_warm_depth_windows`) —
+    # free probe data for `nuts_sample_depth_sorted` (no probe legs).
+    # None on pre-telemetry checkpoints (the sorter falls back to legs).
+    warm_dsum: Optional[jax.Array] = None  # (2, chains)
 
 
 class NUTSResult(NamedTuple):
@@ -1197,13 +1202,13 @@ class NUTSResult(NamedTuple):
     static_argnames=(
         "obj", "value_and_grad_fn", "n_samples", "n_warmup",
         "max_depth", "target_accept", "max_energy_change", "adapt_mass",
-        "i_warm0", "i_samp0", "mass_freeze",
+        "i_warm0", "i_samp0", "mass_freeze", "warm_total",
     ),
 )
 def _nuts_core(
     obj, state: NUTSState, mass, n_samples, n_warmup, max_depth,
     target_accept, max_energy_change, adapt_mass, value_and_grad_fn,
-    i_warm0, i_samp0, mass_freeze,
+    i_warm0, i_samp0, mass_freeze, warm_total,
 ) -> NUTSResult:
     """Chunkable core (see `_hmc_core` for the key-stream discipline);
     the docstring lives on `nuts_sample`.
@@ -1442,9 +1447,12 @@ def _nuts_core(
     k_samp = jax.random.fold_in(state.key, 1)
 
     # ---- warmup: per-chain dual averaging + fleet mass ----
+    w1s, w2s, w2e, _W = _warm_depth_windows(warm_total)
+
     def make_warm_body(frozen_chol=None, frozen=False):
       def warm_body(carry, i):
-        x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema, lr_Q, lr_sig = carry
+        (x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema, lr_Q, lr_sig,
+         wds) = carry
         k = jax.random.fold_in(k_warm, i)
         if adapt_mass == "lowrank":
             # diag-EMA outer scale x standardized low-rank core;
@@ -1455,9 +1463,17 @@ def _nuts_core(
             mass_d, chol_d = var_ema, frozen_chol
         else:
             mass_d, chol_d = mass_b, chol_u
-        x, f, g, alpha, _depth = one_draw(
+        x, f, g, alpha, depth = one_draw(
             x, f, g, jnp.exp(log_eps), mass_d, k, chol_d
         )
+        # depth telemetry over the plan's two tail windows — free probe
+        # data for nuts_sample_depth_sorted (post-freeze rounds, so eps
+        # is near-final and depths match the sampling phase)
+        df = depth.astype(dtype)
+        wds = wds + jnp.stack([
+            jnp.where((i >= w1s) & (i < w2s), df, 0.0),
+            jnp.where((i >= w2s) & (i < w2e), df, 0.0),
+        ])
         log_eps, log_eps_bar, h_bar, t = _da_update(
             h_bar, log_eps_bar, t, target_accept - alpha, state.mu
         )
@@ -1484,15 +1500,20 @@ def _nuts_core(
             var_ema = jnp.where(upd, 0.9 * var_ema + 0.1 * var_now, var_ema)
         return (
             (x, f, g, log_eps, log_eps_bar, h_bar, t, var_ema,
-             lr_Q, lr_sig),
+             lr_Q, lr_sig, wds),
             None,
         )
 
       return warm_body
 
+    wds0 = (
+        jnp.zeros((2, chains), dtype)
+        if state.warm_dsum is None
+        else state.warm_dsum
+    )
     carry_w = (state.x, f0, g0, state.log_eps, state.log_eps_bar,
                state.h_bar, state.t_da, state.var_ema,
-               state.lr_Q, state.lr_sig)
+               state.lr_Q, state.lr_sig, wds0)
     if n_warmup > 0:
         # split at the (static) freeze step — see _chees_core
         n_a = max(0, min(n_warmup, int(mass_freeze) - i_warm0))
@@ -1512,7 +1533,7 @@ def _nuts_core(
                 i_warm0 + n_a + jnp.arange(n_b),
             )
     (x, f, g, log_eps, log_eps_bar, h_bar, t_da, var_ema,
-     lr_Q, lr_sig) = carry_w
+     lr_Q, lr_sig, warm_dsum) = carry_w
     eps_final = jnp.exp(log_eps_bar)
     if adapt_mass == "lowrank":
         mass_final = _lowrank_metric(var_ema, lr_Q, lr_sig)
@@ -1544,7 +1565,7 @@ def _nuts_core(
         i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
         n_warmup_total=state.n_warmup_total,
         mass_freeze=jnp.asarray(mass_freeze, jnp.int32),
-        lr_Q=lr_Q, lr_sig=lr_sig,
+        lr_Q=lr_Q, lr_sig=lr_sig, warm_dsum=warm_dsum,
     )
     return NUTSResult(
         samples=samples,
@@ -1634,11 +1655,12 @@ def nuts_sample(
         mass_freeze=jnp.asarray(max(total_warmup // 2, 1), jnp.int32),
         lr_Q=lr_Q0,
         lr_sig=lr_sig0,
+        warm_dsum=jnp.zeros((2, chains), dtype),
     )
     return _nuts_core(
         obj, state0, mass, n_samples, n_warmup, max_depth, target_accept,
         max_energy_change, adapt_mass, value_and_grad_fn, 0, 0,
-        max(total_warmup // 2, 1),
+        max(total_warmup // 2, 1), total_warmup,
     )
 
 
@@ -1680,7 +1702,7 @@ def nuts_sample_from_state(
     return _nuts_core(
         obj, state, mass, n_samples, n_warmup, max_depth, target_accept,
         max_energy_change, adapt_mass, value_and_grad_fn, i_warm0, i_samp0,
-        int(state.mass_freeze),
+        int(state.mass_freeze), n_total,
     )
 
 
@@ -1689,6 +1711,15 @@ def nuts_sample_from_state(
 # ---------------------------------------------------------------------------
 
 _NUTS_CHAIN_FIELDS = ("x", "f", "g", "log_eps", "log_eps_bar", "h_bar")
+
+
+def _warm_depth_windows(total: int):
+    """The two tail windows of a warmup plan used for depth telemetry:
+    W rounds each (W = min(32, total // 4), >= 1), ending at the plan's
+    last round — post-freeze, so the step size is near-final and tree
+    depths are representative of the sampling phase."""
+    W = max(1, min(32, total // 4))
+    return total - 2 * W, total - W, total, W
 
 
 class DepthSortInfo(NamedTuple):
@@ -1715,9 +1746,12 @@ def _nuts_take_chains(state: NUTSState, idx) -> NUTSState:
     """Sub-fleet view of a NUTS state: per-chain fields gathered at
     ``idx``; the fleet-shared fields (mass EMA, DA clock, key, phase
     counters) ride along unchanged."""
-    return state._replace(
+    out = state._replace(
         **{k: getattr(state, k)[idx] for k in _NUTS_CHAIN_FIELDS}
     )
+    if state.warm_dsum is not None:
+        out = out._replace(warm_dsum=state.warm_dsum[:, idx])
+    return out
 
 
 def nuts_sample_depth_sorted(
@@ -1749,13 +1783,19 @@ def nuts_sample_depth_sorted(
     (spread [3.0, 3.3]) — which is why this entry point probes first and
     only sorts when the geometry can pay.
 
-    Protocol: two full-fleet probe legs of ``probe_draws`` each measure
-    per-chain mean depth twice; if their across-chain Pearson r reaches
+    Probe data: the NUTS warmup records per-chain tree-depth telemetry
+    over the plan's two tail windows (``NUTSState.warm_dsum`` — free:
+    those rounds run anyway, post-freeze, at near-final step size), so
+    by default NO probe draws are spent — all ``n_samples`` draws run
+    sorted. States from pre-telemetry checkpoints (``warm_dsum=None``)
+    fall back to the explicit protocol: two full-fleet probe legs of
+    ``probe_draws`` each (real post-warmup draws, counted toward
+    ``n_samples``). Either way, two per-chain mean-depth vectors d1/d2
+    are measured; if their across-chain Pearson r reaches
     ``min_persistence`` AND the depth spread reaches ``min_depth_spread``
     doublings, chains sort into ``groups`` contiguous depth classes and
     the remaining draws run per sub-fleet, scattered back to the
-    original chain order. Probe draws are real post-warmup draws and
-    count toward ``n_samples``.
+    original chain order.
 
     RNG: the fleet key stream is position-indexed, so sub-fleets must
     NOT share the parent stream (chains at the same position would draw
@@ -1801,9 +1841,15 @@ def nuts_sample_depth_sorted(
     def plain(st, n):
         return nuts_sample_from_state(obj, st, n_samples=n, **kw)
 
-    n_probe = min(n_samples, 2 * probe_draws)
-    remaining = n_samples - n_probe
-    if groups == 1 or remaining <= 0 or probe_draws <= 0:
+    import numpy as np
+
+    have_telemetry = state.warm_dsum is not None and bool(
+        np.asarray(jnp.sum(state.warm_dsum[1])) > 0
+    )
+    if groups == 1 or n_samples <= 0 or (
+        not have_telemetry and (probe_draws <= 0
+                                or n_samples <= 2 * probe_draws)
+    ):
         res = plain(state, n_samples)
         info = DepthSortInfo(
             sorted=False, persistence=float("nan"),
@@ -1812,38 +1858,47 @@ def nuts_sample_depth_sorted(
         )
         return res, info
 
-    import numpy as np
+    if have_telemetry:
+        # free probe data from the warmup's tail windows
+        _w1s, _w2s, _w2e, W = _warm_depth_windows(
+            int(state.n_warmup_total)
+        )
+        wds = np.asarray(state.warm_dsum, dtype=np.float64)
+        d1, d2 = wds[0] / W, wds[1] / W
+        pre = []  # no probe legs spent
+        st = state
+        remaining = n_samples
+    else:
+        p1 = plain(state, probe_draws)
+        p2 = plain(p1.state, probe_draws)
+        d1 = np.asarray(p1.mean_tree_depth, dtype=np.float64)
+        d2 = np.asarray(p2.mean_tree_depth, dtype=np.float64)
+        pre = [(probe_draws, p1), (probe_draws, p2)]
+        st = p2.state
+        remaining = n_samples - 2 * probe_draws
 
-    p1 = plain(state, probe_draws)
-    p2 = plain(p1.state, n_probe - probe_draws)
-    d1 = np.asarray(p1.mean_tree_depth, dtype=np.float64)
-    d2 = np.asarray(p2.mean_tree_depth, dtype=np.float64)
     spread = float(d2.max() - d2.min())
     if d1.std() > 0.0 and d2.std() > 0.0:
         persistence = float(np.corrcoef(d1, d2)[0, 1])
     else:
         persistence = float("nan")
 
-    if not (persistence >= min_persistence and spread >= min_depth_spread):
-        # geometry can't pay: finish unsorted — together with the probe
-        # legs this is bitwise-identical to one plain run of n_samples
-        tail = plain(p2.state, remaining)
-        samples = jnp.concatenate([p1.samples, p2.samples, tail.samples])
-        w = jnp.asarray(
-            [probe_draws, n_probe - probe_draws, remaining],
-            samples.dtype,
-        )
-        acc = (
-            w[0] * p1.accept_prob + w[1] * p2.accept_prob
-            + w[2] * tail.accept_prob
-        ) / n_samples
-        dep = (
-            w[0] * p1.mean_tree_depth + w[1] * p2.mean_tree_depth
-            + w[2] * tail.mean_tree_depth
-        ) / n_samples
-        res = tail._replace(
+    def merge_legs(legs):
+        """Concatenate (n_draws, result) legs in original chain order."""
+        samples = jnp.concatenate([r.samples for _, r in legs])
+        tot = sum(w for w, _ in legs)
+        acc = sum(w * r.accept_prob for w, r in legs) / tot
+        dep = sum(w * r.mean_tree_depth for w, r in legs) / tot
+        return legs[-1][1]._replace(
             samples=samples, accept_prob=acc, mean_tree_depth=dep
         )
+
+    if not (persistence >= min_persistence and spread >= min_depth_spread):
+        # geometry can't pay: run unsorted — with telemetry this is
+        # bitwise ONE plain call; with probe legs, the chunked-identity
+        # contract makes legs+tail bitwise one plain run of n_samples
+        tail = plain(st, remaining)
+        res = merge_legs(pre + [(remaining, tail)])
         info = DepthSortInfo(
             sorted=False, persistence=persistence, depth_spread=spread,
             group_sizes=(), group_mean_depths=(),
@@ -1852,7 +1907,6 @@ def nuts_sample_depth_sorted(
 
     order = np.argsort(d2, kind="stable")
     group_idx = np.array_split(order, groups)
-    st = p2.state
     sub_results = []
     for gi, idx in enumerate(group_idx):
         sub = _nuts_take_chains(st, jnp.asarray(idx))
@@ -1873,19 +1927,15 @@ def nuts_sample_depth_sorted(
     dep_main = scatter([r.mean_tree_depth for r in sub_results], 0)
     final_x = scatter([r.final_x for r in sub_results], 0)
 
-    samples = jnp.concatenate([p1.samples, p2.samples, samples_main])
-    w_probe = jnp.asarray(n_probe, samples.dtype)
-    w_main = jnp.asarray(remaining, samples.dtype)
-    acc_probe = (
-        probe_draws * p1.accept_prob
-        + (n_probe - probe_draws) * p2.accept_prob
-    ) / n_probe
-    dep_probe = (
-        probe_draws * p1.mean_tree_depth
-        + (n_probe - probe_draws) * p2.mean_tree_depth
-    ) / n_probe
-    acc = (w_probe * acc_probe + w_main * acc_main) / n_samples
-    dep = (w_probe * dep_probe + w_main * dep_main) / n_samples
+    samples = jnp.concatenate(
+        [r.samples for _, r in pre] + [samples_main]
+    )
+    acc = (
+        sum(w * r.accept_prob for w, r in pre) + remaining * acc_main
+    ) / n_samples
+    dep = (
+        sum(w * r.mean_tree_depth for w, r in pre) + remaining * dep_main
+    ) / n_samples
 
     merged = st._replace(
         key=st.key,  # parent stream; group streams were fold_in(key, 2+g)
@@ -1897,6 +1947,12 @@ def nuts_sample_depth_sorted(
             for k in _NUTS_CHAIN_FIELDS
         },
     )
+    if st.warm_dsum is not None:
+        merged = merged._replace(
+            warm_dsum=scatter(
+                [r.state.warm_dsum for r in sub_results], 1
+            )
+        )
     res = NUTSResult(
         samples=samples,
         accept_prob=acc,
