@@ -77,6 +77,8 @@ from .solve import (
     optimize_from_state,
 )
 from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_state
+from . import transforms
+from .transforms import TransformedModel, transform_objective
 
 def _resolve_version() -> str:
     """Single-source the version from package metadata (the reference keeps
@@ -172,5 +174,8 @@ __all__ = [
     "polish_newton",
     "init_bfgs_state",
     "init_lbfgs_state",
+    "transforms",
+    "TransformedModel",
+    "transform_objective",
     "__version__",
 ]

@@ -57,6 +57,11 @@ class MapThenSampleResult(NamedTuple):
     sampler_result: object
     polish_result: object = None  # PolishResult when polish_steps > 0
     depth_sort_info: object = None  # DepthSortInfo when depth_sort=True
+    # transform= only: the constrained-space view of the run. `samples` /
+    # `x_map` stay in unconstrained z (that is what resume/state expects);
+    # these are forward-mapped once, on device.
+    samples_constrained: Optional[jax.Array] = None
+    x_map_constrained: Optional[jax.Array] = None
 
 
 def map_then_sample(
@@ -79,6 +84,7 @@ def map_then_sample(
     mesh: Optional[Mesh] = None,
     mesh_axis: str = "data",
     depth_sort: bool = False,
+    transform=None,
     **sampler_kwargs,
 ) -> MapThenSampleResult:
     """MAP fleet -> preconditioner -> sampler -> diagnostics, in one call.
@@ -127,11 +133,34 @@ def map_then_sample(
     (``groups``, ``probe_draws``, ``min_persistence``,
     ``min_depth_spread``) pass through ``sampler_kwargs``; the decision
     record lands in the result's ``depth_sort_info``.
+
+    ``transform`` (round 4): a `qnm.transforms` bijection for constrained
+    parameters. ``x0`` is then given in CONSTRAINED x-space (the space
+    the user's model and ``obj`` live in); the pipeline wraps ``obj``
+    via `transform_objective` and runs every stage in unconstrained z.
+    The result's ``samples``/``x_map`` stay in z (resume state lives
+    there); ``samples_constrained``/``x_map_constrained`` carry the
+    forward-mapped view, and diagnostics are computed on the CONSTRAINED
+    draws (the user-facing scale, per the Stan convention). A supplied
+    ``value_and_grad_fn`` is interpreted in x-space and pulled back
+    through the transform.
     """
     sample_fn = get_sampler(sampler)
     x0 = jnp.asarray(x0)
     if not jnp.issubdtype(x0.dtype, jnp.floating):
         x0 = x0.astype(jnp.result_type(float))
+
+    # Constrained parameters: wrap the objective once and run the WHOLE
+    # pipeline in unconstrained z (MAP fleet, polish, mass, sampler,
+    # resume state). `x0` is given in CONSTRAINED x-space — the space the
+    # user's model lives in — and is unconstrained here; the constrained
+    # view of the outputs is forward-mapped once at the end.
+    if transform is not None:
+        from .transforms import TransformedModel, forward_draws
+
+        obj = TransformedModel(obj, transform, value_and_grad_fn=value_and_grad_fn)
+        value_and_grad_fn = None  # consumed: the wrapper pulls it back
+        x0 = obj.unconstrain(x0)
     k_init, k_jit, k_sample = jax.random.split(key, 3)
     if x0.ndim == 1:
         x0s = x0[None, :] + init_scale * jax.random.normal(
@@ -273,6 +302,17 @@ def map_then_sample(
         with mesh_ctx():
             res = sample_fn(obj, k_sample, _shard(chains), **kw)
 
+    # transform=: the user-facing scale is constrained x — report the
+    # draws and diagnostics there (the Stan convention); z-space outputs
+    # stay on the result for resume. forward_draws is elementwise/cumsum,
+    # so it fuses and (under a mesh) partitions without a gather.
+    samples_c = x_map_c = None
+    if transform is not None:
+        with mesh_ctx():
+            samples_c = forward_draws(transform, res.samples)
+        x_map_c = transform.forward(x_map)
+    diag_samples = res.samples if samples_c is None else samples_c
+
     if not compute_diagnostics:
         diag = None
     elif kw["n_samples"] >= 8:
@@ -285,11 +325,11 @@ def map_then_sample(
         # Geyer ESS pooling lower to all-reduces — no gather of the draw
         # array (asserted by tests/test_workflow.py's sharded-parity test).
         with mesh_ctx():
-            diag = diagnose_chains_device(res.samples)
+            diag = diagnose_chains_device(diag_samples)
     else:
         # too few draws for split R-hat / ESS: report moments, NaN stats —
         # never discard a completed pipeline over its diagnostics
-        pooled = np.asarray(res.samples).reshape(-1, res.samples.shape[-1])
+        pooled = np.asarray(diag_samples).reshape(-1, diag_samples.shape[-1])
         nan = np.full(pooled.shape[-1], np.nan)
         diag = ChainDiagnostics(
             rhat=nan, ess=nan.copy(), mean=pooled.mean(axis=0),
@@ -305,4 +345,6 @@ def map_then_sample(
         sampler_result=res,
         polish_result=pol,
         depth_sort_info=ds_info,
+        samples_constrained=samples_c,
+        x_map_constrained=x_map_c,
     )
