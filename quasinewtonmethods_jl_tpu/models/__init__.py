@@ -2,6 +2,7 @@
 strategy (test/runtests.jl:4-33) plus the BASELINE.md benchmark configs."""
 
 from .funnel import FUNNEL_V_STD, funnel_logdensity
+from .hierarchical import HierarchicalRegression
 from .logistic import LogisticRegressionMAP
 from .poisson import PoissonRegressionMAP
 from .quadratic import IllConditionedQuadratic, quadratic_logdensity
@@ -10,6 +11,7 @@ from .rosenbrock import Rosenbrock, rosenbrock_logdensity, rosenbrock_value_and_
 __all__ = [
     "FUNNEL_V_STD",
     "funnel_logdensity",
+    "HierarchicalRegression",
     "LogisticRegressionMAP",
     "PoissonRegressionMAP",
     "IllConditionedQuadratic",

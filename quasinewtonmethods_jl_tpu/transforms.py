@@ -47,10 +47,14 @@ __all__ = [
     "Interval",
     "Ordered",
     "Simplex",
+    "CorrCholesky",
+    "CovCholesky",
     "BlockTransform",
     "TransformedModel",
     "transform_objective",
     "forward_draws",
+    "unpack_cholesky",
+    "pack_cholesky",
 ]
 
 
@@ -244,6 +248,129 @@ class Simplex(Transform):
         )[:-1]
         v = x[:-1] / rem
         return jnp.log(v) - jnp.log1p(-v) + offs
+
+
+def unpack_cholesky(x: jax.Array, dim: int) -> jax.Array:
+    """Unpack a row-major packed lower triangle (incl. diagonal; length
+    dim*(dim+1)//2) into a (dim, dim) lower-triangular matrix. Batched
+    leading axes pass through."""
+    rows, cols = jnp.tril_indices(dim)
+    out = jnp.zeros((*x.shape[:-1], dim, dim), x.dtype)
+    return out.at[..., rows, cols].set(x)
+
+
+def pack_cholesky(L: jax.Array) -> jax.Array:
+    """Pack the lower triangle (incl. diagonal) of a (dim, dim) matrix into
+    a flat row-major vector — the inverse of `unpack_cholesky`."""
+    rows, cols = jnp.tril_indices(L.shape[-1])
+    return L[..., rows, cols]
+
+
+def _stable_log1m_tanh2(z: jax.Array) -> jax.Array:
+    # log(1 - tanh(z)^2) without cancellation: = 2(log 2 - z - softplus(-2z))
+    return 2.0 * (jnp.log(jnp.asarray(2.0, z.dtype)) - z - jax.nn.softplus(-2.0 * z))
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrCholesky(Transform):
+    """Cholesky factor of a ``dim x dim`` correlation matrix (the LKJ
+    parameterization): z (dim*(dim-1)/2 canonical partial correlations,
+    row-major strict lower order) -> x = packed lower triangle of L
+    (row-major incl. the derived diagonal, length dim*(dim+1)/2), with
+    L @ L.T a unit-diagonal positive-definite correlation matrix.
+
+    Construction (Stan's): w_ij = tanh(z_ij); L_ij = w_ij *
+    prod_{k<j} sqrt(1 - w_ik^2); L_ii closes each row to unit norm.
+    The whole map is a masked (dim, dim) tanh + row-wise exclusive
+    cumsum in log space — static shapes, no scan, vmap/shard-safe.
+    log|det J| is over the free coordinates (the strict lower triangle
+    of L; the diagonal is determined):
+    sum_ij [ log(1 - w_ij^2) + (1/2) sum_{k<j} log(1 - w_ik^2) ].
+
+    Use `unpack_cholesky(x, dim)` inside the model to get L itself.
+    """
+
+    dim: int
+
+    def __post_init__(self):
+        if self.dim < 2:
+            raise ValueError(f"CorrCholesky needs dim >= 2, got {self.dim}")
+
+    @property
+    def unconstrained_size(self) -> int:
+        return self.dim * (self.dim - 1) // 2
+
+    @property
+    def constrained_size(self) -> int:
+        return self.dim * (self.dim + 1) // 2
+
+    def _strict_rows_cols(self):
+        return jnp.tril_indices(self.dim, k=-1)
+
+    def forward_and_log_det(self, z):
+        d = self.dim
+        rows, cols = self._strict_rows_cols()
+        Z = jnp.zeros((d, d), z.dtype).at[rows, cols].set(z)
+        mask = jnp.zeros((d, d), bool).at[rows, cols].set(True)
+        l1mw2 = jnp.where(mask, _stable_log1m_tanh2(Z), 0.0)
+        # exclusive row cumsum: c[i, j] = sum_{k<j} l1mw2[i, k]
+        c = jnp.cumsum(l1mw2, axis=1) - l1mw2
+        L = jnp.where(mask, jnp.tanh(Z) * jnp.exp(0.5 * c), 0.0)
+        # row closure: c at the diagonal column already sums the whole row
+        diag = jnp.exp(0.5 * jnp.diagonal(c))
+        L = L + jnp.diag(diag)
+        ld = jnp.sum(jnp.where(mask, l1mw2 + 0.5 * c, 0.0))
+        return pack_cholesky(L), ld
+
+    def inverse(self, x):
+        d = self.dim
+        L = unpack_cholesky(x, d)
+        # remaining stick: 1 - sum_{k<j} L_ik^2 (exclusive row cumsum)
+        sq = L * L
+        rem = 1.0 - (jnp.cumsum(sq, axis=1) - sq)
+        w = L / jnp.sqrt(rem)
+        rows, cols = self._strict_rows_cols()
+        return jnp.arctanh(w[rows, cols])
+
+
+@dataclasses.dataclass(frozen=True)
+class CovCholesky(Transform):
+    """Cholesky factor of a ``dim x dim`` covariance matrix: the diagonal
+    entries of z map through exp (positivity), the strict lower triangle
+    passes through. Packing order matches `CorrCholesky`/`pack_cholesky`
+    (row-major lower incl. diagonal); both z and x have length
+    dim*(dim+1)/2. log|det J| = sum of the diagonal z entries."""
+
+    dim: int
+
+    def __post_init__(self):
+        if self.dim < 1:
+            raise ValueError(f"CovCholesky needs dim >= 1, got {self.dim}")
+
+    @property
+    def unconstrained_size(self) -> int:
+        return self.dim * (self.dim + 1) // 2
+
+    @property
+    def constrained_size(self) -> int:
+        return self.dim * (self.dim + 1) // 2
+
+    def _diag_positions(self):
+        # position of (i, i) within the row-major packed lower triangle
+        import numpy as _np
+
+        i = _np.arange(self.dim)
+        return jnp.asarray(i * (i + 1) // 2 + i)
+
+    def forward_and_log_det(self, z):
+        pos = self._diag_positions()
+        zd = z[pos]
+        x = z.at[pos].set(jnp.exp(zd))
+        return x, jnp.sum(zd)
+
+    def inverse(self, x):
+        pos = self._diag_positions()
+        return x.at[pos].set(jnp.log(x[pos]))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -124,6 +124,108 @@ def test_dtype_preserved_f32():
 
 
 # ---------------------------------------------------------------------------
+# Cholesky-factor transforms (LKJ / covariance)
+
+
+CHOL_TRANSFORMS = [tfm.CorrCholesky(2), tfm.CorrCholesky(4), tfm.CovCholesky(3)]
+
+
+@pytest.mark.parametrize("t", CHOL_TRANSFORMS, ids=_ids(CHOL_TRANSFORMS))
+def test_cholesky_roundtrip(t):
+    z = jax.random.normal(jax.random.key(20), (t.unconstrained_size,))
+    x = t.forward(z)
+    assert x.shape == (t.constrained_size,)
+    np.testing.assert_allclose(t.inverse(x), z, rtol=1e-9, atol=1e-12)
+
+
+def test_corr_cholesky_is_a_correlation_factor():
+    t = tfm.CorrCholesky(5)
+    z = 2.0 * jax.random.normal(jax.random.key(21), (t.unconstrained_size,))
+    L = tfm.unpack_cholesky(t.forward(z), 5)
+    R = L @ L.T
+    np.testing.assert_allclose(np.diag(np.asarray(R)), 1.0, rtol=1e-12)
+    assert (np.linalg.eigvalsh(np.asarray(R)) > 0).all()
+    # L is lower triangular with positive diagonal
+    assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
+    assert (np.diag(np.asarray(L)) > 0).all()
+
+
+def test_corr_cholesky_zero_maps_to_identity():
+    t = tfm.CorrCholesky(4)
+    L = tfm.unpack_cholesky(t.forward(jnp.zeros(6)), 4)
+    np.testing.assert_allclose(L, jnp.eye(4), atol=1e-12)
+
+
+@pytest.mark.parametrize("dim", [2, 3, 5])
+def test_corr_cholesky_log_det_matches_autodiff(dim):
+    # free output coordinates = the strict lower triangle of L
+    t = tfm.CorrCholesky(dim)
+    rows, cols = jnp.tril_indices(dim, k=-1)
+
+    def free_coords(z):
+        return tfm.unpack_cholesky(t.forward(z), dim)[rows, cols]
+
+    z = jax.random.normal(jax.random.key(22), (t.unconstrained_size,))
+    J = jax.jacfwd(free_coords)(z)
+    _, ref = jnp.linalg.slogdet(J)
+    np.testing.assert_allclose(t.log_det_jacobian(z), ref, rtol=1e-9)
+
+
+def test_cov_cholesky_log_det_matches_autodiff():
+    t = tfm.CovCholesky(4)
+    z = jax.random.normal(jax.random.key(23), (t.unconstrained_size,))
+    J = jax.jacfwd(t.forward)(z)
+    _, ref = jnp.linalg.slogdet(J)
+    np.testing.assert_allclose(t.log_det_jacobian(z), ref, rtol=1e-10)
+
+
+def test_pack_unpack_cholesky_batched():
+    x = jax.random.normal(jax.random.key(24), (3, 7, 10))
+    L = tfm.unpack_cholesky(x, 4)
+    assert L.shape == (3, 7, 4, 4)
+    np.testing.assert_allclose(tfm.pack_cholesky(L), x, rtol=1e-12)
+
+
+def _lkj_cholesky_logdensity(dim, eta=1.0):
+    # LKJ(eta) density on the Cholesky factor: sum_i (dim - i - 1 + 2(eta-1))
+    # * log L_ii over 0-indexed rows (Stan's lkj_corr_cholesky_lpdf kernel).
+    expo = jnp.arange(dim - 1, -1, -1, dtype=float) + 2.0 * (eta - 1.0)
+
+    def logdensity(x):
+        L = tfm.unpack_cholesky(x, dim)
+        return jnp.sum(expo * jnp.log(jnp.diagonal(L)))
+
+    return logdensity
+
+
+def test_lkj_uniform_marginal_k2():
+    # K=2, eta=1: the off-diagonal correlation is uniform(-1, 1) —
+    # mean 0, var 1/3. A wrong CorrCholesky Jacobian biases this.
+    t = tfm.CorrCholesky(2)
+    m = tfm.transform_objective(_lkj_cholesky_logdensity(2), t)
+    z0 = 0.1 * jax.random.normal(jax.random.key(25), (32, 1))
+    res = qnm.chees_sample(m, jax.random.key(26), z0, n_samples=500, n_warmup=300)
+    r = np.asarray(tfm.forward_draws(t, res.samples))[..., 1]  # L_10 = corr
+    assert abs(r.mean()) < 0.03
+    np.testing.assert_allclose(r.var(), 1.0 / 3.0, rtol=0.08)
+
+
+def test_lkj_beta_marginal_k3():
+    # K=3, eta=1: each correlation is marginally Beta(3/2, 3/2) on [-1, 1]
+    # (mean 0, var 1/4).
+    t = tfm.CorrCholesky(3)
+    m = tfm.transform_objective(_lkj_cholesky_logdensity(3), t)
+    z0 = 0.1 * jax.random.normal(jax.random.key(27), (64, 3))
+    res = qnm.chees_sample(m, jax.random.key(28), z0, n_samples=500, n_warmup=300)
+    L = tfm.unpack_cholesky(tfm.forward_draws(t, res.samples), 3)
+    R = np.asarray(L @ jnp.swapaxes(L, -1, -2))
+    for i, j in [(1, 0), (2, 0), (2, 1)]:
+        r = R[..., i, j]
+        assert abs(r.mean()) < 0.04, (i, j, r.mean())
+        np.testing.assert_allclose(r.var(), 0.25, rtol=0.1)
+
+
+# ---------------------------------------------------------------------------
 # TransformedModel: objective wrapping + analytic gradient pullback
 
 
@@ -257,6 +359,54 @@ def test_sampling_dirichlet_mean_through_simplex():
     x = tfm.forward_draws(t, res.samples)
     mean = np.asarray(jnp.mean(x, axis=(0, 1)))
     np.testing.assert_allclose(mean, alpha / alpha.sum(), atol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# HierarchicalRegression: the full-stack constrained model family
+
+
+def test_hierarchical_map_converges_and_recovers_beta():
+    from quasinewtonmethods_jl_tpu.models import HierarchicalRegression
+
+    m = HierarchicalRegression(n_groups=6, q=2, p=3, n_obs=400, seed=3)
+    tm = tfm.transform_objective(m, m.transform)
+    z0 = tm.unconstrain(m.initial_point())
+    res = qnm.optimize(tm, z0, tol=1e-8, max_iterations=2000)
+    assert int(res.status) == int(qnm.Status.CONVERGED)
+    x = tm.constrain(res.x)
+    beta, _, tau, sigma, L = m.split(x)
+    # with 400 obs / 6 dims, MAP beta lands near truth
+    np.testing.assert_allclose(beta, m.beta_true, atol=0.15)
+    assert 0.3 < float(sigma) < 0.8  # truth 0.5
+    assert (np.asarray(tau) > 0).all()
+    R = np.asarray(L @ L.T)
+    np.testing.assert_allclose(np.diag(R), 1.0, rtol=1e-10)
+
+
+def test_hierarchical_fleet_and_pipeline():
+    from quasinewtonmethods_jl_tpu.models import HierarchicalRegression
+
+    m = HierarchicalRegression(n_groups=4, q=2, p=2, n_obs=200, seed=4)
+    res = qnm.map_then_sample(
+        m,
+        jax.random.key(30),
+        m.initial_point(),
+        n_chains=8,
+        n_samples=200,
+        n_warmup=200,
+        transform=m.transform,
+        init_scale=0.05,
+    )
+    # constrained draws respect every constraint
+    xc = np.asarray(res.samples_constrained)
+    _, _, tau, sigma, _ = m.split(jnp.asarray(xc[0, 0]))
+    assert (np.asarray(tau) > 0).all() and float(sigma) > 0
+    # posterior beta covers the truth loosely
+    k = m.p
+    beta_mean = xc[..., :k].reshape(-1, k).mean(0)
+    np.testing.assert_allclose(beta_mean, m.beta_true, atol=0.25)
+    # diagnostics on the constrained scale, finite
+    assert np.isfinite(res.diagnostics.rhat).all()
 
 
 # ---------------------------------------------------------------------------
