@@ -78,6 +78,7 @@ from .solve import (
 )
 from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_state
 from . import transforms
+from .pathfinder import PathfinderResult, pathfinder, psis_smooth
 from .transforms import TransformedModel, transform_objective
 
 def _resolve_version() -> str:
@@ -177,5 +178,8 @@ __all__ = [
     "transforms",
     "TransformedModel",
     "transform_objective",
+    "pathfinder",
+    "PathfinderResult",
+    "psis_smooth",
     "__version__",
 ]
