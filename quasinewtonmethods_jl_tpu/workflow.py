@@ -85,6 +85,8 @@ def map_then_sample(
     mesh_axis: str = "data",
     depth_sort: bool = False,
     transform=None,
+    init: str = "map",
+    pathfinder_kwargs: Optional[dict] = None,
     **sampler_kwargs,
 ) -> MapThenSampleResult:
     """MAP fleet -> preconditioner -> sampler -> diagnostics, in one call.
@@ -144,7 +146,27 @@ def map_then_sample(
     draws (the user-facing scale, per the Stan convention). A supplied
     ``value_and_grad_fn`` is interpreted in x-space and pulled back
     through the transform.
+
+    ``init='pathfinder'`` (round 4): replace the MAP-fleet + curvature
+    handoff with multi-path Pathfinder — chain starts are its
+    PSIS-resampled draws (already posterior-shaped, not mode-jittered)
+    and the sampler metric is the selected low-rank inverse Hessian
+    (``pf.mass()``). ``x0`` must then be an (n,) center; tuning knobs
+    (``n_paths``, ``max_iters``, ``elbo_draws``, ...) go in
+    ``pathfinder_kwargs``; the `PathfinderResult` lands in the result's
+    ``map_result`` and ``x_map`` is the best path's Gaussian mean. Check
+    ``map_result.khat`` — above 0.7 the variational starts are
+    unreliable and warmup should do the heavy lifting (raise
+    ``n_warmup``). Incompatible with ``polish_steps`` (no fleet to
+    polish). Composes with ``transform=`` (pathfinder runs in z).
     """
+    if init not in ("map", "pathfinder"):
+        raise ValueError(f"init must be 'map' or 'pathfinder', got {init!r}")
+    if init == "pathfinder" and polish_steps > 0:
+        raise ValueError(
+            "init='pathfinder' has no MAP fleet to polish; drop "
+            "polish_steps or use init='map'"
+        )
     sample_fn = get_sampler(sampler)
     x0 = jnp.asarray(x0)
     if not jnp.issubdtype(x0.dtype, jnp.floating):
@@ -197,64 +219,44 @@ def map_then_sample(
         _shard = lambda arr: arr  # noqa: E731
         mesh_ctx = contextlib.nullcontext
 
-    if map_tol is None:
-        # the repo's precision contract: f32 is throughput mode, tol >= ~1e-3
-        map_tol = 1e-3 if x0.dtype == jnp.float32 else 1e-6
-    mk = dict(tol=map_tol, value_and_grad_fn=value_and_grad_fn)
-    mk.update(map_kwargs or {})  # explicit map_kwargs win
-    with mesh_ctx():
-        if map_engine == "lbfgs":
-            from .parallel.batch import optimize_lbfgs_batched
-
-            fleet = optimize_lbfgs_batched(obj, x0s, **mk)
-        elif map_engine == "bfgs":
-            fleet = optimize_batched(obj, x0s, **mk)
-        else:
+    if init == "pathfinder":
+        if x0.ndim != 1:
             raise ValueError(
-                f"unknown map_engine {map_engine!r}; use 'bfgs' or 'lbfgs'"
+                "init='pathfinder' takes an (n,) center (chain starts are "
+                f"its resampled draws), got x0 shape {x0.shape}"
             )
+        from .pathfinder import pathfinder as _run_pathfinder
 
-    # one status readback serves both the failure check and the masks
-    statuses = np.asarray(fleet.status)
-    converged = statuses == Status.CONVERGED
-    if not converged.any():
-        counts = {
-            Status(s).name: int(c)
-            for s, c in zip(*np.unique(statuses, return_counts=True))
-        }
-        raise ValueError(
-            f"MAP stage failed: no lane converged (statuses: {counts}); "
-            "loosen map_tol or improve the starts"
+        pk = dict(
+            n_draws=n_chains,
+            init_scale=init_scale,
+            value_and_grad_fn=value_and_grad_fn,
         )
-
-    pol = None
-    if polish_steps > 0:
-        from .polish import polish_newton
-
-        with mesh_ctx():
-            pol = polish_newton(
-                obj, fleet, steps=polish_steps,
-                value_and_grad_fn=value_and_grad_fn,
+        if map_tol is not None:
+            pk["tol"] = map_tol
+        pk.update(pathfinder_kwargs or {})  # explicit kwargs win
+        pf = _run_pathfinder(obj, k_init, x0, **pk)
+        if not bool(jnp.any(jnp.isfinite(pf.elbo))):
+            counts = {
+                Status(s).name: int(c)
+                for s, c in zip(*np.unique(np.asarray(pf.status),
+                                           return_counts=True))
+            }
+            raise ValueError(
+                f"pathfinder stage failed: no path produced a finite ELBO "
+                f"(statuses: {counts}); improve x0 or lower init_scale"
             )
-        # the polished modes (same dtype) feed the handoff; curvature
-        # state (B / rings) stays the solver's — polish refines iterates
-        fleet = fleet._replace(
-            x=pol.x.astype(fleet.x.dtype),
-            fun=pol.fun.astype(fleet.fun.dtype),
+        fleet = pf
+        pol = None
+        chains = pf.draws  # n_draws=n_chains above
+        mass = pf.mass()
+        x_map = pf.mu[jnp.argmax(pf.elbo)]
+    else:
+        fleet, pol, chains, mass, x_map = _map_stage(
+            obj, x0s, x0.dtype, map_engine, map_tol, map_kwargs,
+            value_and_grad_fn, polish_steps, jitter, k_jit, mass_form,
+            mesh_ctx,
         )
-
-    chains, mass = chain_init_from_map(
-        fleet, jitter=jitter, key=k_jit, mass_form=mass_form
-    )
-    conv_j = jnp.asarray(converged)
-    # best converged mode, device-side (multistart's -inf-masked argmax)
-    best = jnp.argmax(jnp.where(conv_j, fleet.fun, -jnp.inf))
-    x_map = fleet.x[best]
-    # never seed a chain from a failed lane's off-mode iterate
-    fallback = x_map[None, :] + jitter * jax.random.normal(
-        jax.random.fold_in(k_jit, 1), chains.shape, chains.dtype
-    )
-    chains = jnp.where(conv_j[:, None], chains, fallback)
 
     kw = dict(
         n_samples=n_samples, n_warmup=n_warmup,
@@ -262,9 +264,10 @@ def map_then_sample(
     )
     if sampler == "hmc":
         kw["mass"] = mass  # the dense-B handoff is the point of 'hmc'
-    elif mass_form == "lowrank":
-        # an explicitly requested low-rank metric overrides the default
-        # self-adaptation of chees/nuts — using it is the point
+    elif mass_form == "lowrank" or init == "pathfinder":
+        # an explicitly requested low-rank metric (or the pathfinder
+        # handoff, whose selected metric IS the point) overrides the
+        # default self-adaptation of chees/nuts
         kw["mass"] = mass
     kw.update(sampler_kwargs)  # explicit sampler kwargs win
     ds_info = None
@@ -348,3 +351,70 @@ def map_then_sample(
         samples_constrained=samples_c,
         x_map_constrained=x_map_c,
     )
+
+
+def _map_stage(
+    obj, x0s, dtype, map_engine, map_tol, map_kwargs, value_and_grad_fn,
+    polish_steps, jitter, k_jit, mass_form, mesh_ctx,
+):
+    """Stages 1-2 of the pipeline (MAP fleet -> polish -> handoff); split
+    out so init='pathfinder' can swap them wholesale."""
+    if map_tol is None:
+        # the repo's precision contract: f32 is throughput mode, tol >= ~1e-3
+        map_tol = 1e-3 if dtype == jnp.float32 else 1e-6
+    mk = dict(tol=map_tol, value_and_grad_fn=value_and_grad_fn)
+    mk.update(map_kwargs or {})  # explicit map_kwargs win
+    with mesh_ctx():
+        if map_engine == "lbfgs":
+            from .parallel.batch import optimize_lbfgs_batched
+
+            fleet = optimize_lbfgs_batched(obj, x0s, **mk)
+        elif map_engine == "bfgs":
+            fleet = optimize_batched(obj, x0s, **mk)
+        else:
+            raise ValueError(
+                f"unknown map_engine {map_engine!r}; use 'bfgs' or 'lbfgs'"
+            )
+
+    # one status readback serves both the failure check and the masks
+    statuses = np.asarray(fleet.status)
+    converged = statuses == Status.CONVERGED
+    if not converged.any():
+        counts = {
+            Status(s).name: int(c)
+            for s, c in zip(*np.unique(statuses, return_counts=True))
+        }
+        raise ValueError(
+            f"MAP stage failed: no lane converged (statuses: {counts}); "
+            "loosen map_tol or improve the starts"
+        )
+
+    pol = None
+    if polish_steps > 0:
+        from .polish import polish_newton
+
+        with mesh_ctx():
+            pol = polish_newton(
+                obj, fleet, steps=polish_steps,
+                value_and_grad_fn=value_and_grad_fn,
+            )
+        # the polished modes (same dtype) feed the handoff; curvature
+        # state (B / rings) stays the solver's — polish refines iterates
+        fleet = fleet._replace(
+            x=pol.x.astype(fleet.x.dtype),
+            fun=pol.fun.astype(fleet.fun.dtype),
+        )
+
+    chains, mass = chain_init_from_map(
+        fleet, jitter=jitter, key=k_jit, mass_form=mass_form
+    )
+    conv_j = jnp.asarray(converged)
+    # best converged mode, device-side (multistart's -inf-masked argmax)
+    best = jnp.argmax(jnp.where(conv_j, fleet.fun, -jnp.inf))
+    x_map = fleet.x[best]
+    # never seed a chain from a failed lane's off-mode iterate
+    fallback = x_map[None, :] + jitter * jax.random.normal(
+        jax.random.fold_in(k_jit, 1), chains.shape, chains.dtype
+    )
+    chains = jnp.where(conv_j[:, None], chains, fallback)
+    return fleet, pol, chains, mass, x_map

@@ -230,3 +230,55 @@ def test_pathfinder_rank2_x0_and_bad_rank():
     logdensity, *_ = _gaussian_target(4, seed=4)
     with pytest.raises(ValueError):
         qnm.pathfinder(logdensity, jax.random.key(6), jnp.zeros((2, 3, 4)))
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration: map_then_sample(init='pathfinder')
+
+
+def _aniso(x):
+    return -0.5 * jnp.sum(x * x * jnp.arange(1.0, x.shape[0] + 1.0))
+
+
+def test_map_then_sample_pathfinder_init():
+    out = qnm.map_then_sample(
+        _aniso, jax.random.key(0), jnp.zeros(5), n_chains=16,
+        n_samples=100, n_warmup=100, init="pathfinder",
+        pathfinder_kwargs=dict(n_paths=4, max_iters=30),
+    )
+    assert out.samples.shape == (100, 16, 5)
+    assert hasattr(out.map_result, "khat")  # PathfinderResult in map slot
+    assert float(out.map_result.khat) < 0.7
+    # the handed-off metric is the selected LowRankMass
+    from quasinewtonmethods_jl_tpu.sampling import LowRankMass
+
+    assert isinstance(out.mass, LowRankMass)
+    v = np.asarray(out.samples).reshape(-1, 5).var(0)
+    np.testing.assert_allclose(v, 1.0 / np.arange(1.0, 6.0), rtol=0.35)
+
+
+def test_map_then_sample_pathfinder_with_transform():
+    t = qnm.transforms.Positive(3)
+
+    def gld(x):  # Gamma(3, 1) product: mean 3
+        return jnp.sum(2.0 * jnp.log(x) - x)
+
+    out = qnm.map_then_sample(
+        gld, jax.random.key(1), jnp.ones(3), n_chains=8,
+        n_samples=100, n_warmup=100, init="pathfinder", transform=t,
+        pathfinder_kwargs=dict(n_paths=4, max_iters=30),
+    )
+    m = np.asarray(out.samples_constrained).reshape(-1, 3).mean(0)
+    np.testing.assert_allclose(m, 3.0, rtol=0.2)
+
+
+def test_map_then_sample_pathfinder_misuse():
+    with pytest.raises(ValueError, match="polish"):
+        qnm.map_then_sample(_aniso, jax.random.key(2), jnp.zeros(5),
+                            init="pathfinder", polish_steps=1)
+    with pytest.raises(ValueError, match=r"\(n,\) center"):
+        qnm.map_then_sample(_aniso, jax.random.key(2), jnp.zeros((4, 5)),
+                            init="pathfinder")
+    with pytest.raises(ValueError, match="init must be"):
+        qnm.map_then_sample(_aniso, jax.random.key(2), jnp.zeros(5),
+                            init="laplace")
