@@ -79,6 +79,13 @@ from .solve import (
 from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_state
 from . import transforms
 from .pathfinder import PathfinderResult, pathfinder, psis_smooth
+from .tempering import (
+    PTResult,
+    PTState,
+    geometric_ladder,
+    pt_sample,
+    pt_sample_from_state,
+)
 from .transforms import TransformedModel, transform_objective
 
 def _resolve_version() -> str:
@@ -181,5 +188,10 @@ __all__ = [
     "pathfinder",
     "PathfinderResult",
     "psis_smooth",
+    "PTResult",
+    "PTState",
+    "geometric_ladder",
+    "pt_sample",
+    "pt_sample_from_state",
     "__version__",
 ]

@@ -1,0 +1,404 @@
+"""Replica-exchange (parallel tempering) HMC over fleet axes.
+
+The reference is the inner MAP engine for MCMC initialization
+(/root/reference/README.md:14); this framework already covers the
+unimodal posterior workflow (MAP fleet → mass handoff → HMC/ChEES/NUTS).
+What that workflow cannot do is sample a genuinely MULTIMODAL posterior:
+`multistart` finds the modes, but a single-temperature sampler started in
+one basin essentially never crosses to another, so mode weights come out
+wrong no matter how long it runs. Replica exchange is the standard fix —
+and it is a *perfect* TPU shape:
+
+  * the temperature ladder × chain fleet is one dense (K, C, n) batch —
+    every replica advances through the SAME leapfrog program in lockstep
+    (tempered gradient = beta_k · ∇f, a broadcast scale, so there is no
+    per-temperature control flow at all);
+  * the exchange move is an even–odd sweep over adjacent temperature
+    pairs — a vectorized masked shift along the small leading axis, no
+    gathers, no per-chain branching;
+  * every chain column swaps independently, so C chains give C
+    independent tempering ladders — fleet-scale replica exchange for the
+    price of one batched HMC step.
+
+Design choices (TPU-first, same contracts as the other samplers):
+
+  * one base HMC step per replica per round (velocity Verlet, shared
+    static trip count `n_leapfrog`), per-TEMPERATURE step size adapted by
+    dual averaging on the fleet-mean acceptance of that temperature (hot
+    replicas want bigger steps; chains within a temperature share the
+    geometry);
+  * exchange every `swap_every` rounds, alternating even/odd adjacent
+    pairs by GLOBAL step parity (so chunked resume replays the long
+    run's exact sweep schedule);
+  * the cached per-replica logdensity is stored UNTEMPERED — the HMC
+    ratio multiplies by beta on the fly and the swap ratio
+    (beta_i − beta_j)(f_j − f_i) reads it directly; a swap never
+    re-evaluates the objective;
+  * samples are the COLD (beta = 1) row only; the hot rows are the
+    mixing machinery. Swap acceptance per adjacent pair is returned —
+    the standard ladder-health diagnostic (aim ~0.2–0.6; a pair near 0
+    means the ladder has a gap there).
+
+All state lives in `PTState` (NamedTuple of arrays) and
+`pt_sample_from_state` resumes chunk-for-chunk identically to one long
+run, exactly like the other samplers' resume contracts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .api import as_value_and_grad, as_value_fn
+from .sampling import (
+    _apply_mass,
+    _da_update,
+    _draw_momentum,
+    _kinetic,
+    _mass_setup,
+)
+
+__all__ = ["PTState", "PTResult", "pt_sample", "pt_sample_from_state",
+           "geometric_ladder"]
+
+
+class PTState(NamedTuple):
+    """Resumable replica-exchange state (see HMCState for the key-stream
+    discipline: per-step keys are fold_in(fold_in(key, phase), step), so
+    chunking consumes no keys and needs only the counters)."""
+
+    x: jax.Array  # (K, C, n) replica positions (row 0 = cold)
+    f: jax.Array  # (K, C) UNTEMPERED logdensity at x
+    betas: jax.Array  # (K,) inverse temperatures, betas[0] == 1
+    log_eps: jax.Array  # (K,) per-temperature DA iterate
+    log_eps_bar: jax.Array  # (K,) averaged iterate (the frozen eps)
+    h_bar: jax.Array  # (K,) DA error accumulator
+    t_da: jax.Array  # () DA step count
+    mu: jax.Array  # () DA shrink target log(10 * eps0)
+    key: jax.Array  # base PRNG key
+    i_warm: jax.Array  # () int32 warmup rounds completed
+    i_samp: jax.Array  # () int32 sampling rounds completed
+    swap_acc: jax.Array  # (K-1,) summed swap accept probabilities
+    swap_att: jax.Array  # (K-1,) swap attempts (per adjacent pair)
+
+
+class PTResult(NamedTuple):
+    """samples: (n_samples, C, n) cold-chain draws.
+    accept_rate: (K,) fleet-mean HMC acceptance per temperature.
+    swap_rate: (K-1,) mean exchange acceptance per adjacent pair
+    (cumulative over the whole run incl. warmup — ladder health).
+    step_size: (K,) adapted per-temperature leapfrog step.
+    final_x: (K, C, n) last replica positions.
+    state: PTState — resume via `pt_sample_from_state`."""
+
+    samples: jax.Array
+    accept_rate: jax.Array
+    swap_rate: jax.Array
+    step_size: jax.Array
+    final_x: jax.Array
+    state: PTState
+
+
+def geometric_ladder(n_temps: int, beta_min: float = 0.05,
+                     dtype=jnp.float32) -> jax.Array:
+    """The standard geometric inverse-temperature ladder
+    1 = beta_0 > ... > beta_{K-1} = beta_min. Geometric spacing gives
+    roughly constant swap acceptance between neighbours on
+    Gaussian-like targets (constant energy-variance ratio)."""
+    if n_temps < 1:
+        raise ValueError("n_temps must be >= 1")
+    if n_temps == 1:
+        return jnp.ones((1,), dtype)
+    if not (0.0 < beta_min < 1.0):
+        raise ValueError("beta_min must be in (0, 1)")
+    return jnp.geomspace(1.0, beta_min, n_temps).astype(dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "value_and_grad_fn", "n_samples", "n_warmup", "n_leapfrog",
+        "swap_every", "target_accept", "i_warm0", "i_samp0",
+    ),
+)
+def _pt_core(
+    obj, state: PTState, mass, n_samples, n_warmup, n_leapfrog,
+    swap_every, target_accept, value_and_grad_fn, i_warm0, i_samp0,
+) -> PTResult:
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    f_flat = jax.vmap(as_value_fn(obj, value_and_grad_fn))
+    grad_flat = jax.vmap(lambda xx: vag(xx)[1])
+
+    K, C, n = state.x.shape
+    dtype = state.x.dtype
+    betas = state.betas  # (K,)
+
+    mass_b, chol_u = _mass_setup(mass, n, dtype)
+
+    def f_all(x):  # (K, C, n) -> (K, C), untempered
+        return f_flat(x.reshape(K * C, n)).reshape(K, C)
+
+    def grad_all(x):  # (K, C, n) -> (K, C, n), untempered
+        return grad_flat(x.reshape(K * C, n)).reshape(K, C, n)
+
+    def leapfrog(x, p, eps):
+        """Velocity Verlet on the tempered targets: dp/dt = +beta·∇f
+        (ascent form, matching _leapfrog). eps: (K,) per temperature."""
+        e = eps[:, None, None]
+        b = betas[:, None, None]
+
+        def body(_, carry):
+            x, p = carry
+            p = p + 0.5 * e * (b * grad_all(x))
+            v = _apply_mass(mass_b, p.reshape(K * C, n)).reshape(K, C, n)
+            x = x + e * v
+            p = p + 0.5 * e * (b * grad_all(x))
+            return x, p
+
+        return lax.fori_loop(0, n_leapfrog, body, (x, p))
+
+    def hmc_move(x, f, eps, k):
+        """One tempered HMC step on every replica. Returns the new
+        (x, f) and the (K, C) acceptance probabilities."""
+        k1, k2 = jax.random.split(k)
+        p = _draw_momentum(k1, K * C, n, dtype, mass_b, chol_u)
+        kin0 = _kinetic(p, mass_b).reshape(K, C)
+        x_new, p_new = leapfrog(x, p.reshape(K, C, n), eps)
+        f_new = f_all(x_new)
+        kin1 = _kinetic(p_new.reshape(K * C, n), mass_b).reshape(K, C)
+        log_ratio = betas[:, None] * (f_new - f) - (kin1 - kin0)
+        a_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
+        a_prob = jnp.where(jnp.isfinite(a_prob), a_prob, 0.0)
+        u = jax.random.uniform(k2, (K, C), dtype)
+        acc = u < a_prob
+        x = jnp.where(acc[:, :, None], x_new, x)
+        f = jnp.where(acc, f_new, f)
+        return x, f, a_prob
+
+    def swap_move(x, f, i, k):
+        """Even–odd exchange sweep over adjacent temperature pairs.
+        Pair p = (p, p+1) is active when p % 2 == i % 2; active pairs
+        are disjoint, so the whole sweep is one masked shift along the
+        K axis. Returns updated (x, f) and the (K-1,) per-pair accept
+        probabilities + attempt mask."""
+        if K == 1:
+            z = jnp.zeros((0,), dtype)
+            return x, f, z, z
+        parity = (i % 2).astype(jnp.int32)
+        pair_on = (jnp.arange(K - 1, dtype=jnp.int32) % 2) == parity  # (K-1,)
+        # swap ratio: exp((beta_p - beta_{p+1}) (f_{p+1} - f_p)) per chain
+        log_a = (betas[:-1] - betas[1:])[:, None] * (f[1:] - f[:-1])
+        a_prob = jnp.exp(jnp.minimum(log_a, 0.0))
+        a_prob = jnp.where(jnp.isfinite(a_prob), a_prob, 0.0)
+        u = jax.random.uniform(k, (K - 1, C), dtype)
+        acc = (u < a_prob) & pair_on[:, None]  # (K-1, C)
+        zrow = jnp.zeros((1, C), bool)
+        take_up = jnp.concatenate([acc, zrow], 0)  # row p takes row p+1
+        take_dn = jnp.concatenate([zrow, acc], 0)  # row p takes row p-1
+        x_up = jnp.roll(x, -1, axis=0)
+        x_dn = jnp.roll(x, 1, axis=0)
+        x = jnp.where(take_up[:, :, None], x_up,
+                      jnp.where(take_dn[:, :, None], x_dn, x))
+        f_up = jnp.roll(f, -1, axis=0)
+        f_dn = jnp.roll(f, 1, axis=0)
+        f = jnp.where(take_up, f_up, jnp.where(take_dn, f_dn, f))
+        pair_acc = jnp.sum(jnp.where(pair_on[:, None], a_prob, 0.0), axis=1)
+        pair_att = jnp.where(pair_on, jnp.asarray(C, dtype), 0.0)
+        return x, f, pair_acc, pair_att
+
+    def round_(x, f, eps, i, k, swap_acc, swap_att):
+        """One HMC move on every replica + (on schedule) an exchange
+        sweep. ``i`` is the GLOBAL round index — the sweep parity and
+        swap cadence derive from it so chunked runs replay exactly."""
+        k_hmc, k_swap = jax.random.split(k)
+        x, f, a_prob = hmc_move(x, f, eps, k_hmc)
+        do_swap = (i % swap_every) == 0
+        x_s, f_s, pair_acc, pair_att = swap_move(x, f, i // swap_every,
+                                                 k_swap)
+        x = jnp.where(do_swap, x_s, x)
+        f = jnp.where(do_swap, f_s, f)
+        swap_acc = swap_acc + jnp.where(do_swap, pair_acc, 0.0)
+        swap_att = swap_att + jnp.where(do_swap, pair_att, 0.0)
+        return x, f, a_prob, swap_acc, swap_att
+
+    # first-ever call: the cached logdensity is not populated yet
+    f0 = f_all(state.x) if (i_warm0 == 0 and i_samp0 == 0) else state.f
+    k_warm = jax.random.fold_in(state.key, 0)
+    k_samp = jax.random.fold_in(state.key, 1)
+
+    # ---- warmup: per-temperature dual averaging ----
+    def warm_body(carry, i):
+        x, f, log_eps, log_eps_bar, h_bar, t, s_acc, s_att = carry
+        k = jax.random.fold_in(k_warm, i)
+        x, f, a_prob, s_acc, s_att = round_(
+            x, f, jnp.exp(log_eps), i, k, s_acc, s_att
+        )
+        acc_err = target_accept - jnp.mean(a_prob, axis=1)  # (K,)
+        log_eps, log_eps_bar, h_bar, t = _da_update(
+            h_bar, log_eps_bar, t, acc_err, state.mu
+        )
+        return (x, f, log_eps, log_eps_bar, h_bar, t, s_acc, s_att), None
+
+    carry_w = (state.x, f0, state.log_eps, state.log_eps_bar, state.h_bar,
+               state.t_da, state.swap_acc, state.swap_att)
+    if n_warmup > 0:
+        carry_w, _ = lax.scan(
+            warm_body, carry_w, i_warm0 + jnp.arange(n_warmup)
+        )
+    x, f, log_eps, log_eps_bar, h_bar, t_da, swap_acc, swap_att = carry_w
+    eps_final = jnp.exp(log_eps_bar)
+
+    # ---- sampling at the adapted per-temperature steps ----
+    def sample_body(carry, j):
+        x, f, s_acc, s_att = carry
+        k = jax.random.fold_in(k_samp, j)
+        x, f, a_prob, s_acc, s_att = round_(x, f, eps_final, j, k,
+                                            s_acc, s_att)
+        return (x, f, s_acc, s_att), (x[0], a_prob)
+
+    (x, f, swap_acc, swap_att), (samples, a_probs) = lax.scan(
+        sample_body, (x, f, swap_acc, swap_att),
+        i_samp0 + jnp.arange(n_samples),
+    )
+
+    out_state = PTState(
+        x=x, f=f, betas=betas, log_eps=log_eps, log_eps_bar=log_eps_bar,
+        h_bar=h_bar, t_da=t_da, mu=state.mu, key=state.key,
+        i_warm=jnp.asarray(i_warm0 + n_warmup, jnp.int32),
+        i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
+        swap_acc=swap_acc, swap_att=swap_att,
+    )
+    accept_rate = (
+        jnp.mean(a_probs, axis=(0, 2)) if n_samples > 0
+        else jnp.zeros((K,), dtype)
+    )
+    swap_rate = swap_acc / jnp.maximum(swap_att, 1.0)
+    return PTResult(
+        samples=samples,
+        accept_rate=accept_rate,
+        swap_rate=swap_rate,
+        step_size=eps_final,
+        final_x=x,
+        state=out_state,
+    )
+
+
+def pt_sample(
+    obj,
+    key: jax.Array,
+    x0s: jax.Array,  # (chains, n) or (K, chains, n) initial positions
+    mass: Optional[jax.Array] = None,
+    betas: Optional[jax.Array] = None,
+    n_temps: int = 8,
+    beta_min: float = 0.05,
+    n_samples: int = 1000,
+    n_warmup: int = 500,
+    n_leapfrog: int = 16,
+    swap_every: int = 1,
+    step_size: float = 0.1,
+    target_accept: float = 0.8,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> PTResult:
+    """Replica-exchange (parallel tempering) HMC for multimodal targets.
+
+    Runs `n_temps` tempered copies of the chain fleet — replica k targets
+    beta_k·logdensity — with even–odd exchange sweeps between adjacent
+    temperatures every `swap_every` rounds. Hot replicas cross energy
+    barriers; exchanges transport their states down to the cold row,
+    whose draws are returned. The whole ladder advances as ONE lockstep
+    (K·C)-batched HMC program (the tempered gradient is a broadcast
+    scale), and the exchange sweep is a masked shift along the small
+    temperature axis — no gathers, no per-chain control flow.
+
+    ``x0s``: (chains, n) starts every temperature from the same fleet
+    (e.g. `multistart`/MAP modes), or (K, chains, n) for per-temperature
+    starts. ``betas``: explicit ladder (betas[0] must be 1.0), default
+    `geometric_ladder(n_temps, beta_min)`. ``mass``: the usual shared
+    preconditioner (dense / diag / LowRankMass / None).
+
+    Warmup adapts a PER-TEMPERATURE step size by dual averaging on that
+    temperature's fleet-mean acceptance. `result.swap_rate` (per adjacent
+    pair, cumulative) is the ladder-health diagnostic: values near 0 mean
+    the ladder has a gap (add temperatures or raise beta_min); well-tuned
+    ladders sit ~0.2–0.6.
+
+    Gradient cost per draw: K·n_leapfrog per-chain gradient evaluations —
+    the standard tempering premium. Use the smallest K whose swap rates
+    stay healthy.
+    """
+    x0s = jnp.asarray(x0s)
+    if betas is not None:
+        betas = jnp.asarray(betas)
+        if betas.ndim != 1 or betas.shape[0] < 1:
+            raise ValueError("betas must be a 1-D ladder")
+        K = betas.shape[0]
+    else:
+        K = n_temps
+    if x0s.ndim == 2:
+        x0s = jnp.broadcast_to(x0s[None], (K,) + x0s.shape)
+    elif x0s.ndim != 3 or x0s.shape[0] != K:
+        raise ValueError(
+            "x0s must be (chains, n) or (n_temps, chains, n); got "
+            f"{x0s.shape} with {K} temperatures"
+        )
+    dtype = x0s.dtype
+    if betas is None:
+        betas = geometric_ladder(K, beta_min, dtype)
+    else:
+        betas = betas.astype(dtype)
+    # beta_0 = 1 is the samples contract (row 0 IS the posterior)
+    if float(betas[0]) != 1.0:
+        raise ValueError("betas[0] must be exactly 1.0 (the cold chain)")
+    _, C, _n = x0s.shape
+    log_eps0 = jnp.full((K,), jnp.log(jnp.asarray(step_size, dtype)))
+    state0 = PTState(
+        x=x0s,
+        f=jnp.full((K, C), jnp.nan, dtype),
+        betas=betas,
+        log_eps=log_eps0,
+        log_eps_bar=log_eps0,
+        h_bar=jnp.zeros((K,), dtype),
+        t_da=jnp.zeros((), dtype),
+        mu=jnp.log(10.0 * jnp.asarray(step_size, dtype)),
+        key=key,
+        i_warm=jnp.zeros((), jnp.int32),
+        i_samp=jnp.zeros((), jnp.int32),
+        swap_acc=jnp.zeros((max(K - 1, 0),), dtype),
+        swap_att=jnp.zeros((max(K - 1, 0),), dtype),
+    )
+    return _pt_core(
+        obj, state0, mass, n_samples, n_warmup, n_leapfrog, swap_every,
+        target_accept, value_and_grad_fn, 0, 0,
+    )
+
+
+def pt_sample_from_state(
+    obj,
+    state: PTState,
+    mass: Optional[jax.Array] = None,
+    n_samples: int = 0,
+    n_warmup: int = 0,
+    n_leapfrog: int = 16,
+    swap_every: int = 1,
+    target_accept: float = 0.8,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> PTResult:
+    """Continue a `pt_sample` run: ``n_warmup`` MORE warmup rounds, then
+    ``n_samples`` more draws. Chunked calls replay one long run exactly
+    (same base key; ``mass``/``n_leapfrog``/``swap_every``/
+    ``target_accept`` are config, not state, and must be re-passed).
+    Warmup cannot resume after sampling has begun."""
+    i_warm0, i_samp0 = int(state.i_warm), int(state.i_samp)
+    if n_warmup > 0 and i_samp0 > 0:
+        raise ValueError(
+            "cannot add warmup after sampling has begun "
+            f"(state has {i_samp0} draws)"
+        )
+    return _pt_core(
+        obj, state, mass, n_samples, n_warmup, n_leapfrog, swap_every,
+        target_accept, value_and_grad_fn, i_warm0, i_samp0,
+    )

@@ -28,9 +28,10 @@ from ..state import BFGSState, LBFGSState
 def _sampler_state_classes():
     # deferred: sampling imports api/jax transforms; keep checkpoint cheap
     from ..sampling import ChEESState, HMCState, NUTSState
+    from ..tempering import PTState
 
     return {"HMCState": HMCState, "ChEESState": ChEESState,
-            "NUTSState": NUTSState}
+            "NUTSState": NUTSState, "PTState": PTState}
 
 
 __all__ = ["save_state", "load_state"]

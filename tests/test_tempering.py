@@ -1,0 +1,222 @@
+"""Replica-exchange (parallel tempering) sampler: multimodal recovery,
+invariant-distribution checks, ladder diagnostics, resume/checkpoint.
+
+The headline test is the one the single-temperature samplers CANNOT pass:
+a well-separated two-mode Gaussian mixture with unequal weights, every
+chain started in ONE basin — plain HMC stays there forever; `pt_sample`
+must recover both modes' masses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.models import GaussianMixture
+
+
+def _std_normal(x):
+    return -0.5 * jnp.sum(x * x)
+
+
+def test_geometric_ladder():
+    b = np.asarray(qnm.geometric_ladder(6, 0.05))
+    assert b.shape == (6,)
+    assert b[0] == 1.0
+    np.testing.assert_allclose(b[-1], 0.05, rtol=1e-6)
+    assert np.all(np.diff(b) < 0)
+    assert np.asarray(qnm.geometric_ladder(1)).tolist() == [1.0]
+    with pytest.raises(ValueError):
+        qnm.geometric_ladder(4, beta_min=1.5)
+    with pytest.raises(ValueError):
+        qnm.geometric_ladder(0)
+
+
+def test_pt_standard_normal_moments():
+    n, chains = 4, 32
+    res = qnm.pt_sample(
+        _std_normal, jax.random.PRNGKey(0), jnp.zeros((chains, n)),
+        n_temps=4, beta_min=0.2, n_samples=600, n_warmup=300, n_leapfrog=8,
+    )
+    assert res.samples.shape == (600, chains, n)
+    draws = np.asarray(res.samples).reshape(-1, n)
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.15)
+    # per-temperature adaptation worked on every rung
+    acc = np.asarray(res.accept_rate)
+    assert acc.shape == (4,)
+    assert np.all(acc > 0.5)
+    # hot rungs take bigger steps than the cold one
+    eps = np.asarray(res.step_size)
+    assert eps.shape == (4,)
+    assert eps[-1] > eps[0]
+    # geometric ladder on a Gaussian: healthy swap rates on every pair
+    swap = np.asarray(res.swap_rate)
+    assert swap.shape == (3,)
+    assert np.all(swap > 0.2) and np.all(swap <= 1.0)
+
+
+def test_pt_recovers_bimodal_mode_weights():
+    """The multimodal headline: modes at ±4 (8σ apart), weights 0.75/0.25,
+    all chains started in the HEAVY mode. Plain HMC never crosses; the
+    tempered ladder must put ~25% of cold draws in the light mode."""
+    mix = GaussianMixture(
+        means=[[4.0, 4.0], [-4.0, -4.0]], weights=[0.75, 0.25], sigmas=1.0
+    )
+    chains = 64
+    x0s = jnp.asarray(mix.means)[0][None, :] + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (chains, 2)
+    )
+
+    hmc = qnm.hmc_sample(
+        mix.logdensity, jax.random.PRNGKey(2), x0s,
+        n_samples=300, n_warmup=200, n_leapfrog=8,
+    )
+    w_hmc = np.asarray(mix.mode_weights(hmc.samples))
+    assert w_hmc[1] < 0.02  # stuck: essentially no mass in the far mode
+
+    pt = qnm.pt_sample(
+        mix.logdensity, jax.random.PRNGKey(2), x0s,
+        n_temps=6, beta_min=0.05,
+        n_samples=400, n_warmup=300, n_leapfrog=8,
+    )
+    w_pt = np.asarray(mix.mode_weights(pt.samples))
+    np.testing.assert_allclose(w_pt, [0.75, 0.25], atol=0.12)
+    # and the cold-row mean honors the mixture mean, not one basin's
+    mix_mean = np.asarray(mix.mean())
+    cold_mean = np.asarray(pt.samples).reshape(-1, 2).mean(axis=0)
+    np.testing.assert_allclose(cold_mean, mix_mean, atol=0.8)
+
+
+def test_pt_single_temperature_is_plain_hmc_shape():
+    res = qnm.pt_sample(
+        _std_normal, jax.random.PRNGKey(3), jnp.zeros((8, 3)),
+        n_temps=1, n_samples=50, n_warmup=50, n_leapfrog=4,
+    )
+    assert res.samples.shape == (50, 8, 3)
+    assert res.swap_rate.shape == (0,)
+    assert res.state.x.shape == (1, 8, 3)
+
+
+def test_pt_per_temperature_starts():
+    K, C, n = 3, 8, 2
+    x0s = jax.random.normal(jax.random.PRNGKey(4), (K, C, n))
+    res = qnm.pt_sample(
+        _std_normal, jax.random.PRNGKey(5), x0s,
+        n_temps=K, n_samples=20, n_warmup=20, n_leapfrog=4,
+    )
+    assert res.samples.shape == (20, C, n)
+
+
+def test_pt_resume_identity():
+    """Chunked warmup + chunked sampling replay one long run exactly."""
+    kw = dict(n_leapfrog=4, swap_every=2, target_accept=0.8)
+    key = jax.random.PRNGKey(6)
+    x0s = jax.random.normal(jax.random.PRNGKey(7), (16, 3))
+
+    long = qnm.pt_sample(
+        _std_normal, key, x0s, n_temps=3, beta_min=0.2,
+        n_samples=60, n_warmup=50, **kw,
+    )
+
+    a = qnm.pt_sample(
+        _std_normal, key, x0s, n_temps=3, beta_min=0.2,
+        n_samples=0, n_warmup=20, **kw,
+    )
+    b = qnm.pt_sample_from_state(
+        _std_normal, a.state, n_samples=25, n_warmup=30, **kw,
+    )
+    c = qnm.pt_sample_from_state(
+        _std_normal, b.state, n_samples=35, **kw,
+    )
+    chunked = np.concatenate(
+        [np.asarray(b.samples), np.asarray(c.samples)], axis=0
+    )
+    np.testing.assert_array_equal(chunked, np.asarray(long.samples))
+    np.testing.assert_array_equal(
+        np.asarray(c.state.x), np.asarray(long.state.x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c.state.swap_acc), np.asarray(long.state.swap_acc)
+    )
+
+
+def test_pt_checkpoint_roundtrip(tmp_path):
+    from quasinewtonmethods_jl_tpu.utils.checkpoint import load_state, save_state
+
+    key = jax.random.PRNGKey(8)
+    x0s = jax.random.normal(jax.random.PRNGKey(9), (8, 2))
+    a = qnm.pt_sample(
+        _std_normal, key, x0s, n_temps=3, n_samples=10, n_warmup=20,
+        n_leapfrog=4,
+    )
+    p = tmp_path / "pt_state"
+    save_state(p, a.state)
+    restored = load_state(p, qnm.PTState)
+    b_direct = qnm.pt_sample_from_state(
+        _std_normal, a.state, n_samples=15, n_leapfrog=4
+    )
+    b_loaded = qnm.pt_sample_from_state(
+        _std_normal, restored, n_samples=15, n_leapfrog=4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b_loaded.samples), np.asarray(b_direct.samples)
+    )
+
+
+def test_pt_error_paths():
+    x0s = jnp.zeros((4, 2))
+    with pytest.raises(ValueError, match="cold chain"):
+        qnm.pt_sample(
+            _std_normal, jax.random.PRNGKey(0), x0s,
+            betas=jnp.asarray([0.9, 0.5]), n_samples=1, n_warmup=1,
+        )
+    with pytest.raises(ValueError, match="1-D ladder"):
+        qnm.pt_sample(
+            _std_normal, jax.random.PRNGKey(0), x0s,
+            betas=jnp.ones((2, 2)), n_samples=1, n_warmup=1,
+        )
+    with pytest.raises(ValueError, match="x0s must be"):
+        qnm.pt_sample(
+            _std_normal, jax.random.PRNGKey(0), jnp.zeros((3, 4, 2)),
+            n_temps=2, n_samples=1, n_warmup=1,
+        )
+    res = qnm.pt_sample(
+        _std_normal, jax.random.PRNGKey(0), x0s, n_temps=2,
+        n_samples=5, n_warmup=5, n_leapfrog=2,
+    )
+    with pytest.raises(ValueError, match="warmup after sampling"):
+        qnm.pt_sample_from_state(_std_normal, res.state, n_warmup=5)
+
+
+def test_pt_mass_forms():
+    """Every metric form the other samplers accept works here too."""
+    n, chains = 3, 8
+    x0s = jnp.zeros((chains, n))
+    key = jax.random.PRNGKey(10)
+    dense = jnp.eye(n) + 0.1
+    for mass in (None, jnp.ones(n) * 2.0, dense):
+        res = qnm.pt_sample(
+            _std_normal, key, x0s, mass=mass, n_temps=2,
+            n_samples=10, n_warmup=10, n_leapfrog=4,
+        )
+        assert bool(jnp.all(jnp.isfinite(res.samples)))
+
+
+def test_gaussian_mixture_fixture():
+    mix = GaussianMixture(
+        means=[[2.0, 0.0], [-2.0, 0.0]], weights=[0.5, 0.5], sigmas=0.5
+    )
+    # symmetric mixture: mean 0; known covariance
+    np.testing.assert_allclose(np.asarray(mix.mean()), 0.0, atol=1e-12)
+    cov = np.asarray(mix.cov())
+    np.testing.assert_allclose(cov[0, 0], 0.25 + 4.0, rtol=1e-6)
+    np.testing.assert_allclose(cov[1, 1], 0.25, rtol=1e-6)
+    # logdensity: at a mode, ≈ log w − n log σ (other mode negligible)
+    ld = float(mix.logdensity(jnp.asarray([2.0, 0.0])))
+    expect = np.log(0.5) - 2 * np.log(0.5)
+    np.testing.assert_allclose(ld, expect, atol=1e-6)
+    w = np.asarray(
+        mix.mode_weights(jnp.asarray([[2.1, 0.0], [-1.9, 0.1], [2.0, 0.2]]))
+    )
+    np.testing.assert_allclose(w, [2 / 3, 1 / 3], atol=1e-12)
