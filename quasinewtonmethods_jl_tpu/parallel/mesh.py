@@ -131,8 +131,11 @@ def sample_sharded(
     the fleet-variance mass) lower to all-reduces over ICI — a few
     scalars and one (n,) vector per round; with ``sampler='nuts'`` the
     per-chain trees are independent but the tree loops' early-exit
-    any-reduces become cross-device all-reduces. kwargs pass through to
-    the corresponding sampler."""
+    any-reduces become cross-device all-reduces; with ``sampler='pt'``
+    the temperature axis is replicated (the exchange sweep's masked
+    shifts stay device-local) and only the per-temperature fleet-mean
+    acceptance all-reduces. kwargs pass through to the corresponding
+    sampler."""
     from ..sampling import get_sampler
 
     sample_fn = get_sampler(sampler)

@@ -99,9 +99,13 @@ def get_sampler(name: str):
     """Resolve a sampler by name — ONE registry for every dispatch site
     (workflow pipeline, mesh sharding)."""
     samplers = {"chees": chees_sample, "hmc": hmc_sample, "nuts": nuts_sample}
+    if name == "pt":  # deferred: tempering imports this module
+        from .tempering import pt_sample
+
+        return pt_sample
     if name not in samplers:
         raise ValueError(
-            f"unknown sampler {name!r}; use 'chees', 'hmc' or 'nuts'"
+            f"unknown sampler {name!r}; use 'chees', 'hmc', 'nuts' or 'pt'"
         )
     return samplers[name]
 

@@ -95,7 +95,10 @@ def map_then_sample(
     or explicit (chains, n) starts; integer input is promoted to float.
     ``sampler``: 'chees' (default — fleet-adaptive trajectories +
     diagonal mass, TPU-native), 'hmc' (dense-B preconditioned, fixed
-    path length), or 'nuts'. ``map_engine``: 'bfgs' (dense B, the
+    path length), 'nuts', or 'pt' (replica exchange — multimodal
+    posteriors; ladder kwargs like ``n_temps``/``beta_min`` pass through
+    ``sampler_kwargs``; it too gets the MAP-fleet mass).
+    ``map_engine``: 'bfgs' (dense B, the
     reference algorithm) or 'lbfgs' (the large-n fleet engine — the
     handed-over mass is then the compact-form diag(H), O(m²·n), so the
     pipeline never materializes an n×n matrix). The MAP fleet's
@@ -262,8 +265,10 @@ def map_then_sample(
         n_samples=n_samples, n_warmup=n_warmup,
         value_and_grad_fn=value_and_grad_fn,
     )
-    if sampler == "hmc":
-        kw["mass"] = mass  # the dense-B handoff is the point of 'hmc'
+    if sampler in ("hmc", "pt"):
+        # the dense-B handoff is the point of 'hmc'; 'pt' (replica
+        # exchange, multimodal targets) has no self-adaptation either
+        kw["mass"] = mass
     elif mass_form == "lowrank" or init == "pathfinder":
         # an explicitly requested low-rank metric (or the pathfinder
         # handoff, whose selected metric IS the point) overrides the

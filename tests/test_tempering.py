@@ -220,3 +220,50 @@ def test_gaussian_mixture_fixture():
         mix.mode_weights(jnp.asarray([[2.1, 0.0], [-1.9, 0.1], [2.0, 0.2]]))
     )
     np.testing.assert_allclose(w, [2 / 3, 1 / 3], atol=1e-12)
+
+
+def test_map_then_sample_pt():
+    """The one-call pipeline with the replica-exchange sampler: the MAP
+    fleet's curvature becomes the ladder's shared mass."""
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x * jnp.asarray([1.0, 4.0, 0.25]))
+
+    out = qnm.map_then_sample(
+        logdensity, jax.random.PRNGKey(11), jnp.ones(3) * 2.0,
+        n_chains=16, sampler="pt", n_samples=200, n_warmup=150,
+        n_temps=3, beta_min=0.2, n_leapfrog=8,
+    )
+    assert out.samples.shape == (200, 16, 3)
+    assert np.nanmax(np.asarray(out.diagnostics.rhat)) < 1.1
+    draws = np.asarray(out.samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        draws.var(axis=0), [1.0, 0.25, 4.0], rtol=0.3
+    )
+    assert np.asarray(out.sampler_result.swap_rate).shape == (2,)
+
+
+def test_sample_sharded_pt():
+    """Chains sharded over the virtual mesh. Like ChEES, PT's warmup has
+    cross-chain reductions (per-temperature fleet-mean acceptance), so
+    sharding changes summation order and the adaptation feedback
+    amplifies the fp drift — the contract is distribution-level, not
+    draw-parity (same policy as the sharded-ChEES test)."""
+    from quasinewtonmethods_jl_tpu import parallel
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    chains, n = 64, 3
+    key = jax.random.PRNGKey(12)
+    x0s = jax.random.normal(jax.random.PRNGKey(13), (chains, n))
+    mesh = parallel.make_mesh({"data": 8})
+    res = parallel.sample_sharded(
+        logdensity, key, x0s, mesh, sampler="pt",
+        n_temps=3, beta_min=0.2, n_samples=300, n_warmup=200,
+        n_leapfrog=8,
+    )
+    assert res.samples.shape == (300, chains, n)
+    draws = np.asarray(res.samples).reshape(-1, n)
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.12)
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.2)
+    assert np.all(np.asarray(res.swap_rate) > 0.2)
