@@ -30,6 +30,15 @@ Design choices (TPU-first, same contracts as the other samplers):
   * exchange every `swap_every` rounds, alternating even/odd adjacent
     pairs by GLOBAL step parity (so chunked resume replays the long
     run's exact sweep schedule);
+  * optional in-warmup LADDER adaptation (`adapt_ladder=True`):
+    anchored swap-rate equalization — the log-spacings of the ladder
+    redistribute multiplicatively toward equal per-pair swap acceptance
+    (pairs accepting above the ladder mean widen, below-mean pairs
+    shrink), with both endpoints pinned (beta_0 = 1, beta_{K-1} =
+    beta_min) and a decaying adaptation rate (Vousden, Farr & Mandel
+    2016 style, re-anchored). A (K-1,) elementwise update per sweep —
+    free on the TPU. Frozen at sampling; the adapted ladder rides in
+    the state, so resume continues it;
   * the cached per-replica logdensity is stored UNTEMPERED — the HMC
     ratio multiplies by beta on the fly and the swap ratio
     (beta_i − beta_j)(f_j − f_i) reads it directly; a swap never
@@ -65,6 +74,12 @@ from .sampling import (
 __all__ = ["PTState", "PTResult", "pt_sample", "pt_sample_from_state",
            "geometric_ladder"]
 
+# ladder adaptation: EMA weight for per-pair swap acceptance, base rate
+# and decay scale (in swap sweeps) for the multiplicative spacing update
+_LADDER_EMA = 0.2
+_LADDER_KAPPA0 = 0.4
+_LADDER_T0 = 50.0
+
 
 class PTState(NamedTuple):
     """Resumable replica-exchange state (see HMCState for the key-stream
@@ -79,11 +94,12 @@ class PTState(NamedTuple):
     h_bar: jax.Array  # (K,) DA error accumulator
     t_da: jax.Array  # () DA step count
     mu: jax.Array  # () DA shrink target log(10 * eps0)
-    key: jax.Array  # base PRNG key
+    key: jax.Array  # the run's base PRNG key
     i_warm: jax.Array  # () int32 warmup rounds completed
     i_samp: jax.Array  # () int32 sampling rounds completed
     swap_acc: jax.Array  # (K-1,) summed swap accept probabilities
     swap_att: jax.Array  # (K-1,) swap attempts (per adjacent pair)
+    swap_ema: jax.Array  # (K-1,) per-pair acceptance EMA (ladder adapt)
 
 
 class PTResult(NamedTuple):
@@ -92,6 +108,8 @@ class PTResult(NamedTuple):
     swap_rate: (K-1,) mean exchange acceptance per adjacent pair
     (cumulative over the whole run incl. warmup — ladder health).
     step_size: (K,) adapted per-temperature leapfrog step.
+    betas: (K,) the ladder actually sampled with (adapted if
+    adapt_ladder, else the input ladder).
     final_x: (K, C, n) last replica positions.
     state: PTState — resume via `pt_sample_from_state`."""
 
@@ -99,6 +117,7 @@ class PTResult(NamedTuple):
     accept_rate: jax.Array
     swap_rate: jax.Array
     step_size: jax.Array
+    betas: jax.Array
     final_x: jax.Array
     state: PTState
 
@@ -118,16 +137,33 @@ def geometric_ladder(n_temps: int, beta_min: float = 0.05,
     return jnp.geomspace(1.0, beta_min, n_temps).astype(dtype)
 
 
+def _ladder_adapt(betas, swap_ema, sweep_idx, dtype):
+    """Anchored swap-rate equalization: redistribute the ladder's
+    log-spacings multiplicatively toward equal per-pair acceptance.
+    Endpoints stay pinned (total log-span conserved), so this reshapes
+    the ladder rather than stretching it."""
+    s = jnp.log(betas[:-1]) - jnp.log(betas[1:])  # (K-1,) > 0 spacings
+    kappa = _LADDER_KAPPA0 / (1.0 + sweep_idx.astype(dtype) / _LADDER_T0)
+    # above-average pairs widen, below-average shrink
+    s_new = s * jnp.exp(kappa * (swap_ema - jnp.mean(swap_ema)))
+    s_new = s_new * (jnp.sum(s) / jnp.sum(s_new))  # conserve the span
+    log_b = jnp.concatenate(
+        [jnp.zeros((1,), dtype), -jnp.cumsum(s_new)]
+    )
+    return jnp.exp(log_b)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "obj", "value_and_grad_fn", "n_samples", "n_warmup", "n_leapfrog",
-        "swap_every", "target_accept", "i_warm0", "i_samp0",
+        "swap_every", "target_accept", "adapt_ladder", "i_warm0", "i_samp0",
     ),
 )
 def _pt_core(
     obj, state: PTState, mass, n_samples, n_warmup, n_leapfrog,
-    swap_every, target_accept, value_and_grad_fn, i_warm0, i_samp0,
+    swap_every, target_accept, adapt_ladder, value_and_grad_fn,
+    i_warm0, i_samp0,
 ) -> PTResult:
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f_flat = jax.vmap(as_value_fn(obj, value_and_grad_fn))
@@ -135,7 +171,6 @@ def _pt_core(
 
     K, C, n = state.x.shape
     dtype = state.x.dtype
-    betas = state.betas  # (K,)
 
     mass_b, chol_u = _mass_setup(mass, n, dtype)
 
@@ -145,7 +180,7 @@ def _pt_core(
     def grad_all(x):  # (K, C, n) -> (K, C, n), untempered
         return grad_flat(x.reshape(K * C, n)).reshape(K, C, n)
 
-    def leapfrog(x, p, eps):
+    def leapfrog(x, p, eps, betas):
         """Velocity Verlet on the tempered targets: dp/dt = +beta·∇f
         (ascent form, matching _leapfrog). eps: (K,) per temperature."""
         e = eps[:, None, None]
@@ -161,13 +196,13 @@ def _pt_core(
 
         return lax.fori_loop(0, n_leapfrog, body, (x, p))
 
-    def hmc_move(x, f, eps, k):
+    def hmc_move(x, f, eps, betas, k):
         """One tempered HMC step on every replica. Returns the new
         (x, f) and the (K, C) acceptance probabilities."""
         k1, k2 = jax.random.split(k)
         p = _draw_momentum(k1, K * C, n, dtype, mass_b, chol_u)
         kin0 = _kinetic(p, mass_b).reshape(K, C)
-        x_new, p_new = leapfrog(x, p.reshape(K, C, n), eps)
+        x_new, p_new = leapfrog(x, p.reshape(K, C, n), eps, betas)
         f_new = f_all(x_new)
         kin1 = _kinetic(p_new.reshape(K * C, n), mass_b).reshape(K, C)
         log_ratio = betas[:, None] * (f_new - f) - (kin1 - kin0)
@@ -179,7 +214,7 @@ def _pt_core(
         f = jnp.where(acc, f_new, f)
         return x, f, a_prob
 
-    def swap_move(x, f, i, k):
+    def swap_move(x, f, betas, i, k):
         """Even–odd exchange sweep over adjacent temperature pairs.
         Pair p = (p, p+1) is active when p % 2 == i % 2; active pairs
         are disjoint, so the whole sweep is one masked shift along the
@@ -210,58 +245,74 @@ def _pt_core(
         pair_att = jnp.where(pair_on, jnp.asarray(C, dtype), 0.0)
         return x, f, pair_acc, pair_att
 
-    def round_(x, f, eps, i, k, swap_acc, swap_att):
+    def round_(x, f, eps, betas, i, k, swap_acc, swap_att, swap_ema):
         """One HMC move on every replica + (on schedule) an exchange
         sweep. ``i`` is the GLOBAL round index — the sweep parity and
         swap cadence derive from it so chunked runs replay exactly."""
         k_hmc, k_swap = jax.random.split(k)
-        x, f, a_prob = hmc_move(x, f, eps, k_hmc)
+        x, f, a_prob = hmc_move(x, f, eps, betas, k_hmc)
         do_swap = (i % swap_every) == 0
-        x_s, f_s, pair_acc, pair_att = swap_move(x, f, i // swap_every,
-                                                 k_swap)
+        x_s, f_s, pair_acc, pair_att = swap_move(x, f, betas,
+                                                 i // swap_every, k_swap)
         x = jnp.where(do_swap, x_s, x)
         f = jnp.where(do_swap, f_s, f)
         swap_acc = swap_acc + jnp.where(do_swap, pair_acc, 0.0)
         swap_att = swap_att + jnp.where(do_swap, pair_att, 0.0)
-        return x, f, a_prob, swap_acc, swap_att
+        if K > 1:
+            # per-pair acceptance EMA, updated only on attempted pairs
+            rate = pair_acc / jnp.maximum(pair_att, 1.0)
+            upd = (do_swap & (pair_att > 0)).astype(dtype)
+            swap_ema = swap_ema + upd * _LADDER_EMA * (rate - swap_ema)
+        return x, f, a_prob, swap_acc, swap_att, swap_ema
 
     # first-ever call: the cached logdensity is not populated yet
     f0 = f_all(state.x) if (i_warm0 == 0 and i_samp0 == 0) else state.f
     k_warm = jax.random.fold_in(state.key, 0)
     k_samp = jax.random.fold_in(state.key, 1)
 
-    # ---- warmup: per-temperature dual averaging ----
+    # ---- warmup: per-temperature dual averaging (+ ladder adaptation) ----
     def warm_body(carry, i):
-        x, f, log_eps, log_eps_bar, h_bar, t, s_acc, s_att = carry
+        (x, f, betas, log_eps, log_eps_bar, h_bar, t, s_acc, s_att,
+         s_ema) = carry
         k = jax.random.fold_in(k_warm, i)
-        x, f, a_prob, s_acc, s_att = round_(
-            x, f, jnp.exp(log_eps), i, k, s_acc, s_att
+        x, f, a_prob, s_acc, s_att, s_ema = round_(
+            x, f, jnp.exp(log_eps), betas, i, k, s_acc, s_att, s_ema
         )
+        if adapt_ladder and K > 2:
+            betas = jnp.where(
+                (i % swap_every) == 0,
+                _ladder_adapt(betas, s_ema, i // swap_every, dtype),
+                betas,
+            )
         acc_err = target_accept - jnp.mean(a_prob, axis=1)  # (K,)
         log_eps, log_eps_bar, h_bar, t = _da_update(
             h_bar, log_eps_bar, t, acc_err, state.mu
         )
-        return (x, f, log_eps, log_eps_bar, h_bar, t, s_acc, s_att), None
+        return (x, f, betas, log_eps, log_eps_bar, h_bar, t, s_acc,
+                s_att, s_ema), None
 
-    carry_w = (state.x, f0, state.log_eps, state.log_eps_bar, state.h_bar,
-               state.t_da, state.swap_acc, state.swap_att)
+    carry_w = (state.x, f0, state.betas, state.log_eps, state.log_eps_bar,
+               state.h_bar, state.t_da, state.swap_acc, state.swap_att,
+               state.swap_ema)
     if n_warmup > 0:
         carry_w, _ = lax.scan(
             warm_body, carry_w, i_warm0 + jnp.arange(n_warmup)
         )
-    x, f, log_eps, log_eps_bar, h_bar, t_da, swap_acc, swap_att = carry_w
+    (x, f, betas, log_eps, log_eps_bar, h_bar, t_da, swap_acc, swap_att,
+     swap_ema) = carry_w
     eps_final = jnp.exp(log_eps_bar)
 
-    # ---- sampling at the adapted per-temperature steps ----
+    # ---- sampling at the adapted steps on the (frozen) final ladder ----
     def sample_body(carry, j):
-        x, f, s_acc, s_att = carry
+        x, f, s_acc, s_att, s_ema = carry
         k = jax.random.fold_in(k_samp, j)
-        x, f, a_prob, s_acc, s_att = round_(x, f, eps_final, j, k,
-                                            s_acc, s_att)
-        return (x, f, s_acc, s_att), (x[0], a_prob)
+        x, f, a_prob, s_acc, s_att, s_ema = round_(
+            x, f, eps_final, betas, j, k, s_acc, s_att, s_ema
+        )
+        return (x, f, s_acc, s_att, s_ema), (x[0], a_prob)
 
-    (x, f, swap_acc, swap_att), (samples, a_probs) = lax.scan(
-        sample_body, (x, f, swap_acc, swap_att),
+    (x, f, swap_acc, swap_att, swap_ema), (samples, a_probs) = lax.scan(
+        sample_body, (x, f, swap_acc, swap_att, swap_ema),
         i_samp0 + jnp.arange(n_samples),
     )
 
@@ -270,7 +321,7 @@ def _pt_core(
         h_bar=h_bar, t_da=t_da, mu=state.mu, key=state.key,
         i_warm=jnp.asarray(i_warm0 + n_warmup, jnp.int32),
         i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
-        swap_acc=swap_acc, swap_att=swap_att,
+        swap_acc=swap_acc, swap_att=swap_att, swap_ema=swap_ema,
     )
     accept_rate = (
         jnp.mean(a_probs, axis=(0, 2)) if n_samples > 0
@@ -282,6 +333,7 @@ def _pt_core(
         accept_rate=accept_rate,
         swap_rate=swap_rate,
         step_size=eps_final,
+        betas=betas,
         final_x=x,
         state=out_state,
     )
@@ -301,6 +353,7 @@ def pt_sample(
     swap_every: int = 1,
     step_size: float = 0.1,
     target_accept: float = 0.8,
+    adapt_ladder: bool = False,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> PTResult:
     """Replica-exchange (parallel tempering) HMC for multimodal targets.
@@ -321,10 +374,16 @@ def pt_sample(
     preconditioner (dense / diag / LowRankMass / None).
 
     Warmup adapts a PER-TEMPERATURE step size by dual averaging on that
-    temperature's fleet-mean acceptance. `result.swap_rate` (per adjacent
-    pair, cumulative) is the ladder-health diagnostic: values near 0 mean
-    the ladder has a gap (add temperatures or raise beta_min); well-tuned
-    ladders sit ~0.2–0.6.
+    temperature's fleet-mean acceptance. With ``adapt_ladder=True``
+    (K > 2) warmup also reshapes the ladder itself: log-spacings
+    redistribute multiplicatively toward equal per-pair swap acceptance
+    (endpoints pinned at 1 and beta_min, span conserved, decaying rate)
+    — the fix when a default geometric ladder leaves a low-acceptance
+    gap. The adapted ladder freezes at sampling and is reported as
+    `result.betas`. `result.swap_rate` (per adjacent pair, cumulative)
+    is the ladder-health diagnostic: values near 0 mean a gap (adapt,
+    add temperatures, or raise beta_min); well-tuned ladders sit
+    ~0.2–0.6.
 
     Gradient cost per draw: K·n_leapfrog per-chain gradient evaluations —
     the standard tempering premium. Use the smallest K whose swap rates
@@ -369,10 +428,11 @@ def pt_sample(
         i_samp=jnp.zeros((), jnp.int32),
         swap_acc=jnp.zeros((max(K - 1, 0),), dtype),
         swap_att=jnp.zeros((max(K - 1, 0),), dtype),
+        swap_ema=jnp.full((max(K - 1, 0),), 0.5, dtype),
     )
     return _pt_core(
         obj, state0, mass, n_samples, n_warmup, n_leapfrog, swap_every,
-        target_accept, value_and_grad_fn, 0, 0,
+        target_accept, adapt_ladder, value_and_grad_fn, 0, 0,
     )
 
 
@@ -385,13 +445,14 @@ def pt_sample_from_state(
     n_leapfrog: int = 16,
     swap_every: int = 1,
     target_accept: float = 0.8,
+    adapt_ladder: bool = False,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> PTResult:
     """Continue a `pt_sample` run: ``n_warmup`` MORE warmup rounds, then
     ``n_samples`` more draws. Chunked calls replay one long run exactly
     (same base key; ``mass``/``n_leapfrog``/``swap_every``/
-    ``target_accept`` are config, not state, and must be re-passed).
-    Warmup cannot resume after sampling has begun."""
+    ``target_accept``/``adapt_ladder`` are config, not state, and must
+    be re-passed). Warmup cannot resume after sampling has begun."""
     i_warm0, i_samp0 = int(state.i_warm), int(state.i_samp)
     if n_warmup > 0 and i_samp0 > 0:
         raise ValueError(
@@ -400,5 +461,5 @@ def pt_sample_from_state(
         )
     return _pt_core(
         obj, state, mass, n_samples, n_warmup, n_leapfrog, swap_every,
-        target_accept, value_and_grad_fn, i_warm0, i_samp0,
+        target_accept, adapt_ladder, value_and_grad_fn, i_warm0, i_samp0,
     )

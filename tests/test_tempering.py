@@ -267,3 +267,49 @@ def test_sample_sharded_pt():
     np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.12)
     np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.2)
     assert np.all(np.asarray(res.swap_rate) > 0.2)
+
+
+def test_pt_adapt_ladder_repairs_a_gapped_ladder():
+    """A deliberately bad ladder (rungs clustered near beta=1, one huge
+    gap to the bottom): the gap pair's swap acceptance is ~0, so the
+    cold row is effectively cut off from the hot end. adapt_ladder=True
+    must redistribute the log-spacings (endpoints pinned) until every
+    pair conducts."""
+    bad = jnp.asarray([1.0, 0.95, 0.9, 0.85, 0.05])
+    kw = dict(betas=bad, n_samples=150, n_warmup=300, n_leapfrog=4)
+    x0s = jax.random.normal(jax.random.PRNGKey(20), (32, 4))
+
+    off = qnm.pt_sample(_std_normal, jax.random.PRNGKey(21), x0s,
+                        adapt_ladder=False, **kw)
+    on = qnm.pt_sample(_std_normal, jax.random.PRNGKey(21), x0s,
+                       adapt_ladder=True, **kw)
+    # the fixed bad ladder's gap pair barely conducts
+    assert float(np.min(np.asarray(off.swap_rate))) < 0.05
+    # the adapted ladder conducts on every pair (EMA = steady-state rate)
+    assert float(np.min(np.asarray(on.state.swap_ema))) > 0.15
+    b = np.asarray(on.betas)
+    assert b[0] == 1.0
+    np.testing.assert_allclose(b[-1], 0.05, rtol=1e-4)  # endpoints pinned
+    assert np.all(np.diff(b) < 0)  # still a monotone ladder
+    # and the gap actually closed: largest log-spacing shrank
+    s0 = np.diff(np.log(np.asarray(bad)))
+    s1 = np.diff(np.log(b))
+    assert np.max(-s1) < 0.6 * np.max(-s0)
+
+
+def test_pt_adapt_ladder_resume_identity():
+    kw = dict(n_leapfrog=4, adapt_ladder=True)
+    key = jax.random.PRNGKey(22)
+    x0s = jax.random.normal(jax.random.PRNGKey(23), (16, 3))
+    long = qnm.pt_sample(_std_normal, key, x0s, n_temps=4, beta_min=0.1,
+                         n_samples=40, n_warmup=60, **kw)
+    a = qnm.pt_sample(_std_normal, key, x0s, n_temps=4, beta_min=0.1,
+                      n_samples=0, n_warmup=25, **kw)
+    b = qnm.pt_sample_from_state(_std_normal, a.state, n_samples=40,
+                                 n_warmup=35, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(b.samples), np.asarray(long.samples)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b.betas), np.asarray(long.betas)
+    )
