@@ -100,6 +100,9 @@ class PTState(NamedTuple):
     swap_acc: jax.Array  # (K-1,) summed swap accept probabilities
     swap_att: jax.Array  # (K-1,) swap attempts (per adjacent pair)
     swap_ema: jax.Array  # (K-1,) per-pair acceptance EMA (ladder adapt)
+    tag: jax.Array  # (K, C) int32 replica-flow tag (0 unset, 1 last
+    # visited cold end, 2 last visited hot end) — rides the swaps
+    round_trips: jax.Array  # (C,) int32 completed hot→cold transits
 
 
 class PTResult(NamedTuple):
@@ -110,6 +113,11 @@ class PTResult(NamedTuple):
     step_size: (K,) adapted per-temperature leapfrog step.
     betas: (K,) the ladder actually sampled with (adapted if
     adapt_ladder, else the input ladder).
+    round_trips: (C,) per-chain completed replica round trips (a state
+    reaching the hot end and returning to the cold row) over the whole
+    run — the DEEP mixing diagnostic: healthy swap_rate with ~zero
+    round trips means replicas ping-pong locally and the ladder is too
+    long or too weakly coupled for states to actually traverse it.
     final_x: (K, C, n) last replica positions.
     state: PTState — resume via `pt_sample_from_state`."""
 
@@ -118,6 +126,7 @@ class PTResult(NamedTuple):
     swap_rate: jax.Array
     step_size: jax.Array
     betas: jax.Array
+    round_trips: jax.Array
     final_x: jax.Array
     state: PTState
 
@@ -214,15 +223,17 @@ def _pt_core(
         f = jnp.where(acc, f_new, f)
         return x, f, a_prob
 
-    def swap_move(x, f, betas, i, k):
+    def swap_move(x, f, tag, trips, betas, i, k):
         """Even–odd exchange sweep over adjacent temperature pairs.
         Pair p = (p, p+1) is active when p % 2 == i % 2; active pairs
         are disjoint, so the whole sweep is one masked shift along the
-        K axis. Returns updated (x, f) and the (K-1,) per-pair accept
-        probabilities + attempt mask."""
+        K axis. The replica-flow ``tag`` rides the same shift; after
+        the sweep, a hot-tagged state landing on the cold row completes
+        a round trip. Returns updated (x, f, tag, trips) and the
+        (K-1,) per-pair accept probabilities + attempt mask."""
         if K == 1:
             z = jnp.zeros((0,), dtype)
-            return x, f, z, z
+            return x, f, tag, trips, z, z
         parity = (i % 2).astype(jnp.int32)
         pair_on = (jnp.arange(K - 1, dtype=jnp.int32) % 2) == parity  # (K-1,)
         # swap ratio: exp((beta_p - beta_{p+1}) (f_{p+1} - f_p)) per chain
@@ -241,21 +252,33 @@ def _pt_core(
         f_up = jnp.roll(f, -1, axis=0)
         f_dn = jnp.roll(f, 1, axis=0)
         f = jnp.where(take_up, f_up, jnp.where(take_dn, f_dn, f))
+        tag = jnp.where(take_up, jnp.roll(tag, -1, axis=0),
+                        jnp.where(take_dn, jnp.roll(tag, 1, axis=0), tag))
+        # flow bookkeeping at the ends: a hot-tagged state on the cold
+        # row completes a round trip (and re-arms as cold-tagged); any
+        # state on the hot row arms as hot-tagged
+        trips = trips + (tag[0] == 2).astype(jnp.int32)
+        tag = tag.at[0].set(1)
+        tag = tag.at[K - 1].set(2)
         pair_acc = jnp.sum(jnp.where(pair_on[:, None], a_prob, 0.0), axis=1)
         pair_att = jnp.where(pair_on, jnp.asarray(C, dtype), 0.0)
-        return x, f, pair_acc, pair_att
+        return x, f, tag, trips, pair_acc, pair_att
 
-    def round_(x, f, eps, betas, i, k, swap_acc, swap_att, swap_ema):
+    def round_(x, f, tag, trips, eps, betas, i, k, swap_acc, swap_att,
+               swap_ema):
         """One HMC move on every replica + (on schedule) an exchange
         sweep. ``i`` is the GLOBAL round index — the sweep parity and
         swap cadence derive from it so chunked runs replay exactly."""
         k_hmc, k_swap = jax.random.split(k)
         x, f, a_prob = hmc_move(x, f, eps, betas, k_hmc)
         do_swap = (i % swap_every) == 0
-        x_s, f_s, pair_acc, pair_att = swap_move(x, f, betas,
-                                                 i // swap_every, k_swap)
+        x_s, f_s, tag_s, trips_s, pair_acc, pair_att = swap_move(
+            x, f, tag, trips, betas, i // swap_every, k_swap
+        )
         x = jnp.where(do_swap, x_s, x)
         f = jnp.where(do_swap, f_s, f)
+        tag = jnp.where(do_swap, tag_s, tag)
+        trips = jnp.where(do_swap, trips_s, trips)
         swap_acc = swap_acc + jnp.where(do_swap, pair_acc, 0.0)
         swap_att = swap_att + jnp.where(do_swap, pair_att, 0.0)
         if K > 1:
@@ -263,7 +286,7 @@ def _pt_core(
             rate = pair_acc / jnp.maximum(pair_att, 1.0)
             upd = (do_swap & (pair_att > 0)).astype(dtype)
             swap_ema = swap_ema + upd * _LADDER_EMA * (rate - swap_ema)
-        return x, f, a_prob, swap_acc, swap_att, swap_ema
+        return x, f, tag, trips, a_prob, swap_acc, swap_att, swap_ema
 
     # first-ever call: the cached logdensity is not populated yet
     f0 = f_all(state.x) if (i_warm0 == 0 and i_samp0 == 0) else state.f
@@ -272,11 +295,12 @@ def _pt_core(
 
     # ---- warmup: per-temperature dual averaging (+ ladder adaptation) ----
     def warm_body(carry, i):
-        (x, f, betas, log_eps, log_eps_bar, h_bar, t, s_acc, s_att,
-         s_ema) = carry
+        (x, f, tag, trips, betas, log_eps, log_eps_bar, h_bar, t, s_acc,
+         s_att, s_ema) = carry
         k = jax.random.fold_in(k_warm, i)
-        x, f, a_prob, s_acc, s_att, s_ema = round_(
-            x, f, jnp.exp(log_eps), betas, i, k, s_acc, s_att, s_ema
+        x, f, tag, trips, a_prob, s_acc, s_att, s_ema = round_(
+            x, f, tag, trips, jnp.exp(log_eps), betas, i, k, s_acc,
+            s_att, s_ema
         )
         if adapt_ladder and K > 2:
             betas = jnp.where(
@@ -288,31 +312,32 @@ def _pt_core(
         log_eps, log_eps_bar, h_bar, t = _da_update(
             h_bar, log_eps_bar, t, acc_err, state.mu
         )
-        return (x, f, betas, log_eps, log_eps_bar, h_bar, t, s_acc,
-                s_att, s_ema), None
+        return (x, f, tag, trips, betas, log_eps, log_eps_bar, h_bar, t,
+                s_acc, s_att, s_ema), None
 
-    carry_w = (state.x, f0, state.betas, state.log_eps, state.log_eps_bar,
-               state.h_bar, state.t_da, state.swap_acc, state.swap_att,
-               state.swap_ema)
+    carry_w = (state.x, f0, state.tag, state.round_trips, state.betas,
+               state.log_eps, state.log_eps_bar, state.h_bar, state.t_da,
+               state.swap_acc, state.swap_att, state.swap_ema)
     if n_warmup > 0:
         carry_w, _ = lax.scan(
             warm_body, carry_w, i_warm0 + jnp.arange(n_warmup)
         )
-    (x, f, betas, log_eps, log_eps_bar, h_bar, t_da, swap_acc, swap_att,
-     swap_ema) = carry_w
+    (x, f, tag, trips, betas, log_eps, log_eps_bar, h_bar, t_da, swap_acc,
+     swap_att, swap_ema) = carry_w
     eps_final = jnp.exp(log_eps_bar)
 
     # ---- sampling at the adapted steps on the (frozen) final ladder ----
     def sample_body(carry, j):
-        x, f, s_acc, s_att, s_ema = carry
+        x, f, tag, trips, s_acc, s_att, s_ema = carry
         k = jax.random.fold_in(k_samp, j)
-        x, f, a_prob, s_acc, s_att, s_ema = round_(
-            x, f, eps_final, betas, j, k, s_acc, s_att, s_ema
+        x, f, tag, trips, a_prob, s_acc, s_att, s_ema = round_(
+            x, f, tag, trips, eps_final, betas, j, k, s_acc, s_att, s_ema
         )
-        return (x, f, s_acc, s_att, s_ema), (x[0], a_prob)
+        return (x, f, tag, trips, s_acc, s_att, s_ema), (x[0], a_prob)
 
-    (x, f, swap_acc, swap_att, swap_ema), (samples, a_probs) = lax.scan(
-        sample_body, (x, f, swap_acc, swap_att, swap_ema),
+    ((x, f, tag, trips, swap_acc, swap_att, swap_ema),
+     (samples, a_probs)) = lax.scan(
+        sample_body, (x, f, tag, trips, swap_acc, swap_att, swap_ema),
         i_samp0 + jnp.arange(n_samples),
     )
 
@@ -322,6 +347,7 @@ def _pt_core(
         i_warm=jnp.asarray(i_warm0 + n_warmup, jnp.int32),
         i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
         swap_acc=swap_acc, swap_att=swap_att, swap_ema=swap_ema,
+        tag=tag, round_trips=trips,
     )
     accept_rate = (
         jnp.mean(a_probs, axis=(0, 2)) if n_samples > 0
@@ -334,6 +360,7 @@ def _pt_core(
         swap_rate=swap_rate,
         step_size=eps_final,
         betas=betas,
+        round_trips=trips,
         final_x=x,
         state=out_state,
     )
@@ -429,6 +456,13 @@ def pt_sample(
         swap_acc=jnp.zeros((max(K - 1, 0),), dtype),
         swap_att=jnp.zeros((max(K - 1, 0),), dtype),
         swap_ema=jnp.full((max(K - 1, 0),), 0.5, dtype),
+        # flow tags: cold row armed 1, hot row armed 2, interior unset
+        tag=jnp.where(
+            jnp.arange(K)[:, None] == 0,
+            1,
+            jnp.where(jnp.arange(K)[:, None] == K - 1, 2, 0),
+        ).astype(jnp.int32) * jnp.ones((1, C), jnp.int32),
+        round_trips=jnp.zeros((C,), jnp.int32),
     )
     return _pt_core(
         obj, state0, mass, n_samples, n_warmup, n_leapfrog, swap_every,

@@ -54,6 +54,10 @@ def test_pt_standard_normal_moments():
     swap = np.asarray(res.swap_rate)
     assert swap.shape == (3,)
     assert np.all(swap > 0.2) and np.all(swap <= 1.0)
+    # and replicas actually TRAVERSE the ladder (hot->cold transits):
+    # 900 sweeps at these rates should complete many round trips
+    assert res.round_trips.shape == (chains,)
+    assert int(np.sum(np.asarray(res.round_trips))) > chains
 
 
 def test_pt_recovers_bimodal_mode_weights():
@@ -138,6 +142,9 @@ def test_pt_resume_identity():
     )
     np.testing.assert_array_equal(
         np.asarray(c.state.swap_acc), np.asarray(long.state.swap_acc)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c.round_trips), np.asarray(long.round_trips)
     )
 
 
