@@ -53,6 +53,8 @@ class AISResult(NamedTuple):
     diagnostic (ess ≪ N means lengthen the anneal / check the base).
     accept_rate: (T,) fleet-mean HMC acceptance per rung.
     step_size: final adapted leapfrog step.
+    n_resamples: scalar count of SMC resampling events (0 in plain-AIS
+    mode or when the weights never collapsed).
     final_x: (N, n) particles at b = 1 (posterior draws, weighted by w).
     """
 
@@ -61,6 +63,7 @@ class AISResult(NamedTuple):
     ess: jax.Array
     accept_rate: jax.Array
     step_size: jax.Array
+    n_resamples: jax.Array
     final_x: jax.Array
 
 
@@ -90,16 +93,32 @@ def _base_from(base, dtype):
     return x.astype(dtype), state.B.astype(dtype)
 
 
+def _systematic_resample(logw, x, q0x, px, k, N, dtype):
+    """Systematic resampling: ONE uniform stratifies N positions over the
+    normalized-weight CDF (searchsorted + gather — the single gather per
+    resampled rung is the price of SMC; everything else stays
+    gather-free). Returns equal-weight particles."""
+    lse = jax.scipy.special.logsumexp(logw)
+    w = jnp.exp(logw - lse)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(k, (), dtype)
+    pos = (u0 + jnp.arange(N, dtype=dtype)) / N
+    idx = jnp.searchsorted(cdf, pos, side="left")
+    idx = jnp.clip(idx, 0, N - 1)
+    return x[idx], q0x[idx], px[idx]
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "obj", "value_and_grad_fn", "n_particles", "n_leapfrog",
-        "target_accept", "diag_cov",
+        "target_accept", "diag_cov", "resample",
     ),
 )
 def _ais_core(
     obj, key, mu, cov, betas, n_particles, n_leapfrog, step_size,
-    target_accept, value_and_grad_fn, diag_cov,
+    target_accept, value_and_grad_fn, diag_cov, resample,
+    resample_threshold,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     vag_b = jax.vmap(vag)
@@ -184,7 +203,8 @@ def _ais_core(
     log_eps0 = jnp.log(jnp.asarray(step_size, dtype))
 
     def rung(carry, t):
-        x, q0x, px, logw, log_eps, log_eps_bar, h_bar, t_da = carry
+        (x, q0x, px, logw, logz_acc, n_resamp, log_eps, log_eps_bar,
+         h_bar, t_da) = carry
         b0 = betas[t]
         b1 = betas[t + 1]
         # weight increment at the CURRENT particles (before the move):
@@ -194,7 +214,33 @@ def _ais_core(
 
         # one HMC move targeting pi_{b1} = (1-b1) q0 + b1 p
         k = jax.random.fold_in(k_anneal, t)
-        k1, k2 = jax.random.split(k)
+        k1, k2, k3 = jax.random.split(k, 3)
+
+        if resample:
+            # SMC: when the weight ESS collapses, bank the partial
+            # evidence (logsumexp(w) − log N) and restart equal weights
+            # on resampled particles
+            lse_t = jax.scipy.special.logsumexp(logw)
+            ess_t = jnp.exp(2.0 * lse_t
+                            - jax.scipy.special.logsumexp(2.0 * logw))
+
+            def do_rs(args):
+                x, q0x, px, logw, logz_acc, n_resamp = args
+                x, q0x, px = _systematic_resample(
+                    logw, x, q0x, px, k3, N, dtype
+                )
+                logz_acc = logz_acc + lse_t - jnp.log(
+                    jnp.asarray(N, dtype)
+                )
+                return (x, q0x, px, jnp.zeros_like(logw), logz_acc,
+                        n_resamp + 1)
+
+            x, q0x, px, logw, logz_acc, n_resamp = lax.cond(
+                ess_t < resample_threshold * N,
+                do_rs,
+                lambda a: a,
+                (x, q0x, px, logw, logz_acc, n_resamp),
+            )
         eps = jnp.exp(log_eps)
         p0 = draw_p(k1)
 
@@ -228,18 +274,21 @@ def _ais_core(
             h_bar, log_eps_bar, t_da,
             target_accept - jnp.mean(a_prob), mu_da,
         )
-        carry = (x, q0x, px, logw, log_eps, log_eps_bar, h_bar, t_da)
+        carry = (x, q0x, px, logw, logz_acc, n_resamp, log_eps,
+                 log_eps_bar, h_bar, t_da)
         return carry, jnp.mean(a_prob)
 
     carry0 = (
-        x0, q0_x, p_x, jnp.zeros((N,), dtype),
+        x0, q0_x, p_x, jnp.zeros((N,), dtype), jnp.zeros((), dtype),
+        jnp.zeros((), jnp.int32),
         log_eps0, log_eps0, jnp.zeros((), dtype), jnp.zeros((), dtype),
     )
     carry, accs = lax.scan(rung, carry0, jnp.arange(T))
-    x, _q0x, _px, logw, log_eps, _leb, _hb, _tda = carry
+    (x, _q0x, _px, logw, logz_acc, n_resamp, log_eps, _leb, _hb,
+     _tda) = carry
 
     lse = jax.scipy.special.logsumexp(logw)
-    logZ = lse - jnp.log(jnp.asarray(N, dtype))
+    logZ = logz_acc + lse - jnp.log(jnp.asarray(N, dtype))
     ess = jnp.exp(2.0 * lse - jax.scipy.special.logsumexp(2.0 * logw))
     return AISResult(
         logZ=logZ,
@@ -247,6 +296,7 @@ def _ais_core(
         ess=ess,
         accept_rate=accs,
         step_size=jnp.exp(log_eps),
+        n_resamples=n_resamp,
         final_x=x,
     )
 
@@ -261,6 +311,8 @@ def ais_evidence(
     step_size: float = 0.2,
     target_accept: float = 0.8,
     schedule=1.0,
+    resample: bool = False,
+    resample_threshold: float = 0.5,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> AISResult:
     """Annealed-importance-sampling log evidence from a Laplace base.
@@ -276,6 +328,15 @@ def ais_evidence(
     the anneal); ``schedule``: a float power p gives
     b_t = (t/T)^p (p > 1 spends rungs near the base, p = 1 linear), or
     pass an explicit (n_steps+1,) array from 0 to 1.
+
+    ``resample=True`` upgrades plain AIS to an SMC sampler: whenever the
+    weight ESS drops below ``resample_threshold · n_particles``, the
+    partial evidence logsumexp(w) − log N is banked into the estimate,
+    particles systematically resample to equal weights (one gather —
+    the only gather in the program), and the anneal continues. This
+    keeps long anneals on hard targets from being dominated by a few
+    surviving particles; `result.n_resamples` reports how often it
+    fired.
 
     `result.logZ` estimates log Z (unbiased in the weights); compare
     `laplace_evidence` to measure the Gaussian approximation's error —
@@ -306,7 +367,10 @@ def ais_evidence(
             raise ValueError(
                 f"schedule array must be ({n_steps + 1},), got {betas.shape}"
             )
+    if not (0.0 < resample_threshold < 1.0):
+        raise ValueError("resample_threshold must be in (0, 1)")
     return _ais_core(
         obj, key, mu, cov, betas, n_particles, n_leapfrog,
         step_size, target_accept, value_and_grad_fn, cov.ndim == 1,
+        resample, jnp.asarray(resample_threshold, dtype),
     )

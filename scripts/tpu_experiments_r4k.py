@@ -72,7 +72,8 @@ w_hmc = np.asarray(mix.mode_weights(hm.samples))
 draws = N_S * CHAINS
 print(f"[1] PT {K}x{CHAINS}x{N}: wall {t_pt:.2f}s "
       f"({draws / t_pt / 1e6:.2f}M draws/s), mode w {w_pt.round(3)} "
-      f"(true [0.75 0.25]), swap {np.asarray(pt.swap_rate).round(2)}",
+      f"(true [0.75 0.25]), swap {np.asarray(pt.swap_rate).round(2)}, "
+      f"round trips/chain {float(np.mean(np.asarray(pt.round_trips))):.1f}",
       flush=True)
 print(f"[1] HMC control: wall {t_hmc:.2f}s ({draws / t_hmc / 1e6:.2f}M "
       f"draws/s), mode w {w_hmc.round(3)} (stuck expected), "

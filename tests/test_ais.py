@@ -134,3 +134,32 @@ def test_ais_nonfinite_particles_drop_not_poison():
     )
     assert np.isfinite(float(res.logZ))
     assert np.all(np.isnan(np.asarray(res.logw)) == False)  # noqa: E712
+
+
+def test_ais_resampling_smc_mode():
+    """A displaced target (mode 5σ from the base center) with a short
+    anneal collapses plain-AIS weights; resample=True banks partial
+    evidence and resamples, keeping the estimate accurate."""
+    n = 4
+    logz_true = 0.5 * n * _LOG_2PI
+
+    def ld(x):
+        return -0.5 * jnp.sum((x - 5.0) ** 2)
+
+    base = (jnp.zeros(n), jnp.ones(n))
+    kw = dict(n_particles=512, n_steps=24, n_leapfrog=4)
+    plain = qnm.ais_evidence(ld, jax.random.PRNGKey(7), base, **kw)
+    smc = qnm.ais_evidence(ld, jax.random.PRNGKey(7), base,
+                           resample=True, **kw)
+    assert int(smc.n_resamples) > 0
+    assert int(plain.n_resamples) == 0
+    assert abs(float(smc.logZ) - logz_true) < 0.3
+    # SMC's final-segment weights stay healthy where plain AIS collapses
+    assert float(smc.ess) > float(plain.ess)
+
+
+def test_ais_resample_threshold_validation():
+    base = (jnp.zeros(2), jnp.ones(2))
+    with pytest.raises(ValueError, match="resample_threshold"):
+        qnm.ais_evidence(lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
+                         base, resample=True, resample_threshold=1.5)
