@@ -86,6 +86,15 @@ def _base_from(base, dtype):
         from .state import Status
 
         ok = base.status == Status.CONVERGED
+        if not bool(jnp.any(ok)):
+            # a no-converged-lane fleet would silently anchor the base at
+            # a failed iterate with an identity mass — same contract as
+            # the workflow's MAP stage: refuse loudly
+            raise ValueError(
+                "ais_evidence: no lane of the base fleet converged — "
+                "the Laplace base would be meaningless; fix the MAP "
+                "solve or pass an explicit (mu, cov)"
+            )
         best = jnp.argmax(jnp.where(ok, base.fun, -jnp.inf))
         mu = x[best]
         _, cov = chain_init_from_map(base)
@@ -249,17 +258,22 @@ def _ais_core(
             pv, pg = p_val_grad(xx)
             return qv, pv, (1.0 - b1) * qg + b1 * pg
 
+        # gradient (and both values) ride the carry: ONE evaluation per
+        # leapfrog step (+1 seed) — step i's closing half-kick and step
+        # i+1's opening half-kick share the same position — and the
+        # post-loop Metropolis values come out of the carry for free
         def body(_, c):
-            xx, pp = c
-            _, _, g = grad_t(xx)
+            xx, pp, _qv, _pv, g = c
             pp = pp + 0.5 * eps * g
             xx = xx + eps * vel(pp)
-            _, _, g = grad_t(xx)
+            qv, pv, g = grad_t(xx)
             pp = pp + 0.5 * eps * g
-            return xx, pp
+            return xx, pp, qv, pv, g
 
-        x_new, p_new = lax.fori_loop(0, n_leapfrog, body, (x, p0))
-        q0_new, p_val_new, _ = grad_t(x_new)
+        qv0, pv0, g0 = grad_t(x)
+        x_new, p_new, q0_new, p_val_new, _ = lax.fori_loop(
+            0, n_leapfrog, body, (x, p0, qv0, pv0, g0)
+        )
         logpi_old = (1.0 - b1) * q0x + b1 * px
         logpi_new = (1.0 - b1) * q0_new + b1 * p_val_new
         log_ratio = (logpi_new - kin(p_new)) - (logpi_old - kin(p0))

@@ -95,17 +95,21 @@ class HMCResult(NamedTuple):
     state: HMCState
 
 
+def _pt_sample_lazy(*args, **kwargs):
+    # deferred: tempering imports this module (circular at import time)
+    from .tempering import pt_sample
+
+    return pt_sample(*args, **kwargs)
+
+
 def get_sampler(name: str):
     """Resolve a sampler by name — ONE registry for every dispatch site
     (workflow pipeline, mesh sharding)."""
-    samplers = {"chees": chees_sample, "hmc": hmc_sample, "nuts": nuts_sample}
-    if name == "pt":  # deferred: tempering imports this module
-        from .tempering import pt_sample
-
-        return pt_sample
+    samplers = {"chees": chees_sample, "hmc": hmc_sample,
+                "nuts": nuts_sample, "pt": _pt_sample_lazy}
     if name not in samplers:
         raise ValueError(
-            f"unknown sampler {name!r}; use 'chees', 'hmc', 'nuts' or 'pt'"
+            f"unknown sampler {name!r}; use one of {sorted(samplers)}"
         )
     return samplers[name]
 

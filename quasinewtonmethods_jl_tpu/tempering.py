@@ -60,6 +60,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
@@ -191,19 +192,24 @@ def _pt_core(
 
     def leapfrog(x, p, eps, betas):
         """Velocity Verlet on the tempered targets: dp/dt = +beta·∇f
-        (ascent form, matching _leapfrog). eps: (K,) per temperature."""
+        (ascent form, matching _leapfrog). eps: (K,) per temperature.
+        The gradient rides the carry — exactly ONE evaluation per step
+        (+1 to seed), since step i's closing half-kick and step i+1's
+        opening half-kick share the same position."""
         e = eps[:, None, None]
         b = betas[:, None, None]
 
         def body(_, carry):
-            x, p = carry
-            p = p + 0.5 * e * (b * grad_all(x))
+            x, p, g = carry
+            p = p + 0.5 * e * (b * g)
             v = _apply_mass(mass_b, p.reshape(K * C, n)).reshape(K, C, n)
             x = x + e * v
-            p = p + 0.5 * e * (b * grad_all(x))
-            return x, p
+            g = grad_all(x)
+            p = p + 0.5 * e * (b * g)
+            return x, p, g
 
-        return lax.fori_loop(0, n_leapfrog, body, (x, p))
+        x, p, _ = lax.fori_loop(0, n_leapfrog, body, (x, p, grad_all(x)))
+        return x, p
 
     def hmc_move(x, f, eps, betas, k):
         """One tempered HMC step on every replica. Returns the new
@@ -416,12 +422,27 @@ def pt_sample(
     the standard tempering premium. Use the smallest K whose swap rates
     stay healthy.
     """
+    if swap_every < 1:
+        raise ValueError(f"swap_every must be >= 1, got {swap_every}")
     x0s = jnp.asarray(x0s)
     if betas is not None:
-        betas = jnp.asarray(betas)
-        if betas.ndim != 1 or betas.shape[0] < 1:
+        # validate on the host copy (one conversion, no repeated syncs)
+        b_host = np.asarray(betas, dtype=np.float64)
+        if b_host.ndim != 1 or b_host.shape[0] < 1:
             raise ValueError("betas must be a 1-D ladder")
-        K = betas.shape[0]
+        # beta_0 = 1 is the samples contract (row 0 IS the posterior);
+        # beta <= 0 is an improper target (and breaks ladder adaptation's
+        # log-spacings); non-monotone ladders break the adjacent-pair
+        # exchange semantics
+        if b_host[0] != 1.0:
+            raise ValueError("betas[0] must be exactly 1.0 (the cold chain)")
+        if b_host.shape[0] > 1 and (
+            np.any(b_host[1:] <= 0.0) or np.any(np.diff(b_host) >= 0.0)
+        ):
+            raise ValueError(
+                "betas must be strictly decreasing with every entry > 0"
+            )
+        K = b_host.shape[0]
     else:
         K = n_temps
     if x0s.ndim == 2:
@@ -435,10 +456,7 @@ def pt_sample(
     if betas is None:
         betas = geometric_ladder(K, beta_min, dtype)
     else:
-        betas = betas.astype(dtype)
-    # beta_0 = 1 is the samples contract (row 0 IS the posterior)
-    if float(betas[0]) != 1.0:
-        raise ValueError("betas[0] must be exactly 1.0 (the cold chain)")
+        betas = jnp.asarray(betas).astype(dtype)
     _, C, _n = x0s.shape
     log_eps0 = jnp.full((K,), jnp.log(jnp.asarray(step_size, dtype)))
     state0 = PTState(
@@ -487,6 +505,8 @@ def pt_sample_from_state(
     (same base key; ``mass``/``n_leapfrog``/``swap_every``/
     ``target_accept``/``adapt_ladder`` are config, not state, and must
     be re-passed). Warmup cannot resume after sampling has begun."""
+    if swap_every < 1:
+        raise ValueError(f"swap_every must be >= 1, got {swap_every}")
     i_warm0, i_samp0 = int(state.i_warm), int(state.i_samp)
     if n_warmup > 0 and i_samp0 > 0:
         raise ValueError(
