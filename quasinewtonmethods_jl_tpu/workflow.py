@@ -62,6 +62,15 @@ class MapThenSampleResult(NamedTuple):
     # these are forward-mapped once, on device.
     samples_constrained: Optional[jax.Array] = None
     x_map_constrained: Optional[jax.Array] = None
+    # compute_evidence= only: log marginal likelihood. 'laplace' = the
+    # curvature Gaussian at the best mode; 'ais' = annealed importance
+    # sampling from the fleet's Laplace base (asymptotically exact;
+    # evidence_extra carries the AISResult with the weight-ESS
+    # reliability diagnostic). Identical for a transformed model:
+    # ∫p(x)dx = ∫p(f(z))|J|dz, so the z-space run's evidence IS the
+    # constrained model's evidence.
+    log_evidence: Optional[jax.Array] = None
+    evidence_extra: object = None
 
 
 def map_then_sample(
@@ -87,6 +96,8 @@ def map_then_sample(
     transform=None,
     init: str = "map",
     pathfinder_kwargs: Optional[dict] = None,
+    compute_evidence: Optional[str] = None,
+    ais_kwargs: Optional[dict] = None,
     **sampler_kwargs,
 ) -> MapThenSampleResult:
     """MAP fleet -> preconditioner -> sampler -> diagnostics, in one call.
@@ -150,6 +161,15 @@ def map_then_sample(
     ``value_and_grad_fn`` is interpreted in x-space and pulled back
     through the transform.
 
+    ``compute_evidence`` (round 4): 'laplace' evaluates the exact-Hessian
+    Laplace log-evidence at the best converged mode; 'ais' runs
+    `ais_evidence` from the (x_map, mass) base (``ais_kwargs`` pass
+    through; the `AISResult` with its weight-ESS reliability diagnostic
+    lands in ``evidence_extra``). Evaluated at the UNPOLISHED fleet
+    modes; with ``transform=`` the value is the constrained model's
+    evidence (the Jacobian is part of the z-density). Requires
+    init='map' and (for 'ais') an array mass — not 'lowrank'.
+
     ``init='pathfinder'`` (round 4): replace the MAP-fleet + curvature
     handoff with multi-path Pathfinder — chain starts are its
     PSIS-resampled draws (already posterior-shaped, not mode-jittered)
@@ -165,6 +185,17 @@ def map_then_sample(
     """
     if init not in ("map", "pathfinder"):
         raise ValueError(f"init must be 'map' or 'pathfinder', got {init!r}")
+    if compute_evidence not in (None, "laplace", "ais"):
+        raise ValueError(
+            f"compute_evidence must be None, 'laplace' or 'ais', got "
+            f"{compute_evidence!r}"
+        )
+    if compute_evidence is not None and init == "pathfinder":
+        raise ValueError(
+            "compute_evidence needs the MAP fleet's mode/curvature — "
+            "use init='map', or run qnm.ais_evidence with an explicit "
+            "(mu, cov) base on the pathfinder output"
+        )
     if init == "pathfinder" and polish_steps > 0:
         raise ValueError(
             "init='pathfinder' has no MAP fleet to polish; drop "
@@ -344,6 +375,36 @@ def map_then_sample(
             std=pooled.std(axis=0, ddof=1) if pooled.shape[0] > 1 else nan.copy(),
         )
 
+    # --- evidence (optional): the fleet's mode/curvature is already in
+    # hand, so Laplace is one Hessian at x* and AIS anneals from the
+    # (x_map, mass) base. In transform mode this is the CONSTRAINED
+    # model's evidence too (the Jacobian is part of the z-density).
+    log_ev, ev_extra = None, None
+    if compute_evidence == "laplace":
+        from .laplace import laplace_evidence
+
+        with mesh_ctx():
+            lz = laplace_evidence(fleet, obj=obj)
+        ok = fleet.status == Status.CONVERGED
+        log_ev = lz[jnp.argmax(jnp.where(ok, fleet.fun, -jnp.inf))]
+    elif compute_evidence == "ais":
+        from .ais import ais_evidence
+
+        if mass is None or isinstance(mass, tuple) or not hasattr(
+            mass, "ndim"
+        ):
+            raise ValueError(
+                "compute_evidence='ais' needs an array mass (dense B or "
+                "diag) from the MAP handoff; mass_form='lowrank' is not "
+                "supported — call qnm.ais_evidence with an explicit base"
+            )
+        ak = dict(ais_kwargs or {})
+        ev = ais_evidence(
+            obj, jax.random.fold_in(key, 3), (x_map, mass),
+            value_and_grad_fn=value_and_grad_fn, **ak,
+        )
+        log_ev, ev_extra = ev.logZ, ev
+
     return MapThenSampleResult(
         samples=res.samples,
         diagnostics=diag,
@@ -355,6 +416,8 @@ def map_then_sample(
         depth_sort_info=ds_info,
         samples_constrained=samples_c,
         x_map_constrained=x_map_c,
+        log_evidence=log_ev,
+        evidence_extra=ev_extra,
     )
 
 

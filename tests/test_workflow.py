@@ -309,3 +309,65 @@ def test_pipeline_depth_sort_sorted_path():
     assert res.samples.shape == (16, 18, 3)
     assert res.diagnostics is not None
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_map_then_sample_evidence_laplace_and_ais():
+    """compute_evidence: both rungs agree with the analytic evidence on a
+    Gaussian target (Laplace exact by construction, AIS within MC error)."""
+    import math
+
+    a = jnp.asarray([1.0, 4.0, 0.25])
+    logz_true = 0.5 * 3 * math.log(2 * math.pi) - 0.5 * float(
+        jnp.sum(jnp.log(a))
+    )
+
+    def ld(x):
+        return -0.5 * jnp.sum(a * x * x)
+
+    lap = qnm.map_then_sample(
+        ld, jax.random.PRNGKey(40), jnp.ones(3), n_chains=8,
+        n_samples=40, n_warmup=40, compute_evidence="laplace",
+    )
+    np.testing.assert_allclose(float(lap.log_evidence), logz_true,
+                               atol=1e-6)
+    assert lap.evidence_extra is None
+
+    ais = qnm.map_then_sample(
+        ld, jax.random.PRNGKey(40), jnp.ones(3), n_chains=8,
+        n_samples=40, n_warmup=40, compute_evidence="ais",
+        ais_kwargs=dict(n_particles=256, n_steps=16, n_leapfrog=4),
+    )
+    assert abs(float(ais.log_evidence) - logz_true) < 0.1
+    assert float(ais.evidence_extra.ess) > 32
+
+
+def test_map_then_sample_evidence_with_transform():
+    """Evidence through a transform is the CONSTRAINED model's evidence:
+    Gamma(3, 2) unnormalized (a-1)log x - b x has log Z =
+    log Γ(3) - 3 log 2."""
+    import math
+    from quasinewtonmethods_jl_tpu import transforms
+
+    def ld(x):
+        return 2.0 * jnp.log(x[0]) - 2.0 * x[0]
+
+    logz_true = math.lgamma(3.0) - 3.0 * math.log(2.0)
+    out = qnm.map_then_sample(
+        ld, jax.random.PRNGKey(41), jnp.ones(1), n_chains=8,
+        n_samples=40, n_warmup=40, transform=transforms.Positive(1),
+        compute_evidence="ais",
+        ais_kwargs=dict(n_particles=512, n_steps=24, n_leapfrog=4),
+    )
+    assert abs(float(out.log_evidence) - logz_true) < 0.1
+
+
+def test_map_then_sample_evidence_validation():
+    def ld(x):
+        return -0.5 * jnp.sum(x * x)
+
+    with pytest.raises(ValueError, match="compute_evidence must be"):
+        qnm.map_then_sample(ld, jax.random.PRNGKey(0), jnp.ones(2),
+                            compute_evidence="bogus")
+    with pytest.raises(ValueError, match="needs the MAP fleet"):
+        qnm.map_then_sample(ld, jax.random.PRNGKey(0), jnp.ones(2),
+                            init="pathfinder", compute_evidence="laplace")
