@@ -65,6 +65,7 @@ from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
 from .sampling import (
+    _MASS_ADAPT_MIN_CHAINS,
     _apply_mass,
     _da_update,
     _draw_momentum,
@@ -80,6 +81,8 @@ __all__ = ["PTState", "PTResult", "pt_sample", "pt_sample_from_state",
 _LADDER_EMA = 0.2
 _LADDER_KAPPA0 = 0.4
 _LADDER_T0 = 50.0
+# adapt_mass: per-rung fleet-variance EMA weight
+_MASS_EMA = 0.15
 
 
 class PTState(NamedTuple):
@@ -104,6 +107,8 @@ class PTState(NamedTuple):
     tag: jax.Array  # (K, C) int32 replica-flow tag (0 unset, 1 last
     # visited cold end, 2 last visited hot end) — rides the swaps
     round_trips: jax.Array  # (C,) int32 completed hot→cold transits
+    var_ema: jax.Array  # (K, n) per-rung fleet-variance EMA (the
+    # adapt_mass=True metric; all-ones and unused otherwise)
 
 
 class PTResult(NamedTuple):
@@ -167,13 +172,14 @@ def _ladder_adapt(betas, swap_ema, sweep_idx, dtype):
     jax.jit,
     static_argnames=(
         "obj", "value_and_grad_fn", "n_samples", "n_warmup", "n_leapfrog",
-        "swap_every", "target_accept", "adapt_ladder", "i_warm0", "i_samp0",
+        "swap_every", "target_accept", "adapt_ladder", "adapt_mass",
+        "i_warm0", "i_samp0",
     ),
 )
 def _pt_core(
     obj, state: PTState, mass, n_samples, n_warmup, n_leapfrog,
-    swap_every, target_accept, adapt_ladder, value_and_grad_fn,
-    i_warm0, i_samp0,
+    swap_every, target_accept, adapt_ladder, adapt_mass,
+    value_and_grad_fn, i_warm0, i_samp0,
 ) -> PTResult:
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f_flat = jax.vmap(as_value_fn(obj, value_and_grad_fn))
@@ -190,7 +196,34 @@ def _pt_core(
     def grad_all(x):  # (K, C, n) -> (K, C, n), untempered
         return grad_flat(x.reshape(K * C, n)).reshape(K, C, n)
 
-    def leapfrog(x, p, eps, betas):
+    # metric ops: with adapt_mass the metric is a PER-TEMPERATURE (K, n)
+    # diagonal (each rung's stationary distribution has its own scale —
+    # beta_k spreads positions by 1/sqrt(beta_k) elementwise and more on
+    # multimodal targets); otherwise the shared static preconditioner.
+    # The exchange move is mass-independent (its ratio reads only f),
+    # so per-row metrics leave swap validity untouched.
+    if adapt_mass:
+        def draw_p(k, m):
+            z = jax.random.normal(k, (K, C, n), dtype)
+            return z / jnp.sqrt(m)[:, None, :]
+
+        def kin(p, m):
+            return 0.5 * jnp.sum(m[:, None, :] * p * p, axis=2)
+
+        def vel(p, m):
+            return m[:, None, :] * p
+    else:
+        def draw_p(k, m):
+            return _draw_momentum(k, K * C, n, dtype, mass_b,
+                                  chol_u).reshape(K, C, n)
+
+        def kin(p, m):
+            return _kinetic(p.reshape(K * C, n), mass_b).reshape(K, C)
+
+        def vel(p, m):
+            return _apply_mass(mass_b, p.reshape(K * C, n)).reshape(K, C, n)
+
+    def leapfrog(x, p, eps, betas, m):
         """Velocity Verlet on the tempered targets: dp/dt = +beta·∇f
         (ascent form, matching _leapfrog). eps: (K,) per temperature.
         The gradient rides the carry — exactly ONE evaluation per step
@@ -202,8 +235,7 @@ def _pt_core(
         def body(_, carry):
             x, p, g = carry
             p = p + 0.5 * e * (b * g)
-            v = _apply_mass(mass_b, p.reshape(K * C, n)).reshape(K, C, n)
-            x = x + e * v
+            x = x + e * vel(p, m)
             g = grad_all(x)
             p = p + 0.5 * e * (b * g)
             return x, p, g
@@ -211,15 +243,15 @@ def _pt_core(
         x, p, _ = lax.fori_loop(0, n_leapfrog, body, (x, p, grad_all(x)))
         return x, p
 
-    def hmc_move(x, f, eps, betas, k):
+    def hmc_move(x, f, eps, betas, m, k):
         """One tempered HMC step on every replica. Returns the new
         (x, f) and the (K, C) acceptance probabilities."""
         k1, k2 = jax.random.split(k)
-        p = _draw_momentum(k1, K * C, n, dtype, mass_b, chol_u)
-        kin0 = _kinetic(p, mass_b).reshape(K, C)
-        x_new, p_new = leapfrog(x, p.reshape(K, C, n), eps, betas)
+        p = draw_p(k1, m)
+        kin0 = kin(p, m)
+        x_new, p_new = leapfrog(x, p, eps, betas, m)
         f_new = f_all(x_new)
-        kin1 = _kinetic(p_new.reshape(K * C, n), mass_b).reshape(K, C)
+        kin1 = kin(p_new, m)
         log_ratio = betas[:, None] * (f_new - f) - (kin1 - kin0)
         a_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
         a_prob = jnp.where(jnp.isfinite(a_prob), a_prob, 0.0)
@@ -270,13 +302,13 @@ def _pt_core(
         pair_att = jnp.where(pair_on, jnp.asarray(C, dtype), 0.0)
         return x, f, tag, trips, pair_acc, pair_att
 
-    def round_(x, f, tag, trips, eps, betas, i, k, swap_acc, swap_att,
+    def round_(x, f, tag, trips, eps, betas, m, i, k, swap_acc, swap_att,
                swap_ema):
         """One HMC move on every replica + (on schedule) an exchange
         sweep. ``i`` is the GLOBAL round index — the sweep parity and
         swap cadence derive from it so chunked runs replay exactly."""
         k_hmc, k_swap = jax.random.split(k)
-        x, f, a_prob = hmc_move(x, f, eps, betas, k_hmc)
+        x, f, a_prob = hmc_move(x, f, eps, betas, m, k_hmc)
         do_swap = (i % swap_every) == 0
         x_s, f_s, tag_s, trips_s, pair_acc, pair_att = swap_move(
             x, f, tag, trips, betas, i // swap_every, k_swap
@@ -301,13 +333,18 @@ def _pt_core(
 
     # ---- warmup: per-temperature dual averaging (+ ladder adaptation) ----
     def warm_body(carry, i):
-        (x, f, tag, trips, betas, log_eps, log_eps_bar, h_bar, t, s_acc,
-         s_att, s_ema) = carry
+        (x, f, tag, trips, betas, var_ema, log_eps, log_eps_bar, h_bar,
+         t, s_acc, s_att, s_ema) = carry
         k = jax.random.fold_in(k_warm, i)
         x, f, tag, trips, a_prob, s_acc, s_att, s_ema = round_(
-            x, f, tag, trips, jnp.exp(log_eps), betas, i, k, s_acc,
-            s_att, s_ema
+            x, f, tag, trips, jnp.exp(log_eps), betas, var_ema, i, k,
+            s_acc, s_att, s_ema
         )
+        if adapt_mass and C >= _MASS_ADAPT_MIN_CHAINS:
+            # per-rung across-chain variance EMA (each rung's stationary
+            # spread differs); floored against collapsed fleets
+            v = jnp.maximum(jnp.var(x, axis=1), 1e-10)
+            var_ema = (1.0 - _MASS_EMA) * var_ema + _MASS_EMA * v
         if adapt_ladder and K > 2:
             betas = jnp.where(
                 (i % swap_every) == 0,
@@ -318,18 +355,19 @@ def _pt_core(
         log_eps, log_eps_bar, h_bar, t = _da_update(
             h_bar, log_eps_bar, t, acc_err, state.mu
         )
-        return (x, f, tag, trips, betas, log_eps, log_eps_bar, h_bar, t,
-                s_acc, s_att, s_ema), None
+        return (x, f, tag, trips, betas, var_ema, log_eps, log_eps_bar,
+                h_bar, t, s_acc, s_att, s_ema), None
 
     carry_w = (state.x, f0, state.tag, state.round_trips, state.betas,
-               state.log_eps, state.log_eps_bar, state.h_bar, state.t_da,
-               state.swap_acc, state.swap_att, state.swap_ema)
+               state.var_ema, state.log_eps, state.log_eps_bar,
+               state.h_bar, state.t_da, state.swap_acc, state.swap_att,
+               state.swap_ema)
     if n_warmup > 0:
         carry_w, _ = lax.scan(
             warm_body, carry_w, i_warm0 + jnp.arange(n_warmup)
         )
-    (x, f, tag, trips, betas, log_eps, log_eps_bar, h_bar, t_da, swap_acc,
-     swap_att, swap_ema) = carry_w
+    (x, f, tag, trips, betas, var_ema, log_eps, log_eps_bar, h_bar, t_da,
+     swap_acc, swap_att, swap_ema) = carry_w
     eps_final = jnp.exp(log_eps_bar)
 
     # ---- sampling at the adapted steps on the (frozen) final ladder ----
@@ -337,7 +375,8 @@ def _pt_core(
         x, f, tag, trips, s_acc, s_att, s_ema = carry
         k = jax.random.fold_in(k_samp, j)
         x, f, tag, trips, a_prob, s_acc, s_att, s_ema = round_(
-            x, f, tag, trips, eps_final, betas, j, k, s_acc, s_att, s_ema
+            x, f, tag, trips, eps_final, betas, var_ema, j, k, s_acc,
+            s_att, s_ema
         )
         return (x, f, tag, trips, s_acc, s_att, s_ema), (x[0], a_prob)
 
@@ -353,7 +392,7 @@ def _pt_core(
         i_warm=jnp.asarray(i_warm0 + n_warmup, jnp.int32),
         i_samp=jnp.asarray(i_samp0 + n_samples, jnp.int32),
         swap_acc=swap_acc, swap_att=swap_att, swap_ema=swap_ema,
-        tag=tag, round_trips=trips,
+        tag=tag, round_trips=trips, var_ema=var_ema,
     )
     accept_rate = (
         jnp.mean(a_probs, axis=(0, 2)) if n_samples > 0
@@ -387,6 +426,7 @@ def pt_sample(
     step_size: float = 0.1,
     target_accept: float = 0.8,
     adapt_ladder: bool = False,
+    adapt_mass: bool = False,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> PTResult:
     """Replica-exchange (parallel tempering) HMC for multimodal targets.
@@ -418,10 +458,24 @@ def pt_sample(
     add temperatures, or raise beta_min); well-tuned ladders sit
     ~0.2–0.6.
 
+    ``adapt_mass=True`` adapts a PER-RUNG (K, n) diagonal metric during
+    warmup (across-chain variance EMA per temperature — each rung's
+    stationary spread differs; exchange validity is untouched, the swap
+    ratio reads only cached logdensities). The standalone answer for
+    scale-heterogeneous targets when there is no MAP-fleet mass to hand
+    over; mutually exclusive with ``mass=``; silently keeps the identity
+    below 8 chains (the fleet variance means nothing there — same policy
+    as ChEES).
+
     Gradient cost per draw: K·n_leapfrog per-chain gradient evaluations —
     the standard tempering premium. Use the smallest K whose swap rates
     stay healthy.
     """
+    if adapt_mass and mass is not None:
+        raise ValueError(
+            "adapt_mass=True adapts its own per-rung diagonal metric; "
+            "drop mass= (or pass the mass and keep adapt_mass=False)"
+        )
     if swap_every < 1:
         raise ValueError(f"swap_every must be >= 1, got {swap_every}")
     x0s = jnp.asarray(x0s)
@@ -481,10 +535,11 @@ def pt_sample(
             jnp.where(jnp.arange(K)[:, None] == K - 1, 2, 0),
         ).astype(jnp.int32) * jnp.ones((1, C), jnp.int32),
         round_trips=jnp.zeros((C,), jnp.int32),
+        var_ema=jnp.ones((K, _n), dtype),
     )
     return _pt_core(
         obj, state0, mass, n_samples, n_warmup, n_leapfrog, swap_every,
-        target_accept, adapt_ladder, value_and_grad_fn, 0, 0,
+        target_accept, adapt_ladder, adapt_mass, value_and_grad_fn, 0, 0,
     )
 
 
@@ -498,15 +553,22 @@ def pt_sample_from_state(
     swap_every: int = 1,
     target_accept: float = 0.8,
     adapt_ladder: bool = False,
+    adapt_mass: bool = False,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> PTResult:
     """Continue a `pt_sample` run: ``n_warmup`` MORE warmup rounds, then
     ``n_samples`` more draws. Chunked calls replay one long run exactly
     (same base key; ``mass``/``n_leapfrog``/``swap_every``/
-    ``target_accept``/``adapt_ladder`` are config, not state, and must
-    be re-passed). Warmup cannot resume after sampling has begun."""
+    ``target_accept``/``adapt_ladder``/``adapt_mass`` are config, not
+    state, and must be re-passed). Warmup cannot resume after sampling
+    has begun."""
     if swap_every < 1:
         raise ValueError(f"swap_every must be >= 1, got {swap_every}")
+    if adapt_mass and mass is not None:
+        raise ValueError(
+            "adapt_mass=True adapts its own per-rung diagonal metric; "
+            "drop mass= (or pass the mass and keep adapt_mass=False)"
+        )
     i_warm0, i_samp0 = int(state.i_warm), int(state.i_samp)
     if n_warmup > 0 and i_samp0 > 0:
         raise ValueError(
@@ -515,5 +577,6 @@ def pt_sample_from_state(
         )
     return _pt_core(
         obj, state, mass, n_samples, n_warmup, n_leapfrog, swap_every,
-        target_accept, adapt_ladder, value_and_grad_fn, i_warm0, i_samp0,
+        target_accept, adapt_ladder, adapt_mass, value_and_grad_fn,
+        i_warm0, i_samp0,
     )

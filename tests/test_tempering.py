@@ -342,3 +342,69 @@ def test_map_then_sample_pt_with_transform():
     # Gamma(3, 2): mean 1.5, var 0.75
     np.testing.assert_allclose(draws.mean(), 1.5, atol=0.25)
     np.testing.assert_allclose(draws.var(), 0.75, atol=0.35)
+
+
+def test_pt_adapt_mass_scale_heterogeneous():
+    """Per-rung diagonal metric on a 10^4 scale spread. With a ladder,
+    even identity mass lands (swap teleportation rescues wide-dim
+    mixing — measured, so no identity-fails assertion at K > 1); the
+    direct metric contrast runs at K = 1 where there is nothing to
+    rescue: unit-mass HMC's step is pinned by the stiffest dimension
+    and badly under-samples the widest one at this budget."""
+    scales2 = jnp.geomspace(0.01, 100.0, 6)  # variances 1e-2 .. 1e2
+
+    def ld(x):
+        return -0.5 * jnp.sum(x * x / scales2)
+
+    chains = 64
+    x0s = jnp.zeros((chains, 6))
+    truth = np.asarray(scales2)
+
+    adapt = qnm.pt_sample(ld, jax.random.PRNGKey(24), x0s,
+                          n_temps=4, beta_min=0.2, n_samples=400,
+                          n_warmup=400, n_leapfrog=8, adapt_mass=True)
+    v_a = np.asarray(adapt.samples).reshape(-1, 6).var(axis=0)
+    # adapted: every dimension's variance lands (generous MC bars)
+    np.testing.assert_allclose(v_a, truth, rtol=0.4)
+    # and the metric itself learned the spread (cold rung)
+    m = np.asarray(adapt.state.var_ema)[0]
+    assert m[-1] / m[0] > 100.0
+
+    # K=1 contrast: no swaps to rescue the identity metric. Raw moments
+    # are too noisy to separate the two (measured: identity lands within
+    # ~10% anyway); MIXING is the difference, so the bar is ESS — the
+    # probe measured identity wide-dim ESS 89 vs adapted 11,402 (128x).
+    k1 = dict(n_temps=1, n_samples=300, n_warmup=300, n_leapfrog=8)
+    ident1 = qnm.pt_sample(ld, jax.random.PRNGKey(26), x0s, **k1)
+    adapt1 = qnm.pt_sample(ld, jax.random.PRNGKey(26), x0s,
+                           adapt_mass=True, **k1)
+    ess_i = np.asarray(qnm.ess(np.asarray(ident1.samples)))
+    ess_a = np.asarray(qnm.ess(np.asarray(adapt1.samples)))
+    assert ess_a[-1] > 10.0 * ess_i[-1]  # wide dim: order-of-magnitude
+    assert np.min(ess_a) > 10.0 * np.min(ess_i)
+
+
+def test_pt_adapt_mass_resume_and_validation():
+    def ld(x):
+        return -0.5 * jnp.sum(x * x * jnp.asarray([1.0, 9.0]))
+
+    x0s = jnp.zeros((16, 2))
+    kw = dict(n_leapfrog=4, adapt_mass=True)
+    long = qnm.pt_sample(ld, jax.random.PRNGKey(25), x0s, n_temps=3,
+                         beta_min=0.2, n_samples=30, n_warmup=40, **kw)
+    a = qnm.pt_sample(ld, jax.random.PRNGKey(25), x0s, n_temps=3,
+                      beta_min=0.2, n_samples=0, n_warmup=15, **kw)
+    b = qnm.pt_sample_from_state(ld, a.state, n_samples=30, n_warmup=25,
+                                 **kw)
+    np.testing.assert_array_equal(
+        np.asarray(b.samples), np.asarray(long.samples)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b.state.var_ema), np.asarray(long.state.var_ema)
+    )
+    with pytest.raises(ValueError, match="adapt_mass"):
+        qnm.pt_sample(ld, jax.random.PRNGKey(0), x0s, adapt_mass=True,
+                      mass=jnp.ones(2))
+    with pytest.raises(ValueError, match="adapt_mass"):
+        qnm.pt_sample_from_state(ld, a.state, n_samples=1,
+                                 adapt_mass=True, mass=jnp.ones(2))
