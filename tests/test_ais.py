@@ -163,3 +163,13 @@ def test_ais_resample_threshold_validation():
     with pytest.raises(ValueError, match="resample_threshold"):
         qnm.ais_evidence(lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
                          base, resample=True, resample_threshold=1.5)
+
+
+def test_ais_f32_under_x64():
+    res = qnm.ais_evidence(
+        lambda x: -0.5 * jnp.sum(x * x), jax.random.PRNGKey(1),
+        (jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32)),
+        n_particles=32, n_steps=4, n_leapfrog=2, resample=True,
+    )
+    assert res.logw.dtype == jnp.float32
+    assert np.isfinite(float(res.logZ))

@@ -408,3 +408,16 @@ def test_pt_adapt_mass_resume_and_validation():
     with pytest.raises(ValueError, match="adapt_mass"):
         qnm.pt_sample_from_state(ld, a.state, n_samples=1,
                                  adapt_mass=True, mass=jnp.ones(2))
+
+
+def test_pt_f32_under_x64():
+    """The round-2 ChEES bug class: f32 fleets must run under the x64
+    test config without carry-dtype mismatches, with all adaptation on."""
+    x0s = jnp.zeros((8, 3), jnp.float32)
+    res = qnm.pt_sample(
+        _std_normal, jax.random.PRNGKey(0), x0s, n_temps=3,
+        n_samples=5, n_warmup=5, n_leapfrog=2,
+        adapt_mass=True, adapt_ladder=True,
+    )
+    assert res.samples.dtype == jnp.float32
+    assert res.state.var_ema.dtype == jnp.float32
