@@ -32,13 +32,18 @@ def _random_gaussian(seed, n, cond=10.0):
 
 
 @pytest.mark.parametrize("seed", [3, 17])
-@pytest.mark.parametrize("sampler", ["chees", "hmc", "nuts"])
+@pytest.mark.parametrize("sampler", ["chees", "hmc", "nuts", "pt"])
 def test_samplers_agree_with_analytic_moments(sampler, seed):
     n, chains = 3, 64
     logdensity, mu, cov = _random_gaussian(seed, n)
-    kw = {"hmc": dict(n_leapfrog=12, mass=jnp.asarray(cov))}.get(sampler, {})
+    kw = {
+        "hmc": dict(n_leapfrog=12, mass=jnp.asarray(cov)),
+        # replica exchange on a unimodal target: pure invariance check
+        "pt": dict(n_leapfrog=12, mass=jnp.asarray(cov), n_temps=3,
+                   beta_min=0.2),
+    }.get(sampler, {})
     fn = {"chees": qnm.chees_sample, "hmc": qnm.hmc_sample,
-          "nuts": qnm.nuts_sample}[sampler]
+          "nuts": qnm.nuts_sample, "pt": qnm.pt_sample}[sampler]
     res = fn(
         logdensity, jax.random.PRNGKey(seed),
         jnp.tile(jnp.asarray(mu), (chains, 1)),
