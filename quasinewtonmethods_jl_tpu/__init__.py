@@ -79,6 +79,7 @@ from .solve import (
 from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_state
 from . import transforms
 from .ais import AISResult, ais_evidence
+from .bridge import BridgeResult, bridge_evidence
 from .pathfinder import PathfinderResult, pathfinder, psis_smooth
 from .tempering import (
     PTResult,
@@ -144,6 +145,8 @@ __all__ = [
     "laplace_evidence",
     "AISResult",
     "ais_evidence",
+    "BridgeResult",
+    "bridge_evidence",
     "MapThenSampleResult",
     "map_then_sample",
     "chain_init_from_map",

@@ -64,9 +64,11 @@ class MapThenSampleResult(NamedTuple):
     x_map_constrained: Optional[jax.Array] = None
     # compute_evidence= only: log marginal likelihood. 'laplace' = the
     # curvature Gaussian at the best mode; 'ais' = annealed importance
-    # sampling from the fleet's Laplace base (asymptotically exact;
-    # evidence_extra carries the AISResult with the weight-ESS
-    # reliability diagnostic). Identical for a transformed model:
+    # sampling from the fleet's Laplace base (asymptotically exact);
+    # 'bridge' = bridge sampling over this run's own draws (consistent,
+    # zero extra model gradients). evidence_extra carries the
+    # AISResult/BridgeResult with its reliability diagnostic
+    # (weight ESS / re2). Identical for a transformed model:
     # ∫p(x)dx = ∫p(f(z))|J|dz, so the z-space run's evidence IS the
     # constrained model's evidence.
     log_evidence: Optional[jax.Array] = None
@@ -163,12 +165,17 @@ def map_then_sample(
 
     ``compute_evidence`` (round 4): 'laplace' evaluates the exact-Hessian
     Laplace log-evidence at the best converged mode; 'ais' runs
-    `ais_evidence` from the (x_map, mass) base (``ais_kwargs`` pass
-    through; the `AISResult` with its weight-ESS reliability diagnostic
-    lands in ``evidence_extra``). Evaluated at the UNPOLISHED fleet
-    modes; with ``transform=`` the value is the constrained model's
-    evidence (the Jacobian is part of the z-density). Requires
-    init='map' and (for 'ais') an array mass — not 'lowrank'.
+    `ais_evidence` from the (x_map, mass) base; 'bridge' runs
+    `bridge_evidence` on THIS run's draws against the (x_map, mass)
+    proposal — no gradients and no extra sampling, and it integrates
+    every basin the chains visited (pair with sampler='pt' for
+    multimodal targets). ``ais_kwargs`` pass through to the chosen
+    estimator; the `AISResult`/`BridgeResult` with its reliability
+    diagnostic (weight ESS / re2) lands in ``evidence_extra``.
+    Evaluated at the UNPOLISHED fleet modes; with ``transform=`` the
+    value is the constrained model's evidence (the Jacobian is part of
+    the z-density). Requires init='map' and (for 'ais'/'bridge') an
+    array mass — not 'lowrank'.
 
     ``init='pathfinder'`` (round 4): replace the MAP-fleet + curvature
     handoff with multi-path Pathfinder — chain starts are its
@@ -185,10 +192,10 @@ def map_then_sample(
     """
     if init not in ("map", "pathfinder"):
         raise ValueError(f"init must be 'map' or 'pathfinder', got {init!r}")
-    if compute_evidence not in (None, "laplace", "ais"):
+    if compute_evidence not in (None, "laplace", "ais", "bridge"):
         raise ValueError(
-            f"compute_evidence must be None, 'laplace' or 'ais', got "
-            f"{compute_evidence!r}"
+            f"compute_evidence must be None, 'laplace', 'ais' or "
+            f"'bridge', got {compute_evidence!r}"
         )
     if compute_evidence is not None and init == "pathfinder":
         raise ValueError(
@@ -402,6 +409,27 @@ def map_then_sample(
         ev = ais_evidence(
             obj, jax.random.fold_in(key, 3), (x_map, mass),
             value_and_grad_fn=value_and_grad_fn, **ak,
+        )
+        log_ev, ev_extra = ev.logZ, ev
+    elif compute_evidence == "bridge":
+        # post-hoc: reuses THIS run's z-space draws + the MAP base —
+        # no gradients, no extra sampling; the cheapest consistent
+        # estimator once the pipeline has run. Integrates exactly the
+        # mass the chains visited (sampler='pt' makes that multimodal).
+        from .bridge import bridge_evidence
+
+        if mass is None or isinstance(mass, tuple) or not hasattr(
+            mass, "ndim"
+        ):
+            raise ValueError(
+                "compute_evidence='bridge' needs an array mass (dense B "
+                "or diag) from the MAP handoff; mass_form='lowrank' is "
+                "not supported — call qnm.bridge_evidence with an "
+                "explicit base"
+            )
+        ev = bridge_evidence(
+            obj, jax.random.fold_in(key, 3), res.samples, (x_map, mass),
+            **dict(ais_kwargs or {}),
         )
         log_ev, ev_extra = ev.logZ, ev
 
