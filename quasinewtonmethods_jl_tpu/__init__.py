@@ -47,8 +47,12 @@ from .diagnostics import (
     diagnose_chains_device,
     ess,
     ess_device,
+    rank_normalized_rhat,
+    rank_normalized_rhat_device,
     split_rhat,
     split_rhat_device,
+    tail_ess,
+    tail_ess_device,
 )
 from .laplace import laplace_evidence
 from .workflow import MapThenSampleResult, map_then_sample
@@ -135,8 +139,12 @@ __all__ = [
     "diagnose_chains_device",
     "ess",
     "ess_device",
+    "rank_normalized_rhat",
+    "rank_normalized_rhat_device",
     "split_rhat",
     "split_rhat_device",
+    "tail_ess",
+    "tail_ess_device",
     "HMCResult",
     "HMCState",
     "LowRankMass",

@@ -29,6 +29,7 @@ fixtures run through both paths).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -40,9 +41,13 @@ __all__ = [
     "ChainDiagnostics",
     "split_rhat",
     "ess",
+    "rank_normalized_rhat",
+    "tail_ess",
     "diagnose_chains",
     "split_rhat_device",
     "ess_device",
+    "rank_normalized_rhat_device",
+    "tail_ess_device",
     "diagnose_chains_device",
 ]
 
@@ -51,14 +56,25 @@ class ChainDiagnostics(NamedTuple):
     """Per-dimension convergence summary for a batch of chains.
 
     rhat: (n,) split-chain R-hat (want < 1.01)
-    ess: (n,) effective sample size (out of draws * chains)
+    ess: (n,) bulk effective sample size (out of draws * chains)
     mean/std: (n,) pooled posterior moment estimates
+    rhat_rank: (n,) rank-normalized R-hat — max of the bulk
+    (rank-normalized) and folded (|x − median| rank-normalized) split
+    R-hats (Vehtari et al. 2021). Catches chain-VARIANCE mismatch the
+    mean-based `rhat` is structurally blind to. None when not computed
+    (`rank=False`).
+    ess_tail: (n,) tail ESS — min over the 5%/95% quantile-indicator
+    ESSs; ≪ `ess` means the chains mix in the bulk but not the tails
+    (credible-interval endpoints are then untrustworthy). None when not
+    computed.
     """
 
     rhat: np.ndarray
     ess: np.ndarray
     mean: np.ndarray
     std: np.ndarray
+    rhat_rank: object = None
+    ess_tail: object = None
 
 
 def _split_chains(x: np.ndarray) -> np.ndarray:
@@ -140,8 +156,62 @@ def ess(samples) -> np.ndarray:
     return n_draw * n_chain / tau
 
 
-def diagnose_chains(samples) -> ChainDiagnostics:
-    """One-call summary: split R-hat, ESS, pooled mean/std per dimension."""
+def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    """Pooled rank-normalization per dimension (Vehtari et al. 2021):
+    ordinal ranks over ALL draws × chains, mapped through the normal
+    quantile function with the Blom offset z = Φ⁻¹((r − 3/8)/(S + 1/4)).
+    x: (draws, chains, n) -> same shape, now standard-normal-ish
+    regardless of the target's tails (this is what makes rank R-hat and
+    its folded variant robust to heavy tails / infinite variance)."""
+    from scipy.special import ndtri
+
+    d, c, n = x.shape
+    flat = x.reshape(d * c, n)
+    # double argsort = ordinal ranks (draws are continuous; ties
+    # measure-zero), 1-based
+    r = np.argsort(np.argsort(flat, axis=0), axis=0) + 1.0
+    z = ndtri((r - 0.375) / (d * c + 0.25))
+    return z.reshape(d, c, n)
+
+
+def rank_normalized_rhat(samples) -> np.ndarray:
+    """Rank-normalized split R-hat per dimension: the max of the bulk
+    statistic (split R-hat of the rank-normalized draws) and the FOLDED
+    statistic (same, on |x − median|, which measures scale/tail
+    disagreement between chains). This is the R-hat modern Stan reports:
+    a chain stuck at the right mean but the wrong variance passes the
+    classic `split_rhat` (between-chain variance of MEANS is zero) and
+    fails here. Want < 1.01."""
+    x = np.asarray(samples, np.float64)
+    bulk = split_rhat(_rank_normalize(x))
+    folded = split_rhat(
+        _rank_normalize(np.abs(x - np.median(x, axis=(0, 1))))
+    )
+    # ordinal ranks of an all-tied (constant) dimension would fabricate a
+    # drift pattern; a dimension the chains never move in is perfectly
+    # mixed (same contract as split_rhat's w == 0 guard)
+    const = x.max(axis=(0, 1)) == x.min(axis=(0, 1))
+    return np.where(const, 1.0, np.maximum(bulk, folded))
+
+
+def tail_ess(samples) -> np.ndarray:
+    """Tail effective sample size per dimension: the min of the Geyer
+    ESSs of the 5%- and 95%-quantile indicator sequences I(x ≤ q)
+    (Vehtari et al. 2021). Bulk `ess` can look healthy while the chains
+    rarely exchange tail visits — this is the number that certifies
+    credible-interval ENDPOINTS."""
+    x = np.asarray(samples, np.float64)
+    q05, q95 = np.quantile(x, [0.05, 0.95], axis=(0, 1))  # (n,) each
+    e05 = ess((x <= q05).astype(np.float64))
+    e95 = ess((x <= q95).astype(np.float64))
+    return np.minimum(e05, e95)
+
+
+def diagnose_chains(samples, rank: bool = True) -> ChainDiagnostics:
+    """One-call summary: split R-hat, bulk ESS, pooled mean/std — and,
+    with ``rank=True`` (default), the rank-normalized/folded R-hat and
+    tail ESS (Vehtari et al. 2021) that catch variance mismatch and
+    tail stickiness the classic pair can't."""
     x = np.asarray(samples, np.float64)
     pooled = x.reshape(-1, x.shape[-1])
     return ChainDiagnostics(
@@ -149,6 +219,8 @@ def diagnose_chains(samples) -> ChainDiagnostics:
         ess=ess(x),
         mean=pooled.mean(axis=0),
         std=pooled.std(axis=0, ddof=1),
+        rhat_rank=rank_normalized_rhat(x) if rank else None,
+        ess_tail=tail_ess(x) if rank else None,
     )
 
 
@@ -231,14 +303,70 @@ def ess_device(samples: jax.Array) -> jax.Array:
     return n_draw * n_chain / tau
 
 
+def _rank_normalize_j(x: jax.Array) -> jax.Array:
+    """`_rank_normalize` on device: two batched sorts (XLA lowers argsort
+    to a key-value sort on TPU) + the normal quantile map."""
+    d, c, n = x.shape
+    flat = x.reshape(d * c, n)
+    r = jnp.argsort(jnp.argsort(flat, axis=0), axis=0) + 1.0
+    z = jax.scipy.special.ndtri(
+        (r - 0.375) / (d * c + 0.25)
+    ).astype(x.dtype)
+    return z.reshape(d, c, n)
+
+
 @jax.jit
-def diagnose_chains_device(samples: jax.Array) -> ChainDiagnostics:
+def rank_normalized_rhat_device(samples: jax.Array) -> jax.Array:
+    """`rank_normalized_rhat` as one jitted XLA program (two pooled sorts
+    per statistic are the only non-elementwise ops). NOTE: the pooled
+    sort runs over the CHAIN axis — under a chain-sharded mesh this
+    gathers, unlike `split_rhat_device`; that is why the workflow's
+    sharded path keeps it opt-in."""
+    pooled = samples.reshape(-1, samples.shape[-1])
+    pooled_med = jnp.median(pooled, axis=0)
+    bulk = split_rhat_device(_rank_normalize_j(samples))
+    folded = split_rhat_device(
+        _rank_normalize_j(jnp.abs(samples - pooled_med))
+    )
+    # all-tied (constant) dimension: ordinal ranks would fabricate drift
+    const = jnp.max(pooled, axis=0) == jnp.min(pooled, axis=0)
+    return jnp.where(const, 1.0, jnp.maximum(bulk, folded))
+
+
+@jax.jit
+def tail_ess_device(samples: jax.Array) -> jax.Array:
+    """`tail_ess` as one jitted XLA program: two pooled quantiles + the
+    Geyer ESS of the two indicator sequences."""
+    pooled = samples.reshape(-1, samples.shape[-1])
+    q = jnp.quantile(
+        pooled.astype(jnp.float32)
+        if pooled.dtype == jnp.bfloat16 else pooled,
+        jnp.asarray([0.05, 0.95]), axis=0,
+    )
+    e05 = ess_device((samples <= q[0]).astype(samples.dtype))
+    e95 = ess_device((samples <= q[1]).astype(samples.dtype))
+    return jnp.minimum(e05, e95)
+
+
+@partial(jax.jit, static_argnames=("rank",))
+def diagnose_chains_device(
+    samples: jax.Array, rank: bool = False
+) -> ChainDiagnostics:
     """`diagnose_chains` computed on device: one jitted program producing
-    four (n,) arrays; fetch them whenever convenient (or never)."""
+    (n,)-sized arrays; fetch them whenever convenient (or never).
+
+    ``rank=False`` by default (unlike the host oracle): the rank
+    statistics need pooled sorts over the chain axis, which under a
+    chain-sharded mesh force cross-device gathers — the lean default
+    keeps the sharded pipeline's no-gather property. Pass ``rank=True``
+    on single-chip (or gathered) draws for the full Vehtari et al. 2021
+    panel."""
     pooled = samples.reshape(-1, samples.shape[-1])
     return ChainDiagnostics(
         rhat=split_rhat_device(samples),
         ess=ess_device(samples),
         mean=jnp.mean(pooled, axis=0),
         std=jnp.std(pooled, axis=0, ddof=1),
+        rhat_rank=rank_normalized_rhat_device(samples) if rank else None,
+        ess_tail=tail_ess_device(samples) if rank else None,
     )

@@ -159,3 +159,107 @@ def test_map_then_sample_default_diagnostics_are_device_arrays():
     np.testing.assert_allclose(
         np.asarray(out.diagnostics.ess), host.ess, rtol=1e-6
     )
+
+
+# ---- rank-normalized R-hat + tail ESS (Vehtari et al. 2021, round 4) ----
+
+from quasinewtonmethods_jl_tpu.diagnostics import (  # noqa: E402
+    rank_normalized_rhat,
+    rank_normalized_rhat_device,
+    tail_ess,
+    tail_ess_device,
+)
+
+
+def test_rank_rhat_clean_on_iid_and_flags_variance_mismatch():
+    """THE motivating fixture: chains share the mean but not the scale.
+    Between-chain variance of MEANS is ~zero, so classic split R-hat
+    passes; the FOLDED rank statistic must flag it."""
+    rng = np.random.default_rng(11)
+    iid = rng.standard_normal((1000, 8, 2))
+    assert np.all(rank_normalized_rhat(iid) < 1.01)
+
+    mism = rng.standard_normal((1000, 8, 1))
+    mism[:, :4] *= 3.0  # half the chains at 3x the scale, same mean 0
+    assert float(split_rhat(mism)[0]) < 1.01  # classic R-hat is blind
+    assert float(rank_normalized_rhat(mism)[0]) > 1.05  # folded catches it
+
+
+def test_rank_rhat_robust_to_heavy_tails():
+    """Cauchy draws have no mean/variance — the moment-based R-hat is
+    estimator noise there, while the rank statistic stays calibrated on
+    healthy chains and still flags disjoint ones."""
+    rng = np.random.default_rng(12)
+    c = rng.standard_cauchy((2000, 8, 1))
+    assert float(rank_normalized_rhat(c)[0]) < 1.01
+    d = rng.standard_cauchy((500, 4, 1)) * 0.1
+    d[:, :2] += 30.0
+    assert float(rank_normalized_rhat(d)[0]) > 1.5
+
+
+def test_tail_ess_flags_sticky_tails():
+    """Bulk mixes every step, but tail excursions ride a phi=0.995 latent
+    state, so quantile indicators have long runs: tail ESS must collapse
+    relative to bulk ESS."""
+    rng = np.random.default_rng(13)
+    draws, chains = 4000, 4
+    u = np.zeros((draws, chains))
+    innov = rng.standard_normal((draws, chains))
+    for t in range(1, draws):
+        u[t] = 0.995 * u[t - 1] + np.sqrt(1 - 0.995**2) * innov[t]
+    z = rng.standard_normal((draws, chains))
+    x = (z * np.where(u > 1.28, 4.0, 1.0))[:, :, None]  # sticky tail bursts
+    bulk = float(ess(x)[0])
+    tail = float(tail_ess(x)[0])
+    assert tail < 0.35 * bulk, (tail, bulk)
+
+    # and on iid draws the tail indicators are iid too: no collapse
+    iid = rng.standard_normal((1000, 8, 1))
+    assert float(tail_ess(iid)[0]) > 0.4 * 8000
+
+
+def test_rank_stats_constant_dimension_defined():
+    x = np.zeros((100, 4, 1))
+    assert float(rank_normalized_rhat(x)[0]) == 1.0
+    assert np.isfinite(float(tail_ess(x)[0]))
+
+
+def test_diagnose_chains_includes_rank_panel():
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal((400, 8, 2))
+    d = diagnose_chains(x)
+    assert d.rhat_rank is not None and np.all(d.rhat_rank < 1.02)
+    assert d.ess_tail is not None and np.all(d.ess_tail > 800)
+    lean = diagnose_chains(x, rank=False)
+    assert lean.rhat_rank is None and lean.ess_tail is None
+
+
+@pytest.mark.parametrize("name", ["iid", "ar1", "disjoint", "drifting"])
+def test_rank_stats_device_parity(name):
+    """Device rank statistics are the same math as the host oracle (the
+    pooled sort order is identical for continuous draws; jax's and
+    scipy's ndtri differ by ~1e-7 relative, hence the tolerance)."""
+    x = _fixtures()[name]
+    np.testing.assert_allclose(
+        np.asarray(rank_normalized_rhat_device(jnp.asarray(x))),
+        rank_normalized_rhat(x), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tail_ess_device(jnp.asarray(x))),
+        tail_ess(x), rtol=1e-8,
+    )
+
+
+def test_diagnose_chains_device_rank_opt_in():
+    """Device default stays lean (no pooled sorts — the sharded
+    pipeline's no-gather property); rank=True fills the panel."""
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((256, 8, 2)))
+    lean = diagnose_chains_device(x)
+    assert lean.rhat_rank is None and lean.ess_tail is None
+    full = diagnose_chains_device(x, rank=True)
+    assert isinstance(full.rhat_rank, jax.Array)
+    np.testing.assert_allclose(
+        np.asarray(full.rhat_rank), rank_normalized_rhat(np.asarray(x)),
+        rtol=1e-5,
+    )
