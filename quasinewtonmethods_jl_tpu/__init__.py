@@ -84,6 +84,7 @@ from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_st
 from . import transforms
 from .ais import AISResult, ais_evidence
 from .bridge import BridgeResult, bridge_evidence
+from .loo import LOOResult, loo_compare, loo_psis
 from .pathfinder import PathfinderResult, pathfinder, psis_smooth
 from .tempering import (
     PTResult,
@@ -155,6 +156,9 @@ __all__ = [
     "ais_evidence",
     "BridgeResult",
     "bridge_evidence",
+    "LOOResult",
+    "loo_compare",
+    "loo_psis",
     "MapThenSampleResult",
     "map_then_sample",
     "chain_init_from_map",
