@@ -185,6 +185,42 @@ def main():
         f"(exact {float(jnp.log(2 * jnp.pi)):.3f}), "
         f"weight ESS {float(ais.ess):.0f}/1024")
 
+    # bridge sampling: evidence from the PT draws already in hand —
+    # no gradients, no annealing run, sees every basin the chains visited
+    br = qnm.bridge_evidence(mix.logdensity, jax.random.PRNGKey(16),
+                             pt.samples,
+                             (jnp.zeros(2, dtype), jnp.full((2,), 16.0, dtype)))
+    say(f"bridge_evidence:     logZ {float(br.logZ):.3f} "
+        f"(exact {float(jnp.log(2 * jnp.pi)):.3f}), "
+        f"iters {int(br.n_iter)}, rel err ~{float(jnp.sqrt(br.re2)):.3f}")
+
+    # the full Vehtari et al. 2021 diagnostics panel: rank-normalized /
+    # folded R-hat (catches variance mismatch) + tail ESS (certifies
+    # credible-interval endpoints)
+    say(f"rank diagnostics:    rhat_rank {float(diag.rhat_rank.max()):.3f}, "
+        f"min tail ESS {float(diag.ess_tail.min()):.0f}")
+
+    # PSIS-LOO: out-of-sample model comparison from existing draws —
+    # theta ~ posterior for y_i ~ N(theta, 1); compare against a model
+    # whose predictions are biased by +1
+    y = np.asarray([0.3, -0.9, 0.6, 1.4, -0.2, 0.8], dtype=np.float64)
+    post = qnm.chees_sample(
+        lambda t: -0.5 * jnp.sum((jnp.asarray(y, dtype) - t[0]) ** 2)
+        - 0.5 * t[0] ** 2 / 25.0,
+        jax.random.PRNGKey(17), jnp.zeros((8, 1), dtype),
+        n_samples=128, n_warmup=100)
+    pointwise = lambda t: -0.5 * ((jnp.asarray(y, dtype) - t[0]) ** 2
+                                  + jnp.log(2 * jnp.pi))
+    biased = lambda t: -0.5 * ((jnp.asarray(y, dtype) - t[0] - 1.0) ** 2
+                               + jnp.log(2 * jnp.pi))
+    loo_a = qnm.loo_psis(pointwise, draws=post.samples)
+    loo_b = qnm.loo_psis(biased, draws=post.samples)
+    d, se = qnm.loo_compare(loo_a, loo_b)
+    say(f"loo_psis:            elpd {float(loo_a.elpd):.2f} "
+        f"(p_loo {float(loo_a.p_loo):.2f}, max khat "
+        f"{float(loo_a.khat.max()):.2f}); vs biased model "
+        f"diff {float(d):+.2f} +- {float(se):.2f}")
+
     # -- native host runtime -------------------------------------------------
     try:
         from quasinewtonmethods_jl_tpu.host import rosenbrock_host

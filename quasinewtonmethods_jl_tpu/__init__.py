@@ -84,7 +84,7 @@ from .state import BFGSState, LBFGSState, Status, init_bfgs_state, init_lbfgs_st
 from . import transforms
 from .ais import AISResult, ais_evidence
 from .bridge import BridgeResult, bridge_evidence
-from .loo import LOOResult, loo_compare, loo_psis
+from .loo import LOOResult, WAICResult, loo_compare, loo_psis, waic
 from .pathfinder import PathfinderResult, pathfinder, psis_smooth
 from .tempering import (
     PTResult,
@@ -157,8 +157,10 @@ __all__ = [
     "BridgeResult",
     "bridge_evidence",
     "LOOResult",
+    "WAICResult",
     "loo_compare",
     "loo_psis",
+    "waic",
     "MapThenSampleResult",
     "map_then_sample",
     "chain_init_from_map",

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .pathfinder import psis_smooth
 
-__all__ = ["LOOResult", "loo_psis", "loo_compare"]
+__all__ = ["LOOResult", "WAICResult", "loo_psis", "loo_compare", "waic"]
 
 
 class LOOResult(NamedTuple):
@@ -125,6 +125,73 @@ def loo_psis(
     if ll.shape[0] < 8:
         raise ValueError("need at least 8 draws for PSIS-LOO")
     return _loo_core(ll)
+
+
+class WAICResult(NamedTuple):
+    """elpd: WAIC expected log pointwise predictive density (higher =
+    better). se: its standard error. p_waic: effective parameter count
+    (sum of per-observation log-likelihood variances over draws).
+    elpd_pointwise: (N,) per-observation terms (feeds `loo_compare` —
+    it only reads `.elpd_pointwise`, so LOO and WAIC results mix)."""
+
+    elpd: jax.Array
+    se: jax.Array
+    p_waic: jax.Array
+    elpd_pointwise: jax.Array
+
+
+@jax.jit
+def _waic_core(ll):
+    S = ll.shape[0]
+    lse = jax.scipy.special.logsumexp
+    lpd_i = lse(ll, axis=0) - jnp.log(jnp.asarray(S, ll.dtype))
+    p_i = jnp.var(ll, axis=0, ddof=1)
+    elpd_i = lpd_i - p_i
+    n = ll.shape[1]
+    se = jnp.sqrt(n * jnp.var(elpd_i, ddof=1)) if n > 1 else jnp.zeros(
+        (), ll.dtype
+    )
+    return WAICResult(
+        elpd=jnp.sum(elpd_i), se=se, p_waic=jnp.sum(p_i),
+        elpd_pointwise=elpd_i,
+    )
+
+
+def waic(
+    loglik: Union[jax.Array, Callable],
+    draws: Optional[jax.Array] = None,
+) -> WAICResult:
+    """Widely applicable information criterion (Watanabe 2010; the
+    Gelman et al. 2014 elpd formulation). Same inputs as `loo_psis`;
+    pure reductions, no importance weights — cheaper but less robust
+    than PSIS-LOO (its variance-based penalty understates under strong
+    influence, and there is no per-observation reliability diagnostic),
+    so prefer `loo_psis` and use WAIC as its cross-check: the two
+    agreeing is evidence neither is being distorted."""
+    if callable(loglik):
+        if draws is None:
+            raise ValueError(
+                "a callable loglik needs draws= (posterior samples)"
+            )
+        x = jnp.asarray(draws)
+        if x.ndim == 3:
+            x = x.reshape(-1, x.shape[-1])
+        if x.ndim != 2:
+            raise ValueError(
+                f"draws must be (S, n) or (n_samples, chains, n), got "
+                f"{x.shape}"
+            )
+        ll = jax.vmap(loglik)(x)
+    else:
+        ll = jnp.asarray(loglik)
+    if ll.ndim != 2:
+        raise ValueError(
+            f"pointwise log-likelihood must be (S draws, N obs), got "
+            f"{ll.shape}"
+        )
+    if ll.shape[0] < 2:
+        raise ValueError("need at least 2 draws for WAIC")
+    return _waic_core(ll)
 
 
 def loo_compare(a: LOOResult, b: LOOResult) -> tuple:

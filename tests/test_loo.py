@@ -124,3 +124,27 @@ def test_loo_validation():
     rb = qnm.loo_psis(jnp.zeros((16, 5)) - 1.0)
     with pytest.raises(ValueError, match="different observation"):
         qnm.loo_compare(ra, rb)
+
+
+def test_waic_agrees_with_loo_and_analytic():
+    """On the well-specified conjugate fixture WAIC ≈ PSIS-LOO ≈ the
+    analytic elpd_loo, and p_waic recovers the single parameter."""
+    _, _, ll, elpd_true = _conjugate_fixture(jax.random.PRNGKey(5))
+    w = qnm.waic(ll)
+    lo = qnm.loo_psis(ll)
+    assert abs(float(w.elpd) - elpd_true) < 0.3
+    assert abs(float(w.elpd) - float(lo.elpd)) < 0.2
+    assert 0.5 < float(w.p_waic) < 1.6
+    # loo_compare duck-types on elpd_pointwise: LOO vs WAIC of the SAME
+    # model must be indistinguishable
+    d, se = qnm.loo_compare(lo, w)
+    assert abs(float(d)) < max(2.0 * float(se), 0.2)
+
+
+def test_waic_validation():
+    with pytest.raises(ValueError, match="needs draws"):
+        qnm.waic(lambda t: t)
+    with pytest.raises(ValueError, match="at least 2 draws"):
+        qnm.waic(jnp.ones((1, 3)))
+    with pytest.raises(ValueError, match="must be \\(S draws"):
+        qnm.waic(jnp.ones((8,)))
