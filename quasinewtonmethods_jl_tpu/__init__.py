@@ -33,6 +33,12 @@ from .ops.bfgs import bfgs_update, initial_inv_hessian
 from .ops.linesearch import BackTracking, LineSearchResult, backtracking_linesearch
 from .ops.wolfe import Wolfe, WolfeResult, wolfe_linesearch
 from .implicit import ImplicitOptions, optimize_implicit
+from .least_squares import (
+    LeastSquaresResult,
+    LMState,
+    least_squares,
+    least_squares_from_state,
+)
 from .lbfgs_batched_solve import optimize_lbfgs_batched_fused_from_state
 from .minimize import minimize
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
@@ -187,6 +193,10 @@ __all__ = [
     "optimize_lbfgs_from_state",
     "optimize_implicit",
     "ImplicitOptions",
+    "LeastSquaresResult",
+    "LMState",
+    "least_squares",
+    "least_squares_from_state",
     "optimize_batched_pytree",
     "optimize_lbfgs_pytree",
     "optimize_multistart",

@@ -27,11 +27,13 @@ from ..state import BFGSState, LBFGSState
 
 def _sampler_state_classes():
     # deferred: sampling imports api/jax transforms; keep checkpoint cheap
+    from ..least_squares import LMState
     from ..sampling import ChEESState, HMCState, NUTSState
     from ..tempering import PTState
 
     return {"HMCState": HMCState, "ChEESState": ChEESState,
-            "NUTSState": NUTSState, "PTState": PTState}
+            "NUTSState": NUTSState, "PTState": PTState,
+            "LMState": LMState}
 
 
 __all__ = ["save_state", "load_state"]

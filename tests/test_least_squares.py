@@ -1,0 +1,232 @@
+"""Levenberg–Marquardt nonlinear least squares (least_squares.py).
+
+Family extension beyond the reference (the Gauss–Newton branch next to the
+reference's secant branch, src/QuasiNewtonMethods.jl:34-69) — tested to the
+same standards as the quasi-Newton engines: analytic fixtures with known
+solutions, the in-band failure contract (fun NaN unless CONVERGED, iterate
+frozen at the last good point), chunked-resume identity, checkpoint
+round-trip, and an external-oracle parity check (scipy's MINPACK-style LM).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.state import Status
+
+
+def rosen_res(x):
+    # the classic Rosenbrock residual form: f(x) = 0.5*||r||^2 equals the
+    # (chained) Rosenbrock function up to the usual 0.5/2 scaling
+    return jnp.concatenate([10.0 * (x[1:] - x[:-1] ** 2), 1.0 - x[:-1]])
+
+
+def test_linear_residuals_exact():
+    # r = Ax - b: LM must land on the normal-equation solution and report
+    # the exact Gauss-Newton matrix A^T A
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(12, 5)))
+    b = jnp.asarray(rng.normal(size=12))
+    res = qnm.least_squares(lambda x: A @ x - b, jnp.zeros(5))
+    assert res.status == Status.CONVERGED
+    x_ref = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(res.JTJ), np.asarray(A).T @ np.asarray(A), atol=1e-10
+    )
+    r_star = np.asarray(A) @ x_ref - np.asarray(b)
+    np.testing.assert_allclose(float(res.fun), 0.5 * r_star @ r_star, rtol=1e-12)
+    # quadratic objective: one accepted GN step (plus damping warmup) only
+    assert int(res.iterations) <= 6
+
+
+def test_rosenbrock_nls_converges():
+    res = qnm.least_squares(rosen_res, jnp.full(10, -1.2))
+    assert res.status == Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-8)
+    assert float(res.fun) < 1e-16
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+    # LM exploits the least-squares structure: far fewer iterations than
+    # the secant engines need on the same function
+    assert int(res.iterations) < 60
+
+
+def test_scipy_lm_parity():
+    scipy_opt = pytest.importorskip("scipy.optimize")
+
+    def f_np(x):
+        return np.concatenate([10.0 * (x[1:] - x[:-1] ** 2), 1.0 - x[:-1]])
+
+    ours = qnm.least_squares(rosen_res, jnp.full(10, -1.2))
+    ref = scipy_opt.least_squares(f_np, np.full(10, -1.2), method="lm")
+    np.testing.assert_allclose(np.asarray(ours.x), ref.x, atol=1e-8)
+
+
+def test_fleet_curve_fit_with_per_lane_data():
+    # the headline shape: B independent exponential-decay fits, each lane
+    # with its own observations, one compiled lockstep program
+    rng = np.random.default_rng(1)
+    B, m = 64, 50
+    t = jnp.linspace(0.0, 3.0, m)
+    true = rng.uniform(0.5, 2.0, size=(B, 2))
+    Y = true[:, :1] * np.exp(-true[:, 1:] * np.asarray(t)[None])
+    Y = Y + 0.001 * rng.normal(size=(B, m))
+
+    def expres(p, y):
+        return p[0] * jnp.exp(-p[1] * t) - y
+
+    res = qnm.least_squares(expres, jnp.ones((B, 2)), data=jnp.asarray(Y), tol=1e-8)
+    assert (np.asarray(res.status) == int(Status.CONVERGED)).all()
+    assert np.abs(np.asarray(res.x) - true).max() < 0.01
+    # every result leaf carries the fleet axis
+    assert res.x.shape == (B, 2) and res.JTJ.shape == (B, 2, 2)
+    assert np.isfinite(np.asarray(res.fun)).all()
+
+
+def test_jac_modes_agree():
+    # fwd and rev jacobians are the same matrix -> identical trajectories
+    x0 = jnp.full(6, -1.2)
+    r_fwd = qnm.least_squares(rosen_res, x0, jac_mode="fwd")
+    r_rev = qnm.least_squares(rosen_res, x0, jac_mode="rev")
+    np.testing.assert_array_equal(np.asarray(r_fwd.x), np.asarray(r_rev.x))
+    assert int(r_fwd.iterations) == int(r_rev.iterations)
+    with pytest.raises(ValueError, match="jac_mode"):
+        qnm.least_squares(rosen_res, x0, jac_mode="banana")
+
+
+def test_underdetermined_m_less_than_n():
+    # m < n: damped steps still minimize; auto mode picks reverse
+    def r(x):
+        return jnp.atleast_1d(jnp.sum(x) - 1.0)
+
+    res = qnm.least_squares(r, jnp.zeros(4), tol=1e-10)
+    assert res.status == Status.CONVERGED
+    assert abs(float(jnp.sum(res.x)) - 1.0) < 1e-8
+
+
+def test_resume_identity_and_checkpoint(tmp_path):
+    x0 = jnp.full(10, -1.2)
+    long = qnm.least_squares(rosen_res, x0)
+
+    part = qnm.least_squares(rosen_res, x0, max_iterations=3)
+    assert part.status == Status.MAX_ITERATIONS
+    assert np.isnan(float(part.fun))  # in-band contract on the cap path
+    # checkpoint round-trip through the shared state serializer
+    from quasinewtonmethods_jl_tpu.utils import load_state, save_state
+
+    path = tmp_path / "lm_state"
+    save_state(path, part.state)
+    restored = load_state(path)
+    cont = qnm.least_squares_from_state(rosen_res, restored)
+    assert cont.status == Status.CONVERGED
+    np.testing.assert_array_equal(np.asarray(cont.x), np.asarray(long.x))
+    assert int(cont.iterations) == int(long.iterations)
+    assert int(cont.n_jev) == int(long.n_jev)
+
+
+def test_fleet_resume_with_data():
+    rng = np.random.default_rng(3)
+    B, m = 8, 30
+    t = jnp.linspace(0.0, 2.0, m)
+    true = rng.uniform(0.5, 2.0, size=(B, 2))
+    Y = jnp.asarray(true[:, :1] * np.exp(-true[:, 1:] * np.asarray(t)[None]))
+
+    def expres(p, y):
+        return p[0] * jnp.exp(-p[1] * t) - y
+
+    long = qnm.least_squares(expres, jnp.ones((B, 2)), data=Y)
+    part = qnm.least_squares(expres, jnp.ones((B, 2)), data=Y, max_iterations=2)
+    cont = qnm.least_squares_from_state(expres, part.state, data=Y)
+    np.testing.assert_array_equal(np.asarray(cont.x), np.asarray(long.x))
+    np.testing.assert_array_equal(
+        np.asarray(cont.iterations), np.asarray(long.iterations)
+    )
+
+
+def test_nonfinite_at_start_is_in_band():
+    res = qnm.least_squares(lambda x: jnp.sqrt(x) - 1.0, -jnp.ones(3))
+    assert res.status == Status.NONFINITE_VALUE
+    assert np.isnan(float(res.fun))
+    assert int(res.iterations) == 0
+    # iterate never moved
+    np.testing.assert_array_equal(np.asarray(res.x), -np.ones(3))
+
+
+def test_nan_wall_freezes_iterate():
+    # residuals become NaN away from the start: every trial into the wall
+    # is rejected, damping grows, the lane exits in-band with the iterate
+    # still at the last good point (the 0*NaN protection class)
+    def r(x):
+        bad = jnp.max(jnp.abs(x)) > 0.75
+        return jnp.where(bad, jnp.nan, 1.0) * jnp.concatenate([x - 2.0, x[:1] * 0])
+
+    x0 = 0.5 * jnp.ones(3)
+    res = qnm.least_squares(r, x0, lam_max=1e12)
+    assert res.status == Status.LINESEARCH_FAILURE
+    assert np.isnan(float(res.fun))
+    assert np.isfinite(float(res.last_value))
+    assert np.isfinite(np.asarray(res.x)).all()
+    assert (np.abs(np.asarray(res.x)) <= 0.75).all()
+
+
+def test_mixed_fleet_statuses():
+    # lane 0 converges; lane 1 starts non-finite; independent in one batch
+    def r(x):
+        return jnp.concatenate([jnp.sqrt(x[:1]), x - 1.0])
+
+    x0 = jnp.stack([jnp.ones(3), -jnp.ones(3)])
+    res = qnm.least_squares(r, x0, tol=1e-8)
+    status = np.asarray(res.status)
+    assert status[0] == int(Status.CONVERGED)
+    assert status[1] == int(Status.NONFINITE_VALUE)
+    assert np.isfinite(float(res.fun[0])) and np.isnan(float(res.fun[1]))
+
+
+def test_f32_fleet_converges_at_relaxed_tol():
+    # the TPU numerical contract: f32 engines certify at tol >= ~1e-3
+    res = qnm.least_squares(
+        rosen_res, jnp.full((4, 8), -1.2, jnp.float32), tol=1e-3
+    )
+    assert (np.asarray(res.status) == int(Status.CONVERGED)).all()
+    assert np.asarray(res.x).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-2)
+
+
+def test_input_validation():
+    with pytest.raises(ValueError, match="rank 1 or 2"):
+        qnm.least_squares(rosen_res, jnp.zeros((2, 2, 2)))
+    with pytest.raises(ValueError, match="batch axis"):
+        qnm.least_squares(
+            lambda x, d: x - d, jnp.zeros((4, 3)), data=jnp.zeros((5, 3))
+        )
+    with pytest.raises(ValueError, match="max_iterations"):
+        qnm.least_squares(rosen_res, jnp.zeros(3), max_iterations=0)
+    with pytest.raises(ValueError, match="rank-1"):
+        qnm.least_squares(lambda x: jnp.outer(x, x), jnp.ones(3))
+
+
+def test_gauss_newton_mass_handoff_orientation():
+    # result.JTJ at a Gaussian log-likelihood's MAP is the negative Hessian
+    # of the logdensity — the orientation the samplers take a dense metric
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.normal(size=(9, 4)))
+    b = jnp.asarray(rng.normal(size=9))
+    res = qnm.least_squares(lambda x: A @ x - b, jnp.zeros(4))
+
+    neg_hess = -jax.hessian(lambda x: -0.5 * jnp.sum((A @ x - b) ** 2))(res.x)
+    np.testing.assert_allclose(np.asarray(res.JTJ), np.asarray(neg_hess), atol=1e-9)
+
+
+def test_vmap_vs_fleet_consistency():
+    # the fleet engine's lanes match independent scalar solves (the same
+    # cross-engine bar the BFGS fleets are held to); LM has no line-search
+    # trip-count coupling so the match is exact
+    x0s = jnp.stack([jnp.full(6, -1.2), jnp.zeros(6), jnp.full(6, 0.7)])
+    fleet = qnm.least_squares(rosen_res, x0s)
+    for i in range(x0s.shape[0]):
+        single = qnm.least_squares(rosen_res, x0s[i])
+        np.testing.assert_array_equal(np.asarray(fleet.x[i]), np.asarray(single.x))
+        assert int(fleet.iterations[i]) == int(single.iterations)
+        assert int(fleet.status[i]) == int(single.status)
