@@ -169,6 +169,74 @@ def _grad_and_gn(r, J):
     return g, JTJ
 
 
+# --- robust losses (M-estimation) -------------------------------------------
+#
+# The robust objective is F(x) = ½ C² Σᵢ ρ(zᵢ), zᵢ = rᵢ²/C² with C = f_scale
+# (scipy.optimize.least_squares' convention, so `loss=`/`f_scale=` fixtures
+# transfer verbatim). ρ grows sub-quadratically, so large residuals
+# (outliers) stop dominating the fit. Everything stays batched elementwise
+# VPU work: per-residual weights, no sorting, no data-dependent shapes.
+
+LM_LOSSES = ("linear", "huber", "soft_l1", "cauchy", "arctan")
+
+
+def _rho_derivs(z, loss: str):
+    """ρ(z), ρ'(z), ρ''(z) elementwise. Each is an exact closed form; the
+    z >= 0 domain keeps all of them finite."""
+    if loss == "huber":
+        big = z > 1.0
+        sq = jnp.sqrt(jnp.maximum(z, 1.0))  # guarded: used only where big
+        rho = jnp.where(big, 2.0 * sq - 1.0, z)
+        d1 = jnp.where(big, 1.0 / sq, jnp.ones_like(z))
+        d2 = jnp.where(big, -0.5 / (sq * jnp.maximum(z, 1.0)), jnp.zeros_like(z))
+        return rho, d1, d2
+    if loss == "soft_l1":
+        t = 1.0 + z
+        sq = jnp.sqrt(t)
+        return 2.0 * (sq - 1.0), 1.0 / sq, -0.5 / (t * sq)
+    if loss == "cauchy":
+        t = 1.0 + z
+        return jnp.log1p(z), 1.0 / t, -1.0 / (t * t)
+    if loss == "arctan":
+        t = 1.0 + z * z
+        return jnp.arctan(z), 1.0 / t, -2.0 * z / (t * t)
+    raise ValueError(f"loss must be one of {LM_LOSSES}, got {loss!r}")
+
+
+def _make_fun_grad_gn(loss: str, f_scale: float):
+    """(r, J) -> (fun, g, JTJ) under the robust loss.
+
+    g = Σ ρ'(zᵢ)·rᵢ·Jᵢ is the EXACT gradient of F (no clamping — the
+    convergence certificate max|g| < tol stays honest). JTJ uses the
+    Gauss–Newton-with-Triggs-correction weights wᵢ = ρ' + 2ρ''·zᵢ, floored
+    at eps: for cauchy/arctan w goes negative at large zᵢ (the robust
+    objective is locally concave in those residuals) and an indefinite
+    model matrix would poison the whole fleet's Cholesky — the floor keeps
+    the step a descent direction, the gain ratio does the rest.
+    """
+    if loss == "linear":
+
+        def fun_grad_gn(r, J):
+            fun = 0.5 * jnp.sum(r * r, axis=-1)
+            g, JTJ = _grad_and_gn(r, J)
+            return fun, g, JTJ
+
+        return fun_grad_gn
+
+    def fun_grad_gn(r, J):
+        dtype = r.dtype
+        C2 = jnp.asarray(f_scale * f_scale, dtype)
+        z = (r * r) / C2
+        rho, d1, d2 = _rho_derivs(z, loss)
+        fun = 0.5 * C2 * jnp.sum(rho, axis=-1)
+        g = jnp.einsum("bmn,bm->bn", J, d1 * r, precision=_HIGHEST)
+        w = jnp.maximum(d1 + 2.0 * d2 * z, jnp.finfo(dtype).eps)
+        JTJ = jnp.einsum("bmn,bm,bmk->bnk", J, w, J, precision=_HIGHEST)
+        return fun, g, JTJ
+
+    return fun_grad_gn
+
+
 def _damped_step(JTJ, g, lam, diag_floor):
     """Solve (JTJ + lam·D) δ = −g per lane via batched Cholesky.
 
@@ -202,6 +270,7 @@ def _lm_cond(max_iterations):
 
 def _lm_body(
     jac_fleet,
+    fun_grad_gn,
     data,
     tol,
     max_iterations,
@@ -221,8 +290,7 @@ def _lm_body(
     # evaluating at x_t (not x) costs nothing and saves the re-evaluation
     # an accept would otherwise trigger.
     r_t, J_t = jac_fleet(x_t, data)
-    f_t = 0.5 * jnp.sum(r_t * r_t, axis=-1)
-    g_t, JTJ_t = _grad_and_gn(r_t, J_t)
+    f_t, g_t, JTJ_t = fun_grad_gn(r_t, J_t)
 
     # Madsen–Nielsen gain ratio: predicted reduction of the damped model is
     # ½ δᵀ(lam·D·δ − g) >= 0 for the exact solve.
@@ -281,15 +349,14 @@ def _lm_body(
     )
 
 
-def _init_lm_state(jac_fleet, data, X0, tol, damping_init) -> LMState:
+def _init_lm_state(jac_fleet, fun_grad_gn, data, X0, tol, damping_init) -> LMState:
     """Peeled initial evaluation: (f, g, JTJ) at x0, per-lane lam0 =
     damping_init · max(diag(JTJ)) (Madsen–Nielsen τ rule), immediate
     classification of already-converged and non-finite lanes."""
     dtype = X0.dtype
     B = X0.shape[0]
     r0, J0 = jac_fleet(X0, data)
-    f0 = 0.5 * jnp.sum(r0 * r0, axis=-1)
-    g0, JTJ0 = _grad_and_gn(r0, J0)
+    f0, g0, JTJ0 = fun_grad_gn(r0, J0)
 
     d0 = jnp.diagonal(JTJ0, axis1=-2, axis2=-1)
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
@@ -349,6 +416,8 @@ def _result_from_state(s: LMState, squeeze: bool) -> LeastSquaresResult:
         "damping_init",
         "lam_max",
         "jac_mode",
+        "loss",
+        "f_scale",
         "_squeeze",
     ),
 )
@@ -362,6 +431,8 @@ def _least_squares_impl(
     damping_init,
     lam_max,
     jac_mode,
+    loss,
+    f_scale,
     _squeeze,
 ):
     n = X0.shape[-1]
@@ -381,15 +452,17 @@ def _least_squares_impl(
     mode = _resolve_jac_mode(jac_mode, n, m[0])
 
     jac_fleet = _make_jac_fleet(residual_fn, has_data, mode)
+    fun_grad_gn = _make_fun_grad_gn(loss, f_scale)
     dtype = X0.dtype
     diag_floor = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
     state0 = _init_lm_state(
-        jac_fleet, data, X0, tol, jnp.asarray(damping_init, dtype)
+        jac_fleet, fun_grad_gn, data, X0, tol, jnp.asarray(damping_init, dtype)
     )
     body = partial(
         _lm_body,
         jac_fleet,
+        fun_grad_gn,
         data,
         jnp.asarray(tol, dtype),
         max_iterations,
@@ -410,6 +483,8 @@ def least_squares(
     damping_init: float = 1e-3,
     lam_max: float = 1e32,
     jac_mode: str = "auto",
+    loss: str = "linear",
+    f_scale: float = 1.0,
 ) -> LeastSquaresResult:
     """Minimize ½‖r(x)‖² by Levenberg–Marquardt, batched.
 
@@ -435,6 +510,17 @@ def least_squares(
     the same orientation the samplers take a dense metric (a drop-in for
     the MAP→mass handoff of `map_then_sample`).
 
+    Robust fitting: ``loss`` in ``('linear', 'huber', 'soft_l1', 'cauchy',
+    'arctan')`` minimizes ½·f_scale²·Σρ(rᵢ²/f_scale²) instead (M-estimation
+    — scipy.optimize.least_squares' exact convention, so `loss=`/`f_scale=`
+    choices transfer verbatim). Residuals beyond ~``f_scale`` are
+    down-weighted, so outliers stop dominating the fit. The gradient (and
+    the tol certificate) is exact for the robust objective; the model
+    matrix uses the Triggs-corrected Gauss–Newton weights floored at eps
+    (cauchy/arctan go locally concave in large residuals — the floor keeps
+    the damped system SPD). All losses are elementwise per-residual
+    weights: the fleet stays one lockstep batched program.
+
     f32/TPU guidance: as with every engine here, tol >= ~1e-3 at f32;
     f64-on-CPU is the high-accuracy mode.
     """
@@ -457,6 +543,10 @@ def least_squares(
                 )
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    if loss not in LM_LOSSES:
+        raise ValueError(f"loss must be one of {LM_LOSSES}, got {loss!r}")
+    if not float(f_scale) > 0.0:
+        raise ValueError(f"f_scale must be > 0, got {f_scale}")
     return _least_squares_impl(
         residual_fn,
         X0,
@@ -466,6 +556,8 @@ def least_squares(
         damping_init=float(damping_init),
         lam_max=float(lam_max),
         jac_mode=jac_mode,
+        loss=loss,
+        f_scale=float(f_scale),
         _squeeze=squeeze,
     )
 
@@ -478,6 +570,8 @@ def least_squares(
         "max_iterations",
         "lam_max",
         "jac_mode",
+        "loss",
+        "f_scale",
         "_squeeze",
     ),
 )
@@ -490,6 +584,8 @@ def _least_squares_resume_impl(
     max_iterations,
     lam_max,
     jac_mode,
+    loss,
+    f_scale,
     _squeeze,
 ):
     n = state.x.shape[-1]
@@ -505,6 +601,7 @@ def _least_squares_resume_impl(
     ).shape[0]
     mode = _resolve_jac_mode(jac_mode, n, m)
     jac_fleet = _make_jac_fleet(residual_fn, has_data, mode)
+    fun_grad_gn = _make_fun_grad_gn(loss, f_scale)
     dtype = state.x.dtype
     # lanes parked at MAX_ITERATIONS resume running under the new budget
     # (k keeps counting from where it stopped — the same resume semantics
@@ -519,6 +616,7 @@ def _least_squares_resume_impl(
     body = partial(
         _lm_body,
         jac_fleet,
+        fun_grad_gn,
         data,
         jnp.asarray(tol, dtype),
         max_iterations,
@@ -538,11 +636,17 @@ def least_squares_from_state(
     max_iterations: int = LM_MAX_ITERATIONS_DEFAULT,
     lam_max: float = 1e32,
     jac_mode: str = "auto",
+    loss: str = "linear",
+    f_scale: float = 1.0,
 ) -> LeastSquaresResult:
     """Resume a least-squares solve from a saved `LMState` (chunked runs
     reproduce one long run exactly — the carried (g, JTJ, lam, nu) are the
     full algorithm memory). Lanes that stopped at MAX_ITERATIONS continue
-    under the new budget; converged/failed lanes stay frozen."""
+    under the new budget; converged/failed lanes stay frozen.
+
+    ``loss``/``f_scale`` must match the original run (the carried
+    (fun, g, JTJ) are quantities OF that robust objective — resuming under
+    a different loss silently mixes two objectives)."""
     squeeze = state.x.ndim == 1
     if squeeze:
         state = jax.tree_util.tree_map(lambda l: jnp.asarray(l)[None], state)
@@ -550,6 +654,10 @@ def least_squares_from_state(
         data = jax.tree_util.tree_map(jnp.asarray, data)
         if squeeze:
             data = jax.tree_util.tree_map(lambda l: l[None], data)
+    if loss not in LM_LOSSES:
+        raise ValueError(f"loss must be one of {LM_LOSSES}, got {loss!r}")
+    if not float(f_scale) > 0.0:
+        raise ValueError(f"f_scale must be > 0, got {f_scale}")
     return _least_squares_resume_impl(
         residual_fn,
         state,
@@ -558,5 +666,7 @@ def least_squares_from_state(
         max_iterations=int(max_iterations),
         lam_max=float(lam_max),
         jac_mode=jac_mode,
+        loss=loss,
+        f_scale=float(f_scale),
         _squeeze=squeeze,
     )
