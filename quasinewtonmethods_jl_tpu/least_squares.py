@@ -237,7 +237,41 @@ def _make_fun_grad_gn(loss: str, f_scale: float):
     return fun_grad_gn
 
 
-def _damped_step(JTJ, g, lam, diag_floor):
+# --- box constraints ---------------------------------------------------------
+#
+# Projected Levenberg–Marquardt with an elementwise active set (the
+# dogbox strategy, TPU-shaped). Naive clip-LM (solve the full damped
+# system, clip the step) CRAWLS when a bound is active: the Newton solve
+# couples coordinates, so a free coordinate's component is computed
+# assuming the blocked coordinate moves — it doesn't, the gain ratio
+# sours, and the damping control stalls at O(1) lam (measured: 200
+# iterations without certifying a 2-parameter fit). Instead, each
+# iteration masks bound-blocked coordinates (at a face with the gradient
+# pushing outward) OUT of the normal equations — zero their rows/columns
+# and right-hand side, keep their Marquardt diagonal so the batched
+# Cholesky stays SPD — which makes the damped solve exact on the free
+# subspace (blocked coordinates get an exactly-zero step). The trial
+# point is then clipped (free coordinates may legitimately hit a face
+# mid-step; the gain ratio against the quadratic model along the
+# ACTUALLY-TAKEN step scores that correctly, and the coordinate joins the
+# active set next iteration). Everything is elementwise masking on the
+# existing batched tensors: no shape changes, no per-lane control flow,
+# the fleet stays one lockstep program.
+
+
+def _kkt_criticality(x, g, bounds):
+    """Per-lane optimality measure. Unbounded: max|g| (the library's
+    gradient certificate). Bounded: the projected-gradient residual
+    max|x − clip(x − g, lo, hi)| — zero exactly at KKT points of the box
+    (interior ⇒ g = 0; at lo ⇒ g ≥ 0; at hi ⇒ g ≤ 0), and it reduces to
+    max|g| for interior iterates with small g."""
+    if bounds is None:
+        return jnp.max(jnp.abs(g), axis=-1)
+    lo, hi = bounds
+    return jnp.max(jnp.abs(x - jnp.clip(x - g, lo, hi)), axis=-1)
+
+
+def _damped_step(JTJ, g, lam, diag_floor, free=None):
     """Solve (JTJ + lam·D) δ = −g per lane via batched Cholesky.
 
     D = diag(JTJ) floored at ``diag_floor`` (Marquardt scaling — the step
@@ -245,12 +279,24 @@ def _damped_step(JTJ, g, lam, diag_floor):
     non-SPD system (degenerate JTJ at lam ≈ 0) yields NaNs from the
     Cholesky, the trial evaluates non-finite, the gain ratio rejects, and
     the damping doubles — the failure heals itself in-band, no conds.
+
+    ``free`` (bool, same shape as g; bounded path only) restricts the
+    solve to the free subspace: blocked coordinates' rows/columns and
+    rhs are zeroed, their diagonal keeps (1+lam)·D so the system stays
+    SPD and their step is exactly zero. The masked JTJ is a congruence
+    of a PSD matrix by diag(free), so positivity is preserved.
     """
     d = jnp.diagonal(JTJ, axis1=-2, axis2=-1)
     d = jnp.maximum(d, diag_floor)
     n = d.shape[-1]
+    diag_add = lam[:, None] * d
+    if free is not None:
+        fm = free.astype(JTJ.dtype)
+        JTJ = JTJ * fm[:, :, None] * fm[:, None, :]
+        diag_add = diag_add + (1.0 - fm) * d
+        g = g * fm
     # eye[i,j] * v[..., i] embeds v on the diagonal — no scatter, no loop
-    A = JTJ + jnp.eye(n, dtype=JTJ.dtype) * (lam[:, None] * d)[..., None]
+    A = JTJ + jnp.eye(n, dtype=JTJ.dtype) * diag_add[..., None]
     L = jnp.linalg.cholesky(A)
     rhs = -g[..., None]
     w = lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
@@ -272,6 +318,7 @@ def _lm_body(
     jac_fleet,
     fun_grad_gn,
     data,
+    bounds,
     tol,
     max_iterations,
     lam_max,
@@ -281,9 +328,19 @@ def _lm_body(
     dtype = s.x.dtype
     active = s.status == Status.RUNNING
 
-    delta, dvec = _damped_step(s.JTJ, s.g, s.lam, diag_floor)
-
-    x_t = s.x + delta
+    if bounds is None:
+        delta, dvec = _damped_step(s.JTJ, s.g, s.lam, diag_floor)
+        x_t = s.x + delta
+    else:
+        lo, hi = bounds
+        # blocked = at a face with the gradient pushing outward (clipping
+        # lands iterates EXACTLY on the face, so == comparisons fire)
+        blocked = ((s.x <= lo) & (s.g > 0)) | ((s.x >= hi) & (s.g < 0))
+        delta, dvec = _damped_step(
+            s.JTJ, s.g, s.lam, diag_floor, free=~blocked
+        )
+        x_t = jnp.clip(s.x + delta, lo, hi)
+        delta = x_t - s.x  # the step actually taken
     # one jacobian evaluation per iteration, AT THE TRIAL POINT: accepted
     # lanes need (r, J) there anyway, rejected lanes mask it away — in a
     # lockstep fleet the jacobian runs every iteration regardless, so
@@ -292,11 +349,20 @@ def _lm_body(
     r_t, J_t = jac_fleet(x_t, data)
     f_t, g_t, JTJ_t = fun_grad_gn(r_t, J_t)
 
-    # Madsen–Nielsen gain ratio: predicted reduction of the damped model is
-    # ½ δᵀ(lam·D·δ − g) >= 0 for the exact solve.
-    pred = 0.5 * jnp.sum(
-        delta * (s.lam[:, None] * dvec * delta - s.g), axis=-1
-    )
+    if bounds is None:
+        # Madsen–Nielsen gain ratio: predicted reduction of the damped
+        # model is ½ δᵀ(lam·D·δ − g) >= 0 for the exact solve.
+        pred = 0.5 * jnp.sum(
+            delta * (s.lam[:, None] * dvec * delta - s.g), axis=-1
+        )
+    else:
+        # The clipped step is no longer the damped system's exact solution,
+        # so evaluate the quadratic model's decrease along it directly:
+        # −(gᵀδ + ½ δᵀ(JTJ)δ). (For an unclipped δ this reduces exactly to
+        # the closed form above — kept separate so the unbounded path's
+        # floating-point trajectory is untouched.)
+        JTJd = jnp.einsum("bij,bj->bi", s.JTJ, delta, precision=_HIGHEST)
+        pred = -jnp.sum(delta * (s.g + 0.5 * JTJd), axis=-1)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     rho = (s.fun - f_t) / jnp.maximum(pred, tiny)
 
@@ -315,7 +381,7 @@ def _lm_body(
     stall_new = jnp.where(accept, 0, s.stall + 1)
 
     k_new = jnp.where(active, s.k + 1, s.k)
-    converged = jnp.max(jnp.abs(g_new), axis=-1) < tol
+    converged = _kkt_criticality(x_new, g_new, bounds) < tol
     status_new = jnp.where(
         active,
         jnp.where(
@@ -349,12 +415,16 @@ def _lm_body(
     )
 
 
-def _init_lm_state(jac_fleet, fun_grad_gn, data, X0, tol, damping_init) -> LMState:
+def _init_lm_state(
+    jac_fleet, fun_grad_gn, data, bounds, X0, tol, damping_init
+) -> LMState:
     """Peeled initial evaluation: (f, g, JTJ) at x0, per-lane lam0 =
     damping_init · max(diag(JTJ)) (Madsen–Nielsen τ rule), immediate
     classification of already-converged and non-finite lanes."""
     dtype = X0.dtype
     B = X0.shape[0]
+    if bounds is not None:
+        X0 = jnp.clip(X0, bounds[0], bounds[1])
     r0, J0 = jac_fleet(X0, data)
     f0, g0, JTJ0 = fun_grad_gn(r0, J0)
 
@@ -363,7 +433,7 @@ def _init_lm_state(jac_fleet, fun_grad_gn, data, X0, tol, damping_init) -> LMSta
     lam0 = (damping_init * jnp.maximum(jnp.max(d0, axis=-1), eps)).astype(dtype)
 
     finite0 = jnp.isfinite(f0) & jnp.all(jnp.isfinite(g0), axis=-1)
-    conv0 = finite0 & (jnp.max(jnp.abs(g0), axis=-1) < tol)
+    conv0 = finite0 & (_kkt_criticality(X0, g0, bounds) < tol)
     status0 = jnp.where(
         conv0,
         Status.CONVERGED,
@@ -425,6 +495,7 @@ def _least_squares_impl(
     residual_fn,
     X0,
     data,
+    bounds,
     *,
     tol,
     max_iterations,
@@ -457,13 +528,20 @@ def _least_squares_impl(
     diag_floor = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
     state0 = _init_lm_state(
-        jac_fleet, fun_grad_gn, data, X0, tol, jnp.asarray(damping_init, dtype)
+        jac_fleet,
+        fun_grad_gn,
+        data,
+        bounds,
+        X0,
+        tol,
+        jnp.asarray(damping_init, dtype),
     )
     body = partial(
         _lm_body,
         jac_fleet,
         fun_grad_gn,
         data,
+        bounds,
         jnp.asarray(tol, dtype),
         max_iterations,
         jnp.asarray(lam_max, dtype),
@@ -473,11 +551,33 @@ def _least_squares_impl(
     return _result_from_state(final, _squeeze)
 
 
+def _check_bounds(bounds, X0):
+    """Validate and broadcast ``bounds=(lo, hi)`` to X0's (B, n) shape.
+    Entries may be ±inf (one-sided or absent per coordinate); per-lane
+    bounds come in with a leading batch axis."""
+    if bounds is None:
+        return None
+    try:
+        lo, hi = bounds
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"bounds must be a (lower, upper) pair, got {bounds!r}"
+        ) from None
+    lo = jnp.broadcast_to(jnp.asarray(lo, X0.dtype), X0.shape)
+    hi = jnp.broadcast_to(jnp.asarray(hi, X0.dtype), X0.shape)
+    import numpy as _np
+
+    if not bool(_np.all(_np.asarray(lo < hi))):
+        raise ValueError("bounds require lower < upper in every coordinate")
+    return lo, hi
+
+
 def least_squares(
     residual_fn: Callable,
     x0: jax.Array,
     *,
     data: Optional[Any] = None,
+    bounds: Optional[Any] = None,
     tol: float = 1e-8,
     max_iterations: int = LM_MAX_ITERATIONS_DEFAULT,
     damping_init: float = 1e-3,
@@ -521,6 +621,27 @@ def least_squares(
     the damped system SPD). All losses are elementwise per-residual
     weights: the fleet stays one lockstep batched program.
 
+    Box constraints: ``bounds=(lo, hi)`` (each broadcastable to x0's
+    shape; ±inf entries make a coordinate one-sided or free; per-lane
+    bounds carry the batch axis) runs projected LM with an elementwise
+    active set (the dogbox strategy): coordinates sitting on a face with
+    the gradient pushing outward are masked out of the damped normal
+    equations (exact free-subspace solve, zero step for blocked
+    coordinates), the trial point is clipped onto the box, and the gain
+    ratio scores the quadratic model along the step actually taken. The
+    convergence certificate becomes the KKT projected-gradient residual
+    max|x − clip(x − g, lo, hi)| < ``tol`` (equal to max|g| for interior
+    solutions). x0 is clipped into the box. Everything is elementwise
+    masking: the fleet program shape is unchanged.
+
+    Certificate floor with active bounds: when the residual at a bounded
+    solution is nonzero (f* > 0), accepted decreases in the free
+    subspace fall below f64 resolution once the free gradient reaches
+    ~sqrt(eps·f*); a ``tol`` below that floor ends in-band as damping
+    exhaustion (LINESEARCH_FAILURE) with the iterate parked at the
+    solution — same contract as an overtight tol anywhere else in the
+    library. tol >= 1e-7 is safe for f* = O(1) at f64.
+
     f32/TPU guidance: as with every engine here, tol >= ~1e-3 at f32;
     f64-on-CPU is the high-accuracy mode.
     """
@@ -551,6 +672,7 @@ def least_squares(
         residual_fn,
         X0,
         data,
+        _check_bounds(bounds, X0),
         tol=float(tol),
         max_iterations=int(max_iterations),
         damping_init=float(damping_init),
@@ -579,6 +701,7 @@ def _least_squares_resume_impl(
     residual_fn,
     state,
     data,
+    bounds,
     *,
     tol,
     max_iterations,
@@ -618,6 +741,7 @@ def _least_squares_resume_impl(
         jac_fleet,
         fun_grad_gn,
         data,
+        bounds,
         jnp.asarray(tol, dtype),
         max_iterations,
         jnp.asarray(lam_max, dtype),
@@ -632,6 +756,7 @@ def least_squares_from_state(
     state: LMState,
     *,
     data: Optional[Any] = None,
+    bounds: Optional[Any] = None,
     tol: float = 1e-8,
     max_iterations: int = LM_MAX_ITERATIONS_DEFAULT,
     lam_max: float = 1e32,
@@ -646,7 +771,10 @@ def least_squares_from_state(
 
     ``loss``/``f_scale`` must match the original run (the carried
     (fun, g, JTJ) are quantities OF that robust objective — resuming under
-    a different loss silently mixes two objectives)."""
+    a different loss silently mixes two objectives). The same must-match
+    contract applies to ``bounds``: the carried (g, JTJ, lam) describe the
+    projected trajectory, and the KKT certificate is evaluated against the
+    box you pass here."""
     squeeze = state.x.ndim == 1
     if squeeze:
         state = jax.tree_util.tree_map(lambda l: jnp.asarray(l)[None], state)
@@ -662,6 +790,7 @@ def least_squares_from_state(
         residual_fn,
         state,
         data,
+        _check_bounds(bounds, state.x),
         tol=float(tol),
         max_iterations=int(max_iterations),
         lam_max=float(lam_max),

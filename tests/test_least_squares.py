@@ -369,3 +369,140 @@ def test_robust_loss_validation():
             qnm.least_squares(rosen_res, jnp.zeros(3), max_iterations=1).state,
             loss="nope",
         )
+
+
+# --- box constraints (projected LM) ------------------------------------------
+
+
+def test_bounds_active_face_scipy_parity():
+    # unconstrained optimum of the exponential fit is (1.5, 0.8); cap the
+    # rate at 0.5 so the upper bound is active — projected LM must land on
+    # scipy TRF's bounded solution
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    rng = np.random.default_rng(19)
+    t = np.linspace(0.0, 3.0, 40)
+    y = 1.5 * np.exp(-0.8 * t) + 0.01 * rng.normal(size=40)
+    tj, yj = jnp.asarray(t), jnp.asarray(y)
+
+    def res_j(p):
+        return p[0] * jnp.exp(-p[1] * tj) - yj
+
+    def res_np(p):
+        return p[0] * np.exp(-p[1] * t) - y
+
+    lo, hi = np.array([0.0, 0.0]), np.array([10.0, 0.5])
+    x0 = np.array([1.0, 0.4])  # scipy requires x0 strictly inside the box
+    ours = qnm.least_squares(res_j, jnp.asarray(x0), bounds=(lo, hi), tol=1e-7)
+    ref = scipy_opt.least_squares(
+        res_np, x0, bounds=(lo, hi), method="trf",
+        xtol=1e-14, gtol=1e-14,
+    )
+    assert ours.status == Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(ours.x), ref.x, atol=1e-6)
+    assert abs(float(ours.x[1]) - 0.5) < 1e-12  # the bound is active
+    # KKT at the upper face: the gradient must push OUT of the box (g <= 0)
+    assert float(ours.grad[1]) < 0
+
+
+def test_bounds_interior_matches_unbounded():
+    # loose box: the constrained solve must find the same (interior)
+    # solution as the unconstrained engine
+    x0 = jnp.full(6, -1.2)
+    free = qnm.least_squares(rosen_res, x0)
+    boxed = qnm.least_squares(rosen_res, x0, bounds=(-5.0, 5.0))
+    assert boxed.status == Status.CONVERGED
+    np.testing.assert_allclose(
+        np.asarray(boxed.x), np.asarray(free.x), atol=1e-8
+    )
+    # the certificate reduces to max|g| in the interior
+    assert float(jnp.max(jnp.abs(boxed.grad))) < 1e-8
+
+
+def test_bounds_one_sided_and_infinite():
+    # +/-inf entries leave coordinates free / one-sided; constrain only x[0]
+    def r(x):
+        return x - jnp.asarray([2.0, -3.0, 0.5])
+
+    lo = jnp.asarray([-jnp.inf, -jnp.inf, -jnp.inf])
+    hi = jnp.asarray([1.0, jnp.inf, jnp.inf])
+    # tol=1e-7, not tighter: f* = 0.5 at the bounded solution, so the f64
+    # certificate floor is ~sqrt(eps*f*) ~ 1e-8 (docstring contract)
+    res = qnm.least_squares(r, jnp.zeros(3), bounds=(lo, hi), tol=1e-7)
+    assert res.status == Status.CONVERGED
+    np.testing.assert_allclose(
+        np.asarray(res.x), [1.0, -3.0, 0.5], atol=1e-8
+    )
+
+
+def test_bounds_per_lane_and_x0_clipped():
+    # per-lane boxes (batch axis on lo/hi); lane 1's x0 starts OUTSIDE its
+    # box and must be clipped in before the first evaluation
+    def r(x):
+        return x - 2.0
+
+    x0 = jnp.stack([jnp.zeros(3), jnp.full(3, 9.0)])
+    lo = jnp.zeros((2, 3))
+    hi = jnp.stack([jnp.full(3, 5.0), jnp.full(3, 1.0)])
+    res = qnm.least_squares(r, x0, bounds=(lo, hi), tol=1e-10)
+    assert (np.asarray(res.status) == int(Status.CONVERGED)).all()
+    np.testing.assert_allclose(np.asarray(res.x[0]), 2.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.x[1]), 1.0, atol=1e-8)
+    # iterate stayed inside each lane's box the whole way (final check)
+    assert (np.asarray(res.x) <= np.asarray(hi) + 1e-12).all()
+    assert (np.asarray(res.x) >= np.asarray(lo) - 1e-12).all()
+
+
+def test_bounds_resume_identity():
+    rng = np.random.default_rng(23)
+    t = jnp.linspace(0.0, 3.0, 40)
+    y = jnp.asarray(
+        1.5 * np.exp(-0.8 * np.asarray(t)) + 0.01 * rng.normal(size=40)
+    )
+
+    def res_j(p):
+        return p[0] * jnp.exp(-p[1] * t) - y
+
+    bounds = (jnp.zeros(2), jnp.asarray([10.0, 0.5]))
+    long = qnm.least_squares(res_j, jnp.ones(2), bounds=bounds)
+    part = qnm.least_squares(res_j, jnp.ones(2), bounds=bounds, max_iterations=2)
+    cont = qnm.least_squares_from_state(res_j, part.state, bounds=bounds)
+    assert cont.status == Status.CONVERGED
+    np.testing.assert_array_equal(np.asarray(cont.x), np.asarray(long.x))
+    assert int(cont.iterations) == int(long.iterations)
+
+
+def test_bounds_compose_with_robust_loss():
+    # robust weights and the projected step are orthogonal features; both
+    # apply in one solve and the constrained robust optimum matches
+    # scipy's TRF with the same bounds + loss
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    rng = np.random.default_rng(29)
+    t = np.linspace(0.0, 3.0, 40)
+    y = 1.5 * np.exp(-0.8 * t) + 0.01 * rng.normal(size=40)
+    y[::8] += 3.0
+    tj, yj = jnp.asarray(t), jnp.asarray(y)
+
+    def res_j(p):
+        return p[0] * jnp.exp(-p[1] * tj) - yj
+
+    def res_np(p):
+        return p[0] * np.exp(-p[1] * t) - y
+
+    res = qnm.least_squares(
+        res_j, jnp.asarray([1.0, 0.4]), bounds=(0.0, jnp.asarray([10.0, 0.6])),
+        loss="cauchy", f_scale=0.1, tol=1e-7,
+    )
+    ref = scipy_opt.least_squares(
+        res_np, np.array([1.0, 0.4]), bounds=(np.zeros(2), np.array([10.0, 0.6])),
+        method="trf", loss="cauchy", f_scale=0.1, xtol=1e-14, gtol=1e-14,
+    )
+    assert res.status == Status.CONVERGED
+    assert float(res.x[1]) <= 0.6 + 1e-12
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-5)
+
+
+def test_bounds_validation():
+    with pytest.raises(ValueError, match="pair"):
+        qnm.least_squares(rosen_res, jnp.zeros(3), bounds=1.0)
+    with pytest.raises(ValueError, match="lower < upper"):
+        qnm.least_squares(rosen_res, jnp.zeros(3), bounds=(1.0, -1.0))
