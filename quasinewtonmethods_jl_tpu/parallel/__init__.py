@@ -3,6 +3,7 @@
 
 from .batch import optimize_batched, optimize_lbfgs_batched
 from .mesh import (
+    least_squares_sharded,
     make_mesh,
     optimize_batched_sharded,
     optimize_lbfgs_sharded,
@@ -13,6 +14,7 @@ from .mesh import (
 __all__ = [
     "optimize_batched",
     "optimize_lbfgs_batched",
+    "least_squares_sharded",
     "make_mesh",
     "optimize_batched_sharded",
     "optimize_lbfgs_sharded",

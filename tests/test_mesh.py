@@ -231,3 +231,71 @@ def test_sample_sharded_validation(rng):
     with pytest.raises(ValueError, match="divide"):
         sample_sharded(lambda x: -jnp.sum(x * x), jax.random.PRNGKey(0),
                        jnp.zeros((12, 2)), mesh)
+
+
+def _lm_fixture(rng, batch=32, m=24):
+    ts = np.tile(np.linspace(0.0, 1.0, m), (batch, 1))
+    true = np.stack(
+        [rng.uniform(0.5, 2.0, batch), rng.uniform(-2.0, -0.5, batch)], axis=1
+    )
+    ys = true[:, :1] * np.exp(true[:, 1:] * ts)
+
+    def resid(p, d):
+        t, y = d
+        return p[..., 0:1] * jnp.exp(p[..., 1:2] * t) - y
+
+    x0 = jnp.tile(jnp.asarray([1.0, 0.0]), (batch, 1))
+    return resid, x0, (jnp.asarray(ts), jnp.asarray(ys)), true
+
+
+def test_least_squares_sharded_matches_unsharded(rng):
+    from quasinewtonmethods_jl_tpu.parallel import least_squares_sharded
+
+    resid, x0, data, true = _lm_fixture(rng)
+    mesh = make_mesh({"data": 8})
+    r_sh = least_squares_sharded(resid, x0, mesh, data=data)
+    r_un = qnm.least_squares(resid, x0, data=data)
+    assert np.all(np.asarray(r_sh.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_un.x), atol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(r_sh.iterations), np.asarray(r_un.iterations)
+    )
+    np.testing.assert_allclose(np.asarray(r_sh.x), true, atol=1e-6)
+    # lanes actually placed across all 8 devices
+    assert len({d for d in r_sh.x.devices()}) == 8
+
+
+def test_least_squares_sharded_bounds_and_loss(rng):
+    from quasinewtonmethods_jl_tpu.parallel import least_squares_sharded
+
+    resid, x0, data, true = _lm_fixture(rng)
+    mesh = make_mesh({"data": 8})
+    lo = jnp.asarray([0.0, -1.0])  # broadcastable box -> replicated
+    hi = jnp.asarray([5.0, 5.0])
+    # tol 1e-7: bounded solutions have f* > 0, so the certificate floor
+    # is ~sqrt(eps*f*) (documented in the least_squares docstring)
+    r_sh = least_squares_sharded(
+        resid, x0, mesh, data=data, bounds=(lo, hi), loss="soft_l1",
+        f_scale=0.5, tol=1e-7,
+    )
+    r_un = qnm.least_squares(
+        resid, x0, data=data, bounds=(lo, hi), loss="soft_l1", f_scale=0.5,
+        tol=1e-7,
+    )
+    assert np.all(np.asarray(r_sh.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_un.x), atol=1e-12)
+    # the rate bound at -1 binds for every lane whose true rate < -1
+    binds = true[:, 1] < -1.0
+    np.testing.assert_allclose(np.asarray(r_sh.x)[binds, 1], -1.0, atol=1e-12)
+
+
+def test_least_squares_sharded_validation(rng):
+    from quasinewtonmethods_jl_tpu.parallel import least_squares_sharded
+
+    mesh = make_mesh({"data": 8})
+    with pytest.raises(ValueError, match="divide"):
+        least_squares_sharded(
+            lambda p, d: p, jnp.zeros((12, 2)), mesh, data=jnp.zeros((12, 3))
+        )
+    with pytest.raises(ValueError, match="batch"):
+        least_squares_sharded(lambda p, d: p, jnp.zeros(4), mesh)
