@@ -166,6 +166,27 @@ def chain_init_from_map(result, jitter: float = 0.0, key=None,
         n = x0s.shape[-1]
         mass = jnp.einsum("b,bij->ij", w, state.B)
         mass = jnp.where(any_ok, mass, jnp.eye(n, dtype=x0s.dtype))
+    elif hasattr(state, "JTJ"):
+        # LM fleet (least_squares): the Gauss-Newton matrix JTJ at the
+        # solution is the observed information of the Gaussian
+        # log-likelihood -1/2*||r||^2, so mass ~ covariance = inv(JTJ).
+        # Failed lanes can carry NaN products (NONFINITE_VALUE at x0) -
+        # mask BEFORE weighting (the 0*NaN hazard, same class as the
+        # frozen-iterate regression in the BFGS driver).
+        if mass_form == "lowrank":
+            raise ValueError(
+                "mass_form='lowrank' is the L-BFGS handoff; an LM fleet "
+                "hands over the dense inv(JTJ) (use the default)"
+            )
+        n = x0s.shape[-1]
+        eye = jnp.eye(n, dtype=x0s.dtype)
+        jtj = jnp.where((ok > 0)[:, None, None], state.JTJ, 0.0)
+        avg = jnp.einsum("b,bij->ij", w, jtj)
+        avg = jnp.where(any_ok, avg, eye)
+        minv = jnp.linalg.inv(avg)
+        # singular JTJ (rank-deficient jacobian at the solution) -> inf/NaN
+        # inverse: fall back to the identity metric, in-band
+        mass = jnp.where(jnp.all(jnp.isfinite(minv)), minv, eye)
     elif mass_form == "lowrank":
         from .ops.lbfgs_compact import lbfgs_lowrank_inv_hessian
 

@@ -112,9 +112,16 @@ def map_then_sample(
     posteriors; ladder kwargs like ``n_temps``/``beta_min`` pass through
     ``sampler_kwargs``; it too gets the MAP-fleet mass).
     ``map_engine``: 'bfgs' (dense B, the
-    reference algorithm) or 'lbfgs' (the large-n fleet engine — the
+    reference algorithm), 'lbfgs' (the large-n fleet engine — the
     handed-over mass is then the compact-form diag(H), O(m²·n), so the
-    pipeline never materializes an n×n matrix). The MAP fleet's
+    pipeline never materializes an n×n matrix), or 'lm' (Gaussian-
+    likelihood models: Levenberg–Marquardt on
+    ``map_kwargs={'residual_fn': ..., 'data': ..., ...}`` — ~half the
+    iterations of BFGS, no line search, and the handed-over mass is the
+    exact Gauss–Newton covariance inv(JTJ) instead of a secant estimate.
+    ``obj`` must agree with −½Σρ(rᵢ²) up to a constant: put Gaussian
+    priors in the residuals as augmented rows, or close over shared
+    data in ``residual_fn`` instead of tiling a ``data`` pytree). The MAP fleet's
     converged-lane-averaged curvature becomes the mass for 'hmc'
     ('chees'/'nuts' adapt their own diagonal by default; pass
     ``mass=...`` through ``sampler_kwargs`` to override). ``map_tol`` defaults by dtype — 1e-3 for f32 (the
@@ -467,9 +474,38 @@ def _map_stage(
             fleet = optimize_lbfgs_batched(obj, x0s, **mk)
         elif map_engine == "bfgs":
             fleet = optimize_batched(obj, x0s, **mk)
+        elif map_engine == "lm":
+            # Gaussian-likelihood models: the MAP is a nonlinear
+            # least-squares problem — Levenberg–Marquardt finds it in ~half
+            # the iterations of BFGS with no line search, and hands the
+            # sampler the exact Gauss-Newton information inv(JTJ) instead
+            # of a secant estimate. `obj` (the sampler's logdensity) must
+            # agree with -1/2*sum(rho(r^2)) up to a constant — Gaussian
+            # priors belong IN the residuals (the standard augmented-rows
+            # trick); the pipeline cannot check this, it documents it.
+            from .least_squares import least_squares
+
+            lm_kw = dict(mk)
+            if lm_kw.pop("value_and_grad_fn", None) is not None:
+                raise ValueError(
+                    "map_engine='lm' differentiates the residual_fn "
+                    "directly; value_and_grad_fn does not apply"
+                )
+            residual_fn = lm_kw.pop("residual_fn", None)
+            if residual_fn is None:
+                raise ValueError(
+                    "map_engine='lm' needs map_kwargs={'residual_fn': ...}"
+                    " (plus optional 'data', 'bounds', 'loss', ...)"
+                )
+            fleet = least_squares(residual_fn, x0s, **lm_kw)
+            # least_squares MINIMIZES ½‖r‖²; the pipeline's convention is
+            # maximized logdensity (best-mode argmax, polish handoff).
+            # -fun IS the Gaussian log-likelihood up to its constant.
+            fleet = fleet._replace(fun=-fleet.fun)
         else:
             raise ValueError(
-                f"unknown map_engine {map_engine!r}; use 'bfgs' or 'lbfgs'"
+                f"unknown map_engine {map_engine!r}; use 'bfgs', 'lbfgs',"
+                " or 'lm'"
             )
 
     # one status readback serves both the failure check and the masks

@@ -371,3 +371,92 @@ def test_map_then_sample_evidence_validation():
     with pytest.raises(ValueError, match="needs the MAP fleet"):
         qnm.map_then_sample(ld, jax.random.PRNGKey(0), jnp.ones(2),
                             init="pathfinder", compute_evidence="laplace")
+
+
+# --- map_engine='lm' (round 4): Gaussian-likelihood MAP via LM -------------
+
+def _linear_gaussian(n=3, m=12):
+    """r(x) = A x - b: the posterior of obj = -1/2*||r||^2 is EXACTLY
+    N(x_hat, inv(A^T A)) — the ground truth for the whole pipeline."""
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+
+    def resid(x):
+        return Aj @ x - bj
+
+    def obj(x):
+        r = Aj @ x - bj
+        return -0.5 * jnp.sum(r * r)
+
+    x_hat = np.linalg.lstsq(A, b, rcond=None)[0]
+    cov = np.linalg.inv(A.T @ A)
+    return resid, obj, x_hat, cov
+
+
+def test_pipeline_lm_engine_recovers_linear_gaussian():
+    resid, obj, x_hat, cov = _linear_gaussian()
+    out = qnm.map_then_sample(
+        obj, jax.random.PRNGKey(3), jnp.zeros(3),
+        n_chains=32, sampler="hmc", n_samples=500, n_warmup=300,
+        map_engine="lm", map_kwargs={"residual_fn": resid},
+    )
+    np.testing.assert_allclose(np.asarray(out.x_map), x_hat, atol=1e-7)
+    assert np.all(np.asarray(out.map_result.status) == qnm.Status.CONVERGED)
+    # the handed-over mass IS the exact posterior covariance inv(JTJ)
+    np.testing.assert_allclose(np.asarray(out.mass), cov, atol=1e-9)
+    # map_result.fun carries the pipeline's MAXIMIZATION convention
+    r_at = np.asarray(resid(jnp.asarray(x_hat)))
+    np.testing.assert_allclose(
+        np.asarray(out.map_result.fun), -0.5 * np.sum(r_at**2), atol=1e-8
+    )
+    draws = np.asarray(out.samples).reshape(-1, 3)
+    np.testing.assert_allclose(draws.mean(axis=0), x_hat,
+                               atol=4 * np.sqrt(cov.max() / len(draws) * 32))
+    np.testing.assert_allclose(np.cov(draws.T), cov,
+                               atol=0.35 * np.abs(cov).max())
+    assert np.all(out.diagnostics.rhat < 1.1)
+
+
+def test_pipeline_lm_engine_with_polish_and_robust_loss():
+    resid, obj, x_hat, cov = _linear_gaussian()
+    out = qnm.map_then_sample(
+        obj, jax.random.PRNGKey(4), jnp.zeros(3),
+        n_chains=16, sampler="chees", n_samples=60, n_warmup=40,
+        map_engine="lm",
+        map_kwargs={"residual_fn": resid, "loss": "linear"},
+        polish_steps=1,
+    )
+    assert out.polish_result is not None
+    np.testing.assert_allclose(np.asarray(out.x_map), x_hat, atol=1e-7)
+
+
+def test_pipeline_lm_engine_validation():
+    resid, obj, *_ = _linear_gaussian()
+    with pytest.raises(ValueError, match="residual_fn"):
+        qnm.map_then_sample(obj, jax.random.PRNGKey(0), jnp.zeros(3),
+                            n_chains=8, n_samples=8, n_warmup=4,
+                            map_engine="lm")
+    with pytest.raises(ValueError, match="value_and_grad_fn"):
+        qnm.map_then_sample(obj, jax.random.PRNGKey(0), jnp.zeros(3),
+                            n_chains=8, n_samples=8, n_warmup=4,
+                            map_engine="lm",
+                            map_kwargs={"residual_fn": resid},
+                            value_and_grad_fn=lambda x: (0.0, x))
+    with pytest.raises(ValueError, match="lowrank"):
+        qnm.map_then_sample(obj, jax.random.PRNGKey(0), jnp.zeros(3),
+                            n_chains=8, n_samples=8, n_warmup=4,
+                            map_engine="lm", mass_form="lowrank",
+                            map_kwargs={"residual_fn": resid})
+
+
+def test_chain_init_from_map_lm_mass_is_inv_jtj():
+    from quasinewtonmethods_jl_tpu.sampling import chain_init_from_map
+
+    resid, obj, x_hat, cov = _linear_gaussian()
+    fit = qnm.least_squares(lambda x: resid(x), jnp.zeros((8, 3)))
+    chains, mass = chain_init_from_map(fit, jitter=0.01,
+                                       key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(mass), cov, atol=1e-9)
+    assert chains.shape == (8, 3)
