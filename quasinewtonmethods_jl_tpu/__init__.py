@@ -39,6 +39,12 @@ from .least_squares import (
     least_squares,
     least_squares_from_state,
 )
+from .trust_region import (
+    TRResult,
+    TRState,
+    optimize_tr,
+    optimize_tr_from_state,
+)
 from .lbfgs_batched_solve import optimize_lbfgs_batched_fused_from_state
 from .minimize import minimize
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
@@ -197,6 +203,10 @@ __all__ = [
     "LMState",
     "least_squares",
     "least_squares_from_state",
+    "TRResult",
+    "TRState",
+    "optimize_tr",
+    "optimize_tr_from_state",
     "optimize_batched_pytree",
     "optimize_lbfgs_pytree",
     "optimize_multistart",

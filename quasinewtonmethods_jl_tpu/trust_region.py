@@ -1,0 +1,516 @@
+"""Trust-region Newton–Krylov (Steihaug-CG) fleet engine.
+
+The exact-curvature member of the optimizer family: where the BFGS/L-BFGS
+drivers build secant curvature (reference src/QuasiNewtonMethods.jl:34-69)
+and `least_squares` uses Gauss–Newton structure, this engine solves the
+trust-region Newton model
+
+    min_p  g·p + ½ pᵀHp   s.t. ‖p‖ ≤ Δ
+
+per iteration with MATRIX-FREE conjugate gradients — H is touched only
+through Hessian-vector products (one `jax.jvp` through the gradient, so a
+fleet of HVPs is one batched forward-over-reverse sweep on the MXU; no
+(n, n) matrix ever materializes, unlike `polish_newton`'s dense factor).
+Steihaug's rules make CG trust-region-safe: stop at the boundary, and a
+negative-curvature direction (the case that breaks line-search Newton and
+poisons secant updates) is RIDDEN to the boundary instead of feared —
+which is exactly why this is the robust engine for stiff/indefinite MAP
+surfaces where quasi-Newton stalls.
+
+TPU-first shape, same as every engine here (SURVEY.md §3): one
+masked-lockstep `lax.while_loop` fleet for the outer iteration and one
+for the inner CG (the round-2 lesson — nested data-dependent loops are
+hand-masked, never vmapped), elementwise accept/reject/Δ-control, static
+shapes throughout. Library-wide contracts hold: maximization convention
+(``obj`` is a logdensity; minimization runs on −obj internally), Status
+codes, ``fun`` NaN on ANY failure with the iterate frozen at the last
+good point, Δ-collapse ↔ LINESEARCH_FAILURE (the in-band analog of a
+failed line search), chunked resume == one long run, checkpointable
+state.
+
+Inexact-Newton forcing: CG stops at ‖r‖ ≤ η‖g‖ with the Eisenstat–Walker
+choice η = min(0.5, √‖g‖) (scaled by ``cg_tol``), so early iterations do
+cheap loose solves and late iterations sharpen toward quadratic local
+convergence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .api import as_value_and_grad
+from .state import Status
+
+TR_MAX_ITERATIONS_DEFAULT = 500
+TR_STALL_LIMIT = 30  # consecutive rejected trials before Δ-collapse failure
+
+
+class TRState(NamedTuple):
+    """Trust-region fleet state (carry of the outer while-loop).
+
+    Every leaf has a leading (batch,) axis. (fun, g) always hold the
+    MINIMIZATION objective's evaluation at ``x`` — the same "evaluation
+    lives at the iterate" invariant as the rotated BFGS driver loop and
+    the LM engine, which keeps the body free of re-evaluation conds.
+    """
+
+    x: jax.Array  # (B, n) iterate
+    fun: jax.Array  # (B,) −obj(x), the minimized value
+    g: jax.Array  # (B, n) ∇(−obj) at x
+    delta: jax.Array  # (B,) trust radius
+    k: jax.Array  # (B,) int32 iterations executed
+    status: jax.Array  # (B,) int32 Status
+    n_fev: jax.Array  # (B,) int32 objective evaluations
+    n_hev: jax.Array  # (B,) int32 Hessian-vector products
+    stall: jax.Array  # (B,) int32 consecutive rejected trials
+
+
+class TRResult(NamedTuple):
+    """Trust-region solve result — the library-wide in-band contract:
+    ``fun`` is the MAXIMIZED logdensity on convergence and NaN on ANY
+    failure path; ``last_value`` is the final value regardless of status."""
+
+    x: jax.Array
+    fun: jax.Array
+    grad: jax.Array  # ∇obj at x (maximization orientation)
+    status: jax.Array
+    iterations: jax.Array
+    n_fev: jax.Array
+    n_hev: jax.Array  # Hessian-vector products (the engine's unit of work)
+    delta: jax.Array  # final trust radius (diagnostic)
+    last_value: jax.Array
+    state: TRState  # resumable via optimize_tr_from_state
+
+    @property
+    def converged(self) -> jax.Array:
+        return self.status == Status.CONVERGED
+
+
+def _make_fleet_fns(obj, value_and_grad_fn):
+    """(vag, hvp) on the MINIMIZATION objective, batched over lanes.
+
+    hvp(x, v) = ∇²(−obj)(x)·v via one jvp through the gradient —
+    forward-over-reverse, the cheap direction for a single vector.
+    """
+    vag_max = as_value_and_grad(obj, value_and_grad_fn)
+
+    def vag_min_one(x):
+        f, g = vag_max(x)
+        return -f, -g
+
+    def grad_min_one(x):
+        return vag_min_one(x)[1]
+
+    def hvp_one(x, v):
+        return jax.jvp(grad_min_one, (x,), (v,))[1]
+
+    return jax.vmap(vag_min_one), jax.vmap(hvp_one)
+
+
+def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol):
+    """Batched Steihaug-Toint truncated CG.
+
+    Returns (p, Hp, iters_used, hit_boundary). Frozen/converged lanes
+    idle behind the ``active`` mask (their p stays 0). Hp comes from one
+    extra batched HVP at the end — exact for every exit path (interior,
+    boundary, negative curvature), where the CG residual invariant only
+    covers interior exits.
+    """
+    dtype = x.dtype
+    B, n = x.shape
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    gnorm = jnp.linalg.norm(g, axis=-1)
+    # Eisenstat–Walker forcing: loose early, sharp near the solution
+    eta = cg_tol * jnp.minimum(0.5, jnp.sqrt(jnp.maximum(gnorm, tiny)))
+    r_stop = eta * gnorm
+
+    def boundary_tau(p, d, pp, dd):
+        # positive root of ‖p + τd‖² = Δ² (dd > 0 whenever called with an
+        # active direction; tiny-guarded for masked lanes)
+        pd = jnp.sum(p * d, axis=-1)
+        disc = pd * pd + jnp.maximum(dd, tiny) * (delta * delta - pp)
+        return (-pd + jnp.sqrt(jnp.maximum(disc, 0.0))) / jnp.maximum(dd, tiny)
+
+    def cond(c):
+        p, r, d, rtr, cg_act, j = c
+        return (j < max_cg) & jnp.any(cg_act)
+
+    def body(c):
+        p, r, d, rtr, cg_act, j = c
+        Hd = hvp_fleet(x, d)
+        dHd = jnp.sum(d * Hd, axis=-1)
+        pp = jnp.sum(p * p, axis=-1)
+
+        neg_curv = dHd <= 0.0
+        alpha = rtr / jnp.where(neg_curv, 1.0, jnp.maximum(dHd, tiny))
+        p_int = p + alpha[:, None] * d
+        leaves = jnp.sum(p_int * p_int, axis=-1) > delta * delta
+
+        tau = boundary_tau(p, d, pp, jnp.sum(d * d, axis=-1))
+        p_bnd = p + tau[:, None] * d
+
+        to_boundary = cg_act & (neg_curv | leaves)
+        step_in = cg_act & ~to_boundary
+
+        p_new = jnp.where(to_boundary[:, None], p_bnd,
+                          jnp.where(step_in[:, None], p_int, p))
+        r_new = jnp.where(step_in[:, None], r + alpha[:, None] * Hd, r)
+        rtr_new = jnp.where(step_in, jnp.sum(r_new * r_new, axis=-1), rtr)
+
+        small = jnp.sqrt(rtr_new) <= r_stop
+        cg_act_new = cg_act & ~to_boundary & ~small
+        beta = rtr_new / jnp.maximum(rtr, tiny)
+        d_new = jnp.where(cg_act_new[:, None], -r_new + beta[:, None] * d, d)
+        return p_new, r_new, d_new, rtr_new, cg_act_new, j + 1
+
+    p0 = jnp.zeros_like(x)
+    r0 = g
+    rtr0 = jnp.sum(r0 * r0, axis=-1)
+    # lanes already within tolerance at p=0 never enter CG
+    cg_act0 = active & (jnp.sqrt(rtr0) > r_stop)
+    init = (p0, r0, -r0, rtr0, cg_act0, jnp.zeros((), jnp.int32))
+    p, r, d, rtr, cg_act, j = lax.while_loop(cond, body, init)
+
+    Hp = hvp_fleet(x, p)
+    hit_boundary = jnp.sum(p * p, axis=-1) >= (1.0 - 1e-6) * delta * delta
+    return p, Hp, j, hit_boundary
+
+
+def _tr_cond(max_iterations):
+    def cond(s: TRState):
+        return jnp.any((s.status == Status.RUNNING) & (s.k < max_iterations))
+
+    return cond
+
+
+def _tr_body(
+    vag_fleet,
+    hvp_fleet,
+    tol,
+    max_iterations,
+    max_cg,
+    cg_tol,
+    delta_max,
+    eta_accept,
+    s: TRState,
+) -> TRState:
+    dtype = s.x.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    active = s.status == Status.RUNNING
+
+    p, Hp, cg_iters, hit_bnd = _steihaug_cg(
+        hvp_fleet, s.x, s.g, s.delta, active, max_cg, cg_tol
+    )
+    pnorm = jnp.linalg.norm(p, axis=-1)
+    # predicted decrease of the quadratic model: −(g·p + ½ pᵀHp) ≥ 0 for
+    # every Steihaug exit
+    pred = -(jnp.sum(s.g * p, axis=-1) + 0.5 * jnp.sum(p * Hp, axis=-1))
+
+    x_t = s.x + p
+    f_t, g_t = vag_fleet(x_t)
+    trial_ok = jnp.isfinite(f_t) & jnp.all(jnp.isfinite(g_t), axis=-1)
+    rho = (s.fun - f_t) / jnp.maximum(pred, tiny)
+
+    accept = active & trial_ok & (pred > 0.0) & (rho > eta_accept)
+
+    # standard radius control: poor model fit shrinks RELATIVE TO THE STEP
+    # (‖p‖/4 — shrinking Δ alone can leave Δ ≫ ‖p‖ and change nothing);
+    # a good fit that pressed the boundary doubles Δ
+    shrink = ~trial_ok | (rho < 0.25)
+    grow = trial_ok & (rho > 0.75) & hit_bnd
+    delta_new = jnp.where(
+        shrink,
+        0.25 * jnp.maximum(pnorm, tiny),
+        jnp.where(grow, jnp.minimum(2.0 * s.delta, delta_max), s.delta),
+    )
+
+    x_new = jnp.where(accept[:, None], x_t, s.x)
+    fun_new = jnp.where(accept, f_t, s.fun)
+    g_new = jnp.where(accept[:, None], g_t, s.g)
+    stall_new = jnp.where(accept, 0, s.stall + 1)
+
+    k_new = jnp.where(active, s.k + 1, s.k)
+    converged = jnp.max(jnp.abs(g_new), axis=-1) < tol
+    # Δ-collapse: the float eps floor — further shrinks cannot change x_t
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    collapsed = (stall_new >= TR_STALL_LIMIT) | (
+        delta_new <= eps * jnp.maximum(jnp.linalg.norm(x_new, axis=-1), 1.0)
+    )
+    status_new = jnp.where(
+        active,
+        jnp.where(
+            converged,
+            Status.CONVERGED,
+            jnp.where(
+                collapsed,
+                Status.LINESEARCH_FAILURE,  # Δ-collapse / trial exhaustion
+                jnp.where(
+                    k_new >= max_iterations,
+                    Status.MAX_ITERATIONS,
+                    Status.RUNNING,
+                ),
+            ),
+        ),
+        s.status,
+    ).astype(jnp.int32)
+
+    return TRState(
+        x=x_new,
+        fun=fun_new,
+        g=g_new,
+        delta=jnp.where(active, delta_new, s.delta).astype(dtype),
+        k=k_new,
+        status=status_new,
+        n_fev=jnp.where(active, s.n_fev + 1, s.n_fev),
+        n_hev=jnp.where(active, s.n_hev + cg_iters + 1, s.n_hev),
+        stall=jnp.where(active, stall_new, s.stall),
+    )
+
+
+def _init_tr_state(vag_fleet, X0, delta0) -> TRState:
+    B = X0.shape[0]
+    dtype = X0.dtype
+    f0, g0 = vag_fleet(X0)
+    bad = ~(jnp.isfinite(f0) & jnp.all(jnp.isfinite(g0), axis=-1))
+    status0 = jnp.where(
+        bad, Status.NONFINITE_VALUE, Status.RUNNING
+    ).astype(jnp.int32)
+    return TRState(
+        x=X0,
+        fun=f0,
+        g=g0,
+        delta=jnp.full((B,), delta0, dtype),
+        k=jnp.zeros((B,), jnp.int32),
+        status=status0,
+        n_fev=jnp.ones((B,), jnp.int32),
+        n_hev=jnp.zeros((B,), jnp.int32),
+        stall=jnp.zeros((B,), jnp.int32),
+    )
+
+
+def _result_from_state(s: TRState, squeeze: bool) -> TRResult:
+    ok = s.status == Status.CONVERGED
+    nan = jnp.asarray(jnp.nan, s.fun.dtype)
+    # back to the library's maximization orientation
+    fun_max = -s.fun
+    grad_max = -s.g
+    r = TRResult(
+        x=s.x,
+        fun=jnp.where(ok, fun_max, nan),
+        grad=grad_max,
+        status=s.status,
+        iterations=s.k,
+        n_fev=s.n_fev,
+        n_hev=s.n_hev,
+        delta=s.delta,
+        last_value=fun_max,
+        state=s,
+    )
+    if squeeze:
+        r = jax.tree_util.tree_map(lambda l: l[0], r)
+    return r
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=(
+        "value_and_grad_fn",
+        "tol",
+        "max_iterations",
+        "max_cg",
+        "cg_tol",
+        "delta0",
+        "delta_max",
+        "eta_accept",
+        "_squeeze",
+    ),
+)
+def _optimize_tr_impl(
+    obj,
+    X0,
+    value_and_grad_fn,
+    tol,
+    max_iterations,
+    max_cg,
+    cg_tol,
+    delta0,
+    delta_max,
+    eta_accept,
+    _squeeze,
+):
+    vag_fleet, hvp_fleet = _make_fleet_fns(obj, value_and_grad_fn)
+    s0 = _init_tr_state(vag_fleet, X0, delta0)
+    # lanes already at a critical point converge without entering the loop
+    conv0 = (s0.status == Status.RUNNING) & (
+        jnp.max(jnp.abs(s0.g), axis=-1) < tol
+    )
+    s0 = s0._replace(
+        status=jnp.where(conv0, Status.CONVERGED, s0.status).astype(jnp.int32)
+    )
+    body = partial(
+        _tr_body, vag_fleet, hvp_fleet, tol, max_iterations, max_cg,
+        cg_tol, delta_max, eta_accept,
+    )
+    s = lax.while_loop(_tr_cond(max_iterations), body, s0)
+    return _result_from_state(s, _squeeze)
+
+
+def optimize_tr(
+    obj,
+    x0: jax.Array,
+    *,
+    tol: float = 1e-8,
+    max_iterations: int = TR_MAX_ITERATIONS_DEFAULT,
+    max_cg: Optional[int] = None,
+    cg_tol: float = 1.0,
+    delta0: float = 1.0,
+    delta_max: float = 1e6,
+    eta_accept: float = 1e-4,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> TRResult:
+    """Maximize a logdensity by trust-region Newton–Krylov (Steihaug-CG).
+
+    The exact-curvature engine: per iteration one batched
+    gradient evaluation plus `max_cg`-bounded Hessian-vector products
+    (matrix-free `jax.jvp` — no (n, n) matrix, so it scales to large n
+    like L-BFGS while converging locally like Newton). Negative
+    curvature is handled by construction (Steihaug rides it to the
+    trust boundary), which makes this the robust choice for stiff or
+    locally indefinite MAP surfaces where secant methods stall.
+
+    A rank-1 ``x0`` runs a single solve; a rank-2 (batch, n) ``x0`` runs
+    the masked-lockstep fleet (shared objective, many starts — the
+    HMC-chain-init pattern, same as `optimize_batched`).
+
+    Same contracts as every engine here: convergence certificate
+    max|∇obj| < ``tol``; ``fun`` is NaN unless converged (in-band
+    failure); trust-radius collapse or ``TR_STALL_LIMIT`` consecutive
+    rejected trials report Status.LINESEARCH_FAILURE; non-finite value
+    at x0 reports Status.NONFINITE_VALUE; the iterate never leaves the
+    last accepted point. f32/TPU guidance: tol >= ~1e-3, as usual.
+
+    ``max_cg`` defaults to min(n, 64); ``cg_tol`` scales the
+    Eisenstat–Walker forcing η = min(0.5, √‖g‖) (smaller = sharper inner
+    solves); ``value_and_grad_fn`` supplies an analytic gradient — HVPs
+    then come from one jvp THROUGH it, so it must be jax-traceable.
+    """
+    X0 = jnp.asarray(x0)
+    if X0.ndim not in (1, 2):
+        raise ValueError(f"x0 must be rank 1 or 2, got shape {X0.shape}")
+    squeeze = X0.ndim == 1
+    if squeeze:
+        X0 = X0[None]
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    n = X0.shape[-1]
+    if max_cg is None:
+        max_cg = min(n, 64)
+    if max_cg < 1:
+        raise ValueError(f"max_cg must be >= 1, got {max_cg}")
+    if not float(delta0) > 0.0:
+        raise ValueError(f"delta0 must be > 0, got {delta0}")
+    return _optimize_tr_impl(
+        obj,
+        X0,
+        value_and_grad_fn=value_and_grad_fn,
+        tol=float(tol),
+        max_iterations=int(max_iterations),
+        max_cg=int(max_cg),
+        cg_tol=float(cg_tol),
+        delta0=float(delta0),
+        delta_max=float(delta_max),
+        eta_accept=float(eta_accept),
+        _squeeze=squeeze,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=(
+        "value_and_grad_fn",
+        "tol",
+        "max_iterations",
+        "max_cg",
+        "cg_tol",
+        "delta_max",
+        "eta_accept",
+        "_squeeze",
+    ),
+)
+def _optimize_tr_resume_impl(
+    obj,
+    state,
+    value_and_grad_fn,
+    tol,
+    max_iterations,
+    max_cg,
+    cg_tol,
+    delta_max,
+    eta_accept,
+    _squeeze,
+):
+    vag_fleet, hvp_fleet = _make_fleet_fns(obj, value_and_grad_fn)
+    # re-arm MAX_ITERATIONS lanes against the NEW budget (k keeps its
+    # lifetime count — the same resume semantics as every other engine)
+    rearm = (state.status == Status.MAX_ITERATIONS) & (
+        state.k < max_iterations
+    )
+    state = state._replace(
+        status=jnp.where(rearm, Status.RUNNING, state.status).astype(
+            jnp.int32
+        )
+    )
+    body = partial(
+        _tr_body, vag_fleet, hvp_fleet, tol, max_iterations, max_cg,
+        cg_tol, delta_max, eta_accept,
+    )
+    s = lax.while_loop(_tr_cond(max_iterations), body, state)
+    return _result_from_state(s, _squeeze)
+
+
+def optimize_tr_from_state(
+    obj,
+    state: TRState,
+    *,
+    tol: float = 1e-8,
+    max_iterations: int = TR_MAX_ITERATIONS_DEFAULT,
+    max_cg: Optional[int] = None,
+    cg_tol: float = 1.0,
+    delta_max: float = 1e6,
+    eta_accept: float = 1e-4,
+    value_and_grad_fn: Optional[Callable] = None,
+) -> TRResult:
+    """Resume a trust-region solve from a checkpointed `TRState`.
+
+    ``max_iterations`` is the LIFETIME cap (state.k counts across legs);
+    chunked resume reproduces the long run exactly — the carried
+    (fun, g, Δ, stall) make the first resumed iteration bitwise the one
+    the uninterrupted run would have taken. Solver geometry knobs
+    (max_cg, cg_tol, ...) must match the original call (same
+    must-match contract as `least_squares_from_state`'s loss/f_scale).
+    """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    n = state.x.shape[-1]
+    if max_cg is None:
+        max_cg = min(n, 64)
+    return _optimize_tr_resume_impl(
+        obj,
+        state,
+        value_and_grad_fn=value_and_grad_fn,
+        tol=float(tol),
+        max_iterations=int(max_iterations),
+        max_cg=int(max_cg),
+        cg_tol=float(cg_tol),
+        delta_max=float(delta_max),
+        eta_accept=float(eta_accept),
+        _squeeze=False,
+    )

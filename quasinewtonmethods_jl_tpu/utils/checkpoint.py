@@ -30,10 +30,11 @@ def _sampler_state_classes():
     from ..least_squares import LMState
     from ..sampling import ChEESState, HMCState, NUTSState
     from ..tempering import PTState
+    from ..trust_region import TRState
 
     return {"HMCState": HMCState, "ChEESState": ChEESState,
             "NUTSState": NUTSState, "PTState": PTState,
-            "LMState": LMState}
+            "LMState": LMState, "TRState": TRState}
 
 
 __all__ = ["save_state", "load_state"]

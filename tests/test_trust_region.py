@@ -1,0 +1,192 @@
+"""Trust-region Newton-Krylov engine: reference-parity bars, Steihaug
+negative-curvature handling, fleet masking, failure paths, resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+
+EPS64 = float(np.finfo(np.float64).eps)
+
+
+def _quad(n, kappa=1e4):
+    """Ill-conditioned diagonal quadratic (BASELINE config-2 class)."""
+    d = jnp.asarray(np.geomspace(1.0, kappa, n))
+
+    def obj(x):
+        return -0.5 * jnp.sum(d * x * x)
+
+    return obj, d
+
+
+def test_exact_quadratic_one_newton_step():
+    obj, d = _quad(8, kappa=10.0)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(8))
+    # radius never binds; cg_tol ~ 0 disables the Eisenstat-Walker loose
+    # early solves so CG solves the Newton system exactly
+    res = qnm.optimize_tr(obj, x0, delta0=1e3, cg_tol=1e-8)
+    assert int(res.status) == qnm.Status.CONVERGED
+    assert int(res.iterations) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), 0.0, atol=1e-10)
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+
+
+def test_rosenbrock_reference_parity_bars():
+    # the reference's own quality bar (runtests.jl): |l*| < 2 eps,
+    # max|grad| < 1e-8, x = 1
+    x0 = jnp.asarray(np.random.default_rng(42).standard_normal(60))
+    res = qnm.optimize_tr(rosenbrock_logdensity, x0)
+    assert int(res.status) == qnm.Status.CONVERGED
+    assert abs(float(res.fun)) < 2 * EPS64
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
+
+
+def test_rosenbrock_sweep_small_n():
+    rng = np.random.default_rng(3)
+    for n in (2, 5, 12, 24):
+        res = qnm.optimize_tr(
+            rosenbrock_logdensity, jnp.asarray(rng.standard_normal(n))
+        )
+        assert int(res.status) == qnm.Status.CONVERGED, n
+        assert abs(float(res.fun)) < 2 * EPS64, n
+        assert float(jnp.max(jnp.abs(res.grad))) < 1e-8, n
+
+
+def test_ill_conditioned_quadratic_n256():
+    obj, _ = _quad(256, kappa=1e6)
+    x0 = jnp.asarray(np.random.default_rng(1).standard_normal(256))
+    res = qnm.optimize_tr(obj, x0, max_cg=256)
+    assert int(res.status) == qnm.Status.CONVERGED
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+
+
+def test_negative_curvature_escapes_saddle_region():
+    # double well: the minimization Hessian is NEGATIVE definite near 0;
+    # Steihaug rides the negative-curvature direction to the boundary
+    # (a line-search Newton step would point the wrong way)
+    def obj(x):
+        return -jnp.sum((x * x - 1.0) ** 2)
+
+    res = qnm.optimize_tr(obj, jnp.full(4, 0.05))
+    assert int(res.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.abs(np.asarray(res.x)), 1.0, atol=1e-8)
+
+
+def test_fleet_matches_scalar_and_masks_frozen_lanes():
+    rng = np.random.default_rng(7)
+    X0 = jnp.asarray(rng.standard_normal((16, 6)))
+    fleet = qnm.optimize_tr(rosenbrock_logdensity, X0)
+    assert fleet.x.shape == (16, 6)
+    assert np.all(np.asarray(fleet.status) == qnm.Status.CONVERGED)
+    # lockstep masking must not change any lane's answer
+    for i in (0, 5, 15):
+        solo = qnm.optimize_tr(rosenbrock_logdensity, X0[i])
+        np.testing.assert_allclose(
+            np.asarray(fleet.x[i]), np.asarray(solo.x), atol=1e-9
+        )
+
+
+def test_nonfinite_at_x0_in_band():
+    def obj(x):
+        return jnp.where(x[0] > 0, -jnp.sum(x * x), jnp.nan)
+
+    res = qnm.optimize_tr(obj, jnp.asarray([-1.0, 1.0]))
+    assert int(res.status) == qnm.Status.NONFINITE_VALUE
+    assert np.isnan(float(res.fun))
+
+
+def test_nonfinite_region_freezes_iterate():
+    # objective is NaN outside the unit ball: rejected trials must leave
+    # the iterate at the last good point (the 0*NaN contract)
+    def obj(x):
+        r2 = jnp.sum(x * x)
+        return jnp.where(r2 < 4.0, -(r2 - 1.0) ** 2, jnp.nan)
+
+    res = qnm.optimize_tr(obj, jnp.asarray([0.4, 0.3]), delta0=100.0)
+    assert int(res.status) == qnm.Status.CONVERGED
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    np.testing.assert_allclose(
+        float(jnp.sum(res.x * res.x)), 1.0, atol=1e-8
+    )
+
+
+def test_max_iterations_in_band():
+    x0 = jnp.asarray(np.random.default_rng(5).standard_normal(10))
+    res = qnm.optimize_tr(rosenbrock_logdensity, x0, max_iterations=3)
+    assert int(res.status) in (
+        qnm.Status.MAX_ITERATIONS, qnm.Status.CONVERGED
+    )
+    if int(res.status) == qnm.Status.MAX_ITERATIONS:
+        assert np.isnan(float(res.fun))
+        assert np.isfinite(float(res.last_value))
+        assert int(res.iterations) == 3
+
+
+def test_resume_chunked_equals_long_run():
+    x0 = jnp.asarray(np.random.default_rng(9).standard_normal((4, 8)))
+    long = qnm.optimize_tr(rosenbrock_logdensity, x0, max_iterations=200)
+    part = qnm.optimize_tr(rosenbrock_logdensity, x0, max_iterations=5)
+    resumed = qnm.optimize_tr_from_state(
+        rosenbrock_logdensity, part.state, max_iterations=200
+    )
+    assert np.all(np.asarray(resumed.status) == qnm.Status.CONVERGED)
+    np.testing.assert_array_equal(
+        np.asarray(resumed.x), np.asarray(long.x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.iterations), np.asarray(long.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.n_hev), np.asarray(long.n_hev)
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from quasinewtonmethods_jl_tpu.utils.checkpoint import (
+        load_state, save_state,
+    )
+
+    x0 = jnp.asarray(np.random.default_rng(2).standard_normal((3, 5)))
+    part = qnm.optimize_tr(rosenbrock_logdensity, x0, max_iterations=4)
+    path = tmp_path / "tr.npz"
+    save_state(str(path), part.state)
+    loaded = load_state(str(path))
+    assert type(loaded).__name__ == "TRState"
+    resumed = qnm.optimize_tr_from_state(rosenbrock_logdensity, loaded)
+    direct = qnm.optimize_tr_from_state(rosenbrock_logdensity, part.state)
+    np.testing.assert_array_equal(
+        np.asarray(resumed.x), np.asarray(direct.x)
+    )
+
+
+def test_analytic_value_and_grad_matches_ad():
+    obj, d = _quad(12, kappa=100.0)
+
+    def vag(x):
+        return -0.5 * jnp.sum(d * x * x), -d * x
+
+    x0 = jnp.asarray(np.random.default_rng(4).standard_normal(12))
+    r_ad = qnm.optimize_tr(obj, x0)
+    r_an = qnm.optimize_tr(obj, x0, value_and_grad_fn=vag)
+    np.testing.assert_allclose(
+        np.asarray(r_ad.x), np.asarray(r_an.x), atol=1e-12
+    )
+    assert int(r_an.status) == qnm.Status.CONVERGED
+
+
+def test_misuse_probes():
+    with pytest.raises(ValueError, match="rank"):
+        qnm.optimize_tr(rosenbrock_logdensity, jnp.zeros((2, 2, 2)))
+    with pytest.raises(ValueError, match="max_iterations"):
+        qnm.optimize_tr(rosenbrock_logdensity, jnp.zeros(4),
+                        max_iterations=0)
+    with pytest.raises(ValueError, match="max_cg"):
+        qnm.optimize_tr(rosenbrock_logdensity, jnp.zeros(4), max_cg=0)
+    with pytest.raises(ValueError, match="delta0"):
+        qnm.optimize_tr(rosenbrock_logdensity, jnp.zeros(4), delta0=-1.0)
+    with pytest.raises(TypeError):
+        qnm.optimize_tr(42, jnp.zeros(4))
