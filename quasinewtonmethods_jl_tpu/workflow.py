@@ -121,7 +121,11 @@ def map_then_sample(
     exact Gauss–Newton covariance inv(JTJ) instead of a secant estimate.
     ``obj`` must agree with −½Σρ(rᵢ²) up to a constant: put Gaussian
     priors in the residuals as augmented rows, or close over shared
-    data in ``residual_fn`` instead of tiling a ``data`` pytree). The MAP fleet's
+    data in ``residual_fn`` instead of tiling a ``data`` pytree), or
+    'tr' (stiff/locally indefinite surfaces: the trust-region
+    Newton–Krylov fleet; the handed-over mass is the EXACT inverse
+    observed information from one `jax.hessian` at the best mode —
+    identity fallback in-band if H is indefinite there). The MAP fleet's
     converged-lane-averaged curvature becomes the mass for 'hmc'
     ('chees'/'nuts' adapt their own diagonal by default; pass
     ``mass=...`` through ``sampler_kwargs`` to override). ``map_tol`` defaults by dtype — 1e-3 for f32 (the
@@ -502,10 +506,19 @@ def _map_stage(
             # maximized logdensity (best-mode argmax, polish handoff).
             # -fun IS the Gaussian log-likelihood up to its constant.
             fleet = fleet._replace(fun=-fleet.fun)
+        elif map_engine == "tr":
+            # stiff / locally indefinite MAP surfaces: the trust-region
+            # Newton-Krylov engine. It carries no curvature matrix
+            # (matrix-free HVPs), so the mass handoff is built AFTER the
+            # solve from the exact Hessian at the best mode (below) —
+            # observed information, sharper than any secant estimate.
+            from .trust_region import optimize_tr
+
+            fleet = optimize_tr(obj, x0s, **mk)
         else:
             raise ValueError(
                 f"unknown map_engine {map_engine!r}; use 'bfgs', 'lbfgs',"
-                " or 'lm'"
+                " 'lm', or 'tr'"
             )
 
     # one status readback serves both the failure check and the masks
@@ -537,10 +550,39 @@ def _map_stage(
             fun=pol.fun.astype(fleet.fun.dtype),
         )
 
-    chains, mass = chain_init_from_map(
-        fleet, jitter=jitter, key=k_jit, mass_form=mass_form
-    )
-    conv_j = jnp.asarray(converged)
+    if map_engine == "tr":
+        # the TR engine is matrix-free (no carried curvature): hand over
+        # the EXACT observed information instead — one jax.hessian at the
+        # best converged mode, mass = inv(-H). Sharper than any secant
+        # estimate; O(n²) like polish/laplace (large-n users take 'lbfgs').
+        if mass_form != "auto":
+            raise ValueError(
+                "map_engine='tr' hands over the exact-Hessian inverse; "
+                f"mass_form={mass_form!r} does not apply (use 'auto')"
+            )
+        from .api import as_logdensity
+
+        conv_j = jnp.asarray(converged)
+        best_tr = jnp.argmax(jnp.where(conv_j, fleet.fun, -jnp.inf))
+        with mesh_ctx():
+            H = jax.hessian(as_logdensity(obj))(fleet.x[best_tr])
+            n = fleet.x.shape[-1]
+            eye = jnp.eye(n, dtype=fleet.x.dtype)
+            minv = jnp.linalg.inv(-H)
+            # indefinite/singular H at a non-interior or flat mode:
+            # identity metric, in-band (samplers adapt from there)
+            spd = jnp.all(jnp.isfinite(minv)) & jnp.all(
+                jnp.diagonal(minv) > 0
+            )
+            mass = jnp.where(spd, minv, eye)
+        chains = fleet.x + jitter * jax.random.normal(
+            k_jit, fleet.x.shape, fleet.x.dtype
+        )
+    else:
+        chains, mass = chain_init_from_map(
+            fleet, jitter=jitter, key=k_jit, mass_form=mass_form
+        )
+        conv_j = jnp.asarray(converged)
     # best converged mode, device-side (multistart's -inf-masked argmax)
     best = jnp.argmax(jnp.where(conv_j, fleet.fun, -jnp.inf))
     x_map = fleet.x[best]

@@ -460,3 +460,32 @@ def test_chain_init_from_map_lm_mass_is_inv_jtj():
                                        key=jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(mass), cov, atol=1e-9)
     assert chains.shape == (8, 3)
+
+
+# --- map_engine='tr' (round 4): exact-Hessian mass handoff ------------------
+
+def test_pipeline_tr_engine_exact_hessian_mass():
+    logdensity, cov = _corr_gaussian(3)
+    out = qnm.map_then_sample(
+        logdensity, jax.random.PRNGKey(6), jnp.full(3, 2.0),
+        n_chains=32, sampler="hmc", n_samples=400, n_warmup=250,
+        map_engine="tr", map_tol=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(out.x_map), 0.0, atol=1e-8)
+    # the handed-over mass is inv(-H) = the EXACT covariance (not a
+    # secant estimate: machine-precision agreement)
+    np.testing.assert_allclose(np.asarray(out.mass), cov, atol=1e-9)
+    draws = np.asarray(out.samples).reshape(-1, 3)
+    np.testing.assert_allclose(np.cov(draws.T), cov,
+                               atol=0.35 * np.abs(cov).max())
+    assert np.all(out.diagnostics.rhat < 1.1)
+
+
+def test_pipeline_tr_engine_validation():
+    def obj(x):
+        return -0.5 * jnp.sum(x * x)
+
+    with pytest.raises(ValueError, match="mass_form"):
+        qnm.map_then_sample(obj, jax.random.PRNGKey(0), jnp.zeros(3),
+                            n_chains=8, n_samples=8, n_warmup=4,
+                            map_engine="tr", mass_form="lowrank")
