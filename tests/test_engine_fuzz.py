@@ -94,6 +94,19 @@ def test_all_engines_agree_on_random_quadratics(seed):
             np.abs(np.asarray(res.iterations) - int(scalar.iterations)) <= 1
         ), f"{name}: iterations {res.iterations} vs scalar {scalar.iterations}"
 
+    # the round-4 engine families land on the same optimum: trust-region
+    # Newton-Krylov on the logdensity, LM on the Cholesky residual form
+    # r = Lᵀ(x − x*) of the SAME quadratic (½‖r‖² = ½(x−x*)ᵀA(x−x*), so
+    # the gradient certificate max|A(x−x*)| < tol is shared)
+    tr = qnm.optimize_tr(logdensity, x0, tol=tol)
+    assert int(tr.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(tr.x), x_star, atol=1e-6)
+    LT = jnp.asarray(np.linalg.cholesky(A).T)
+    xs_j = jnp.asarray(x_star)
+    lm = qnm.least_squares(lambda x: LT @ (x - xs_j), x0, tol=tol)
+    assert int(lm.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(lm.x), x_star, atol=1e-6)
+
     # native C++ via numpy callbacks (f64 end to end)
     if optimize_host is None:
         pytest.skip(f"native host runtime unavailable: {_HOST_ERR}")
