@@ -4,6 +4,7 @@
 from .batch import optimize_batched, optimize_lbfgs_batched
 from .mesh import (
     least_squares_sharded,
+    optimize_tr_sharded,
     make_mesh,
     optimize_batched_sharded,
     optimize_lbfgs_sharded,
@@ -15,6 +16,7 @@ __all__ = [
     "optimize_batched",
     "optimize_lbfgs_batched",
     "least_squares_sharded",
+    "optimize_tr_sharded",
     "make_mesh",
     "optimize_batched_sharded",
     "optimize_lbfgs_sharded",

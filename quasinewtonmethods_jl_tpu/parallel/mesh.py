@@ -111,6 +111,37 @@ def optimize_batched_sharded(
         return optimize_batched_fused(obj, x0s, **kwargs)
 
 
+def optimize_tr_sharded(
+    obj,
+    x0s: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    **kwargs,
+):
+    """Data-parallel trust-region Newton–Krylov fleet over `axis`.
+
+    Same scaling shape as `optimize_batched_sharded`: lanes are
+    independent, the batched HVP sweeps inside Steihaug-CG are
+    elementwise in the lane axis, and the only cross-device traffic is
+    the two loop predicates' all-reduces (outer TR, inner CG). kwargs
+    pass through to `qnm.optimize_tr`.
+    """
+    from ..trust_region import optimize_tr
+
+    x0s = jnp.asarray(x0s)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    n_shards = mesh.shape[axis]
+    if x0s.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"batch ({x0s.shape[0]}) must divide evenly over mesh axis "
+            f"{axis!r} ({n_shards} shards)"
+        )
+    x0s = jax.device_put(x0s, NamedSharding(mesh, P(axis, None)))
+    with mesh:
+        return optimize_tr(obj, x0s, **kwargs)
+
+
 def least_squares_sharded(
     residual_fn,
     x0s: jax.Array,

@@ -299,3 +299,22 @@ def test_least_squares_sharded_validation(rng):
         )
     with pytest.raises(ValueError, match="batch"):
         least_squares_sharded(lambda p, d: p, jnp.zeros(4), mesh)
+
+
+def test_optimize_tr_sharded_matches_unsharded(rng):
+    from quasinewtonmethods_jl_tpu.parallel import optimize_tr_sharded
+
+    X0 = jnp.asarray(rng.standard_normal((16, 6)))
+    mesh = make_mesh({"data": 8})
+    r_sh = optimize_tr_sharded(rosenbrock_logdensity, X0, mesh)
+    r_un = qnm.optimize_tr(rosenbrock_logdensity, X0)
+    assert np.all(np.asarray(r_sh.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_un.x),
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(r_sh.iterations),
+                                  np.asarray(r_un.iterations))
+    np.testing.assert_array_equal(np.asarray(r_sh.n_hev),
+                                  np.asarray(r_un.n_hev))
+    assert len({d for d in r_sh.x.devices()}) == 8
+    with pytest.raises(ValueError, match="divide"):
+        optimize_tr_sharded(rosenbrock_logdensity, jnp.zeros((12, 4)), mesh)
