@@ -108,6 +108,23 @@ def main():
     say(f"optimize_multistart: best fun {float(rms.fun):.4f} "
         f"({int(rms.n_converged)}/64 converged)")
 
+    # -- trust-region Newton-Krylov (exact curvature, matrix-free) -----------
+    rtr = qnm.optimize_tr(rosenbrock_logdensity, x0, tol=tol)
+    say(f"optimize_tr:         {qnm.Status(int(rtr.status)).name:10s} "
+        f"iters={int(rtr.iterations)} hvps={int(rtr.n_hev)}")
+    assert int(rtr.status) == qnm.Status.CONVERGED
+
+    # -- nonlinear least squares (fit 64 curves in one launch) ---------------
+    ts = jnp.tile(jnp.linspace(0.0, 3.0, 32, dtype=dtype), (64, 1))
+    true_p = jnp.stack([jnp.linspace(0.5, 2.0, 64),
+                        jnp.linspace(0.2, 1.5, 64)], axis=1).astype(dtype)
+    ys = true_p[:, :1] * jnp.exp(-true_p[:, 1:] * ts)
+    rlm = qnm.least_squares(
+        lambda p, d: p[0] * jnp.exp(-p[1] * d[0]) - d[1],
+        jnp.ones((64, 2), dtype), data=(ts, ys), tol=tol)
+    say(f"least_squares:       {int(jnp.sum(rlm.converged))}/64 fits, "
+        f"max err {float(jnp.max(jnp.abs(rlm.x - true_p))):.2e}")
+
     # -- implicit differentiation -------------------------------------------
     f = lambda x, p: -0.5 * jnp.sum((x - p) ** 2)
     g = jax.grad(lambda p: jnp.sum(
