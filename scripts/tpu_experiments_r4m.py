@@ -34,8 +34,11 @@ print("devices:", jax.devices(), flush=True)
 TOL = 1e-3  # f32 chip contract
 
 
-def readback(x):
-    return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
+def readback(*xs):
+    # ONE combined device->host scalar per timed call (each separate
+    # readback costs ~30 ms through axon regardless of payload)
+    tot = sum(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)) for x in xs)
+    return float(tot)
 
 
 def timed(fn, reps=3):
@@ -67,13 +70,13 @@ X1 = jnp.asarray(rng.standard_normal((B1, N1)).astype(np.float32))
 
 def run_tr_rb():
     r = qnm.optimize_tr(rosenbrock_logdensity, X1, tol=TOL)
-    readback(r.x) + readback(r.last_value)
+    readback(r.x, r.last_value)
     return r
 
 
 def run_bfgs_rb():
     r = qnm.optimize_batched(rosenbrock_logdensity, X1, tol=TOL)
-    readback(r.x) + readback(r.last_value)
+    readback(r.x, r.last_value)
     return r
 
 
@@ -97,20 +100,20 @@ def quad_obj(x):
 
 def run_tr_q():
     r = qnm.optimize_tr(quad_obj, X2, tol=TOL, max_cg=256)
-    readback(r.x) + readback(r.last_value)
+    readback(r.x, r.last_value)
     return r
 
 
 def run_bfgs_q():
     r = qnm.optimize_batched(quad_obj, X2, tol=TOL, max_iterations=2000)
-    readback(r.x) + readback(r.last_value)
+    readback(r.x, r.last_value)
     return r
 
 
 def run_lbfgs_q():
     r = qnm.parallel.optimize_lbfgs_batched(quad_obj, X2, tol=TOL,
                                             max_iterations=2000)
-    readback(r.x) + readback(r.last_value)
+    readback(r.x, r.last_value)
     return r
 
 
@@ -139,13 +142,13 @@ def logistic_obj(w):
 
 def run_tr_l():
     r = qnm.optimize_tr(logistic_obj, X3, tol=TOL)
-    readback(r.x) + readback(r.last_value)
+    readback(r.x, r.last_value)
     return r
 
 
 def run_bfgs_l():
     r = qnm.optimize_batched(logistic_obj, X3, tol=TOL)
-    readback(r.x) + readback(r.last_value)
+    readback(r.x, r.last_value)
     return r
 
 
