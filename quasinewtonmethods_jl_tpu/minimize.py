@@ -87,8 +87,11 @@ def minimize(
 ):
     """Minimize ``fun`` — the scipy-convention entry point.
 
-    ``method``: 'bfgs' (dense inverse Hessian, the reference algorithm) or
-    'lbfgs' (limited memory, large n; ``history`` applies). A rank-1 x0
+    ``method``: 'bfgs' (dense inverse Hessian, the reference algorithm),
+    'lbfgs' (limited memory, large n; ``history`` applies), or 'tr'
+    (trust-region Newton–Krylov — exact curvature via matrix-free HVPs;
+    ``bounds=``/``max_cg=``/``cg_tol=`` pass through kwargs; ``ls`` and
+    ``h0_scale`` do not apply). A rank-1 x0
     runs a single solve; a rank-2 (batch, n) x0 runs the batched fleet
     engine (`optimize_batched` / `optimize_lbfgs_batched`), with every
     result leaf carrying the batch axis. Extra keyword args pass through
@@ -139,8 +142,18 @@ def minimize(
                 max_iterations=max_iterations, value_and_grad_fn=vag,
                 stall_limit=stall_limit, **kwargs,
             )
+    elif method == "tr":
+        from .trust_region import optimize_tr
+
+        # ls/h0_scale/history are line-search/secant knobs — not
+        # applicable; TR knobs (bounds=, max_cg=, cg_tol=, delta0=, ...)
+        # pass through kwargs
+        res = optimize_tr(
+            obj, x0, tol=tol, max_iterations=max_iterations,
+            value_and_grad_fn=vag, **kwargs,
+        )
     else:
         raise ValueError(
-            f"method must be 'bfgs' or 'lbfgs', got {method!r}"
+            f"method must be 'bfgs', 'lbfgs', or 'tr', got {method!r}"
         )
     return _flip_signs(res)

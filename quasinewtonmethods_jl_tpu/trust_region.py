@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .api import as_value_and_grad
+from .least_squares import _check_bounds, _kkt_criticality
 from .state import Status
 
 TR_MAX_ITERATIONS_DEFAULT = 500
@@ -112,7 +113,8 @@ def _make_fleet_fns(obj, value_and_grad_fn):
     return jax.vmap(vag_min_one), jax.vmap(hvp_one)
 
 
-def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol):
+def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol,
+                 free=None):
     """Batched Steihaug-Toint truncated CG.
 
     Returns (p, Hp, iters_used, hit_boundary). Frozen/converged lanes
@@ -120,10 +122,23 @@ def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol):
     extra batched HVP at the end — exact for every exit path (interior,
     boundary, negative curvature), where the CG residual invariant only
     covers interior exits.
+
+    ``free`` (bool, same shape as x; bounded path only) restricts the
+    solve to the free subspace: the initial residual is the masked
+    gradient and every H·d is re-masked, so all CG vectors stay
+    supported on free coordinates and blocked coordinates get an
+    exactly-zero step (the projected-TR analog of the LM engine's
+    masked normal equations).
     """
     dtype = x.dtype
     B, n = x.shape
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    if free is not None:
+        fm = free.astype(dtype)
+        g = g * fm
+        hvp_inner = hvp_fleet
+        hvp_fleet = lambda xx, vv: hvp_inner(xx, vv) * fm
 
     gnorm = jnp.linalg.norm(g, axis=-1)
     # Eisenstat–Walker forcing: loose early, sharp near the solution
@@ -192,6 +207,7 @@ def _tr_cond(max_iterations):
 def _tr_body(
     vag_fleet,
     hvp_fleet,
+    bounds,
     tol,
     max_iterations,
     max_cg,
@@ -204,20 +220,52 @@ def _tr_body(
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     active = s.status == Status.RUNNING
 
-    p, Hp, cg_iters, hit_bnd = _steihaug_cg(
-        hvp_fleet, s.x, s.g, s.delta, active, max_cg, cg_tol
-    )
+    if bounds is None:
+        p, Hp, cg_iters, hit_bnd = _steihaug_cg(
+            hvp_fleet, s.x, s.g, s.delta, active, max_cg, cg_tol
+        )
+        x_t = s.x + p
+        # predicted decrease of the quadratic model: −(g·p + ½ pᵀHp) ≥ 0
+        # for every Steihaug exit
+        pred = -(jnp.sum(s.g * p, axis=-1)
+                 + 0.5 * jnp.sum(p * Hp, axis=-1))
+        extra_hev = 1
+    else:
+        lo, hi = bounds
+        # blocked = at a face with the (minimization) gradient pushing
+        # outward; clipping lands iterates EXACTLY on the face, so ==
+        # comparisons fire (same active-set rule as the LM engine)
+        blocked = ((s.x <= lo) & (s.g > 0)) | ((s.x >= hi) & (s.g < 0))
+        p, _, cg_iters, hit_bnd = _steihaug_cg(
+            hvp_fleet, s.x, s.g, s.delta, active, max_cg, cg_tol,
+            free=~blocked,
+        )
+        # free coordinates may legitimately hit a face mid-step: clip,
+        # then score the quadratic model along the step ACTUALLY taken
+        # (one extra HVP on the clipped step — exact)
+        x_t = jnp.clip(s.x + p, lo, hi)
+        p = x_t - s.x
+        Hp = hvp_fleet(s.x, p)
+        pred = -(jnp.sum(s.g * p, axis=-1)
+                 + 0.5 * jnp.sum(p * Hp, axis=-1))
+        extra_hev = 2
     pnorm = jnp.linalg.norm(p, axis=-1)
-    # predicted decrease of the quadratic model: −(g·p + ½ pᵀHp) ≥ 0 for
-    # every Steihaug exit
-    pred = -(jnp.sum(s.g * p, axis=-1) + 0.5 * jnp.sum(p * Hp, axis=-1))
 
-    x_t = s.x + p
     f_t, g_t = vag_fleet(x_t)
     trial_ok = jnp.isfinite(f_t) & jnp.all(jnp.isfinite(g_t), axis=-1)
     rho = (s.fun - f_t) / jnp.maximum(pred, tiny)
 
     accept = active & trial_ok & (pred > 0.0) & (rho > eta_accept)
+    # TR endgame: once the iterate is close enough that the predicted
+    # reduction falls below f64's resolution of f (pred < eps·|f*| for
+    # |f*| > 0), rho is noise and every trial would be rejected — even a
+    # Newton step whose own gradient already CERTIFIES convergence. The
+    # certificate is the goal: accept any finite trial that satisfies it
+    # (f_t is within rounding of fun there, so taking the step is free).
+    trial_certifies = trial_ok & (
+        _kkt_criticality(x_t, g_t, bounds) < tol
+    )
+    accept = accept | (active & trial_certifies)
 
     # standard radius control: poor model fit shrinks RELATIVE TO THE STEP
     # (‖p‖/4 — shrinking Δ alone can leave Δ ≫ ‖p‖ and change nothing);
@@ -236,7 +284,9 @@ def _tr_body(
     stall_new = jnp.where(accept, 0, s.stall + 1)
 
     k_new = jnp.where(active, s.k + 1, s.k)
-    converged = jnp.max(jnp.abs(g_new), axis=-1) < tol
+    # unbounded: max|g| < tol; bounded: the KKT projected-gradient
+    # residual (identical helper to the LM engine's certificate)
+    converged = _kkt_criticality(x_new, g_new, bounds) < tol
     # Δ-collapse: the float eps floor — further shrinks cannot change x_t
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     collapsed = (stall_new >= TR_STALL_LIMIT) | (
@@ -268,7 +318,7 @@ def _tr_body(
         k=k_new,
         status=status_new,
         n_fev=jnp.where(active, s.n_fev + 1, s.n_fev),
-        n_hev=jnp.where(active, s.n_hev + cg_iters + 1, s.n_hev),
+        n_hev=jnp.where(active, s.n_hev + cg_iters + extra_hev, s.n_hev),
         stall=jnp.where(active, stall_new, s.stall),
     )
 
@@ -335,6 +385,7 @@ def _result_from_state(s: TRState, squeeze: bool) -> TRResult:
 def _optimize_tr_impl(
     obj,
     X0,
+    bounds,
     value_and_grad_fn,
     tol,
     max_iterations,
@@ -346,17 +397,20 @@ def _optimize_tr_impl(
     _squeeze,
 ):
     vag_fleet, hvp_fleet = _make_fleet_fns(obj, value_and_grad_fn)
+    if bounds is not None:
+        X0 = jnp.clip(X0, bounds[0], bounds[1])
     s0 = _init_tr_state(vag_fleet, X0, delta0)
-    # lanes already at a critical point converge without entering the loop
+    # lanes already at a critical (KKT) point converge without entering
+    # the loop
     conv0 = (s0.status == Status.RUNNING) & (
-        jnp.max(jnp.abs(s0.g), axis=-1) < tol
+        _kkt_criticality(s0.x, s0.g, bounds) < tol
     )
     s0 = s0._replace(
         status=jnp.where(conv0, Status.CONVERGED, s0.status).astype(jnp.int32)
     )
     body = partial(
-        _tr_body, vag_fleet, hvp_fleet, tol, max_iterations, max_cg,
-        cg_tol, delta_max, eta_accept,
+        _tr_body, vag_fleet, hvp_fleet, bounds, tol, max_iterations,
+        max_cg, cg_tol, delta_max, eta_accept,
     )
     s = lax.while_loop(_tr_cond(max_iterations), body, s0)
     return _result_from_state(s, _squeeze)
@@ -366,6 +420,7 @@ def optimize_tr(
     obj,
     x0: jax.Array,
     *,
+    bounds: Optional[Any] = None,
     tol: float = 1e-8,
     max_iterations: int = TR_MAX_ITERATIONS_DEFAULT,
     max_cg: Optional[int] = None,
@@ -400,6 +455,19 @@ def optimize_tr(
     Eisenstat–Walker forcing η = min(0.5, √‖g‖) (smaller = sharper inner
     solves); ``value_and_grad_fn`` supplies an analytic gradient — HVPs
     then come from one jvp THROUGH it, so it must be jax-traceable.
+
+    Box constraints: ``bounds=(lo, hi)`` (broadcastable to x0's shape;
+    ±inf = one-sided/free; per-lane boxes carry the batch axis) runs
+    projected trust-region Newton with an elementwise active set — the
+    same dogbox strategy as `least_squares`: coordinates sitting on a
+    face with the gradient pushing outward are masked out of the CG
+    solve (all CG vectors stay supported on the free subspace), the
+    trial point is clipped onto the box, and the model is scored along
+    the step actually taken. The convergence certificate becomes the
+    KKT projected-gradient residual; x0 is clipped in. The bounded
+    certificate floor documented for `least_squares` (f64 resolves
+    decreases only to free-gradient ~sqrt(eps·|f*|) when the bounded
+    optimum has |f*| > 0) applies here identically.
     """
     X0 = jnp.asarray(x0)
     if X0.ndim not in (1, 2):
@@ -419,6 +487,7 @@ def optimize_tr(
     return _optimize_tr_impl(
         obj,
         X0,
+        _check_bounds(bounds, X0),
         value_and_grad_fn=value_and_grad_fn,
         tol=float(tol),
         max_iterations=int(max_iterations),
@@ -448,6 +517,7 @@ def optimize_tr(
 def _optimize_tr_resume_impl(
     obj,
     state,
+    bounds,
     value_and_grad_fn,
     tol,
     max_iterations,
@@ -469,8 +539,8 @@ def _optimize_tr_resume_impl(
         )
     )
     body = partial(
-        _tr_body, vag_fleet, hvp_fleet, tol, max_iterations, max_cg,
-        cg_tol, delta_max, eta_accept,
+        _tr_body, vag_fleet, hvp_fleet, bounds, tol, max_iterations,
+        max_cg, cg_tol, delta_max, eta_accept,
     )
     s = lax.while_loop(_tr_cond(max_iterations), body, state)
     return _result_from_state(s, _squeeze)
@@ -480,6 +550,7 @@ def optimize_tr_from_state(
     obj,
     state: TRState,
     *,
+    bounds: Optional[Any] = None,
     tol: float = 1e-8,
     max_iterations: int = TR_MAX_ITERATIONS_DEFAULT,
     max_cg: Optional[int] = None,
@@ -494,8 +565,9 @@ def optimize_tr_from_state(
     chunked resume reproduces the long run exactly — the carried
     (fun, g, Δ, stall) make the first resumed iteration bitwise the one
     the uninterrupted run would have taken. Solver geometry knobs
-    (max_cg, cg_tol, ...) must match the original call (same
-    must-match contract as `least_squares_from_state`'s loss/f_scale).
+    (max_cg, cg_tol, AND bounds) must match the original call (same
+    must-match contract as `least_squares_from_state`'s
+    loss/f_scale/bounds).
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
@@ -505,6 +577,7 @@ def optimize_tr_from_state(
     return _optimize_tr_resume_impl(
         obj,
         state,
+        _check_bounds(bounds, state.x),
         value_and_grad_fn=value_and_grad_fn,
         tol=float(tol),
         max_iterations=int(max_iterations),

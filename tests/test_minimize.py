@@ -117,3 +117,30 @@ def test_minimize_jit_cache_reuse(rng):
     assert _Negated(quad_min) == _Negated(quad_min)
     assert hash(_Negated(quad_min)) == hash(_Negated(quad_min))
     assert _Negated(quad_min) != _Negated(rosenbrock_min)
+
+
+def test_minimize_method_tr_with_bounds():
+    # minimization convention end to end through the TR engine
+    def fun(x):
+        return jnp.sum((x - 2.0) ** 2)
+
+    res = qnm.minimize(fun, jnp.zeros(3), method="tr",
+                       bounds=(jnp.full(3, -1.0), jnp.full(3, 1.0)),
+                       tol=1e-8)
+    assert int(res.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-8)
+    assert float(res.fun) == pytest.approx(3.0, abs=1e-8)  # minimized value
+    # grad in the minimization convention: 2(x-2) = -2 at the face
+    np.testing.assert_allclose(np.asarray(res.grad), -2.0, atol=1e-6)
+
+
+def test_minimize_method_tr_unbounded_matches_bfgs():
+    def fun(x):
+        return jnp.sum((x - 1.0) ** 2) + 0.5 * jnp.sum(x[:-1] * x[1:])
+
+    x0 = jnp.asarray(np.random.default_rng(3).standard_normal(5))
+    r_tr = qnm.minimize(fun, x0, method="tr", tol=1e-9)
+    r_bf = qnm.minimize(fun, x0, method="bfgs", tol=1e-9)
+    assert int(r_tr.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(r_tr.x), np.asarray(r_bf.x),
+                               atol=1e-7)

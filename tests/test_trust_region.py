@@ -190,3 +190,89 @@ def test_misuse_probes():
         qnm.optimize_tr(rosenbrock_logdensity, jnp.zeros(4), delta0=-1.0)
     with pytest.raises(TypeError):
         qnm.optimize_tr(42, jnp.zeros(4))
+
+
+# --- box constraints (projected TR, the dogbox rule) ------------------------
+
+def test_bounds_diagonal_quadratic_clips_to_faces():
+    # max of -(x-c)'D(x-c): the bounded solution is clip(c, lo, hi)
+    c = jnp.asarray([2.0, -3.0, 0.25, 0.0])
+    d = jnp.asarray([1.0, 4.0, 2.0, 1.0])
+
+    def obj(x):
+        return -jnp.sum(d * (x - c) ** 2)
+
+    lo = jnp.asarray([-1.0, -1.0, -1.0, -1.0])
+    hi = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+    res = qnm.optimize_tr(obj, jnp.zeros(4), bounds=(lo, hi), tol=1e-7)
+    assert int(res.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.clip(np.asarray(c), -1.0, 1.0), atol=1e-7
+    )
+
+
+def test_bounds_match_scipy_lbfgsb_same_function():
+    # the SAME (split) rosenbrock through scipy's bounded reference
+    # solver — same starts, same box, same KKT point. (First version of
+    # this test compared against scipy.optimize.rosen — the CHAINED
+    # variant, a different function with different bounded KKT points.)
+    from scipy.optimize import minimize as sp_minimize
+
+    fun = lambda x: float(-rosenbrock_logdensity(jnp.asarray(x)))
+    jac_j = jax.jit(jax.grad(lambda x: -rosenbrock_logdensity(x)))
+    jac = lambda x: np.asarray(jac_j(jnp.asarray(x)))
+
+    rng = np.random.default_rng(12)
+    x0 = np.clip(rng.standard_normal(6), -0.5, 0.8)
+    lo, hi = np.full(6, -0.5), np.full(6, 0.8)  # optimum 1-vector infeasible
+    ours = qnm.optimize_tr(
+        rosenbrock_logdensity, jnp.asarray(x0),
+        bounds=(jnp.asarray(lo), jnp.asarray(hi)), tol=1e-9,
+    )
+    ref = sp_minimize(fun, x0, jac=jac, method="L-BFGS-B",
+                      bounds=list(zip(lo, hi)),
+                      options={"ftol": 1e-15, "gtol": 1e-12})
+    assert int(ours.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(ours.x), ref.x, atol=1e-5)
+    np.testing.assert_allclose(-float(ours.fun), ref.fun, rtol=1e-8)
+    # and the claimed KKT point really is one (independent residual)
+    g = jac(np.asarray(ours.x))
+    kkt = np.max(np.abs(np.asarray(ours.x)
+                        - np.clip(np.asarray(ours.x) - g, lo, hi)))
+    assert kkt < 1e-7
+
+
+def test_bounds_per_lane_fleet_and_x0_clipped():
+    def obj(x):
+        return -jnp.sum((x - 2.0) ** 2)
+
+    lo = jnp.stack([jnp.full(3, -1.0), jnp.full(3, 0.0)])
+    hi = jnp.stack([jnp.full(3, 1.0), jnp.full(3, 3.0)])  # lane1 interior
+    x0 = jnp.full((2, 3), 5.0)  # outside both boxes -> clipped in
+    res = qnm.optimize_tr(obj, x0, bounds=(lo, hi), tol=1e-7)
+    assert np.all(np.asarray(res.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res.x[0]), 1.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.x[1]), 2.0, atol=1e-7)
+
+
+def test_bounds_resume_chunked_equals_long():
+    rng = np.random.default_rng(21)
+    X0 = jnp.asarray(rng.standard_normal((4, 6)))
+    lo, hi = jnp.full(6, -0.5), jnp.full(6, 0.8)
+    kw = dict(bounds=(lo, hi), tol=1e-7)
+    long = qnm.optimize_tr(rosenbrock_logdensity, X0, **kw)
+    part = qnm.optimize_tr(rosenbrock_logdensity, X0, max_iterations=4,
+                           **kw)
+    resumed = qnm.optimize_tr_from_state(rosenbrock_logdensity, part.state,
+                                         **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(long.x))
+    np.testing.assert_array_equal(np.asarray(resumed.n_hev),
+                                  np.asarray(long.n_hev))
+
+
+def test_bounds_validation():
+    with pytest.raises(ValueError, match="lower < upper"):
+        qnm.optimize_tr(rosenbrock_logdensity, jnp.zeros(3),
+                        bounds=(jnp.ones(3), jnp.zeros(3)))
+    with pytest.raises(ValueError, match="pair"):
+        qnm.optimize_tr(rosenbrock_logdensity, jnp.zeros(3), bounds=3)
