@@ -114,7 +114,7 @@ def _make_fleet_fns(obj, value_and_grad_fn):
 
 
 def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol,
-                 free=None):
+                 free=None, want_hp=True):
     """Batched Steihaug-Toint truncated CG.
 
     Returns (p, Hp, iters_used, hit_boundary). Frozen/converged lanes
@@ -192,7 +192,9 @@ def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol,
     init = (p0, r0, -r0, rtr0, cg_act0, jnp.zeros((), jnp.int32))
     p, r, d, rtr, cg_act, j = lax.while_loop(cond, body, init)
 
-    Hp = hvp_fleet(x, p)
+    # want_hp=False lets the bounded caller skip this sweep: it clips the
+    # step and needs H·(clipped p) instead, so this Hp would be discarded
+    Hp = hvp_fleet(x, p) if want_hp else None
     hit_boundary = jnp.sum(p * p, axis=-1) >= (1.0 - 1e-6) * delta * delta
     return p, Hp, j, hit_boundary
 
@@ -238,17 +240,17 @@ def _tr_body(
         blocked = ((s.x <= lo) & (s.g > 0)) | ((s.x >= hi) & (s.g < 0))
         p, _, cg_iters, hit_bnd = _steihaug_cg(
             hvp_fleet, s.x, s.g, s.delta, active, max_cg, cg_tol,
-            free=~blocked,
+            free=~blocked, want_hp=False,
         )
         # free coordinates may legitimately hit a face mid-step: clip,
         # then score the quadratic model along the step ACTUALLY taken
-        # (one extra HVP on the clipped step — exact)
+        # (one HVP on the clipped step — exact)
         x_t = jnp.clip(s.x + p, lo, hi)
         p = x_t - s.x
         Hp = hvp_fleet(s.x, p)
         pred = -(jnp.sum(s.g * p, axis=-1)
                  + 0.5 * jnp.sum(p * Hp, axis=-1))
-        extra_hev = 2
+        extra_hev = 1
     pnorm = jnp.linalg.norm(p, axis=-1)
 
     f_t, g_t = vag_fleet(x_t)
@@ -260,10 +262,17 @@ def _tr_body(
     # reduction falls below f64's resolution of f (pred < eps·|f*| for
     # |f*| > 0), rho is noise and every trial would be rejected — even a
     # Newton step whose own gradient already CERTIFIES convergence. The
-    # certificate is the goal: accept any finite trial that satisfies it
-    # (f_t is within rounding of fun there, so taking the step is free).
-    trial_certifies = trial_ok & (
-        _kkt_criticality(x_t, g_t, bounds) < tol
+    # certificate is the goal: accept a finite trial that satisfies it,
+    # GATED on non-ascent up to rounding slack (without the gate, a
+    # grown-radius trial landing in a distant flat/plateau region with
+    # small gradient would be accepted despite f_t >> fun — a
+    # non-monotone jump no engine in this library is allowed to make).
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    slack = 32.0 * eps * jnp.maximum(jnp.abs(s.fun), 1.0)
+    trial_certifies = (
+        trial_ok
+        & (_kkt_criticality(x_t, g_t, bounds) < tol)
+        & (f_t <= s.fun + slack)
     )
     accept = accept | (active & trial_certifies)
 
@@ -288,7 +297,6 @@ def _tr_body(
     # residual (identical helper to the LM engine's certificate)
     converged = _kkt_criticality(x_new, g_new, bounds) < tol
     # Δ-collapse: the float eps floor — further shrinks cannot change x_t
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     collapsed = (stall_new >= TR_STALL_LIMIT) | (
         delta_new <= eps * jnp.maximum(jnp.linalg.norm(x_new, axis=-1), 1.0)
     )
@@ -571,6 +579,11 @@ def optimize_tr_from_state(
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    # a rank-1 (single-solve) result's state was squeezed: re-batch it
+    # (the same re-batching least_squares_from_state does)
+    squeeze = state.x.ndim == 1
+    if squeeze:
+        state = jax.tree_util.tree_map(lambda l: jnp.asarray(l)[None], state)
     n = state.x.shape[-1]
     if max_cg is None:
         max_cg = min(n, 64)
@@ -585,5 +598,5 @@ def optimize_tr_from_state(
         cg_tol=float(cg_tol),
         delta_max=float(delta_max),
         eta_accept=float(eta_accept),
-        _squeeze=False,
+        _squeeze=squeeze,
     )

@@ -504,8 +504,18 @@ def _map_stage(
             fleet = least_squares(residual_fn, x0s, **lm_kw)
             # least_squares MINIMIZES ½‖r‖²; the pipeline's convention is
             # maximized logdensity (best-mode argmax, polish handoff).
-            # -fun IS the Gaussian log-likelihood up to its constant.
-            fleet = fleet._replace(fun=-fleet.fun)
+            # -fun IS the Gaussian log-likelihood up to its constant —
+            # and last_value/grad flip WITH it so the presented result
+            # stays internally consistent (fun == last_value on
+            # convergence, grad in the maximization orientation). JTJ and
+            # .state keep the LM engine's native orientation (curvature
+            # of ½‖r‖²; the state resumes through
+            # least_squares_from_state unchanged).
+            fleet = fleet._replace(
+                fun=-fleet.fun,
+                last_value=-fleet.last_value,
+                grad=-fleet.grad,
+            )
         elif map_engine == "tr":
             # stiff / locally indefinite MAP surfaces: the trust-region
             # Newton-Krylov engine. It carries no curvature matrix
@@ -570,9 +580,13 @@ def _map_stage(
             eye = jnp.eye(n, dtype=fleet.x.dtype)
             minv = jnp.linalg.inv(-H)
             # indefinite/singular H at a non-interior or flat mode:
-            # identity metric, in-band (samplers adapt from there)
-            spd = jnp.all(jnp.isfinite(minv)) & jnp.all(
-                jnp.diagonal(minv) > 0
+            # identity metric, in-band. Positive definiteness needs a
+            # real test — an indefinite inverse can be finite with an
+            # all-positive diagonal — so check via Cholesky of −H
+            # (NaN factor iff not PD), plus finiteness of the inverse.
+            chol = jnp.linalg.cholesky(-H)
+            spd = jnp.all(jnp.isfinite(chol)) & jnp.all(
+                jnp.isfinite(minv)
             )
             mass = jnp.where(spd, minv, eye)
         chains = fleet.x + jitter * jax.random.normal(

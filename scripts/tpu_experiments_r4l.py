@@ -33,8 +33,12 @@ B = int(os.environ.get("QNM_R4L_B", "4096"))
 TOL = 1e-3  # f32 chip contract
 
 
-def readback(x):
-    return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
+def readback(*xs):
+    # ONE combined device->host scalar per timed call (each separate
+    # readback costs ~30 ms through axon regardless of payload — the
+    # first committed run of this script paid two and underreported)
+    tot = sum(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)) for x in xs)
+    return float(tot)
 
 
 def timed(fn, reps=3):
@@ -68,7 +72,7 @@ def resid_exp(p, data):
 def run_exp(loss="linear", bounds=None):
     r = qnm.least_squares(resid_exp, x01, data=data1, tol=TOL,
                           loss=loss, f_scale=0.05, bounds=bounds)
-    readback(r.x) + readback(r.fun.astype(jnp.float32))
+    readback(r.x, r.fun.astype(jnp.float32))
     return r
 
 
@@ -134,7 +138,7 @@ def resid_peaks(p, data):
 
 def run_peaks():
     r = qnm.least_squares(resid_peaks, x02, data=data2, tol=TOL)
-    readback(r.x) + readback(r.fun.astype(jnp.float32))
+    readback(r.x, r.fun.astype(jnp.float32))
     return r
 
 
@@ -165,13 +169,13 @@ def sq_obj(x):
 
 def run_bfgs():
     res = qnm.optimize_batched(sq_obj, x0_sh, tol=TOL)
-    readback(res.x) + readback(res.fun.astype(jnp.float32))
+    readback(res.x, res.fun.astype(jnp.float32))
     return res
 
 
 def run_lm_sh():
     r = qnm.least_squares(resid_exp, x0_sh, data=data_sh, tol=TOL)
-    readback(r.x) + readback(r.fun.astype(jnp.float32))
+    readback(r.x, r.fun.astype(jnp.float32))
     return r
 
 

@@ -276,3 +276,70 @@ def test_bounds_validation():
                         bounds=(jnp.ones(3), jnp.zeros(3)))
     with pytest.raises(ValueError, match="pair"):
         qnm.optimize_tr(rosenbrock_logdensity, jnp.zeros(3), bounds=3)
+
+
+# --- round-4 review regressions ---------------------------------------------
+
+def test_resume_from_rank1_state():
+    # review finding: _result_from_state squeezes the state of a single
+    # solve; resume must re-batch it (like least_squares_from_state)
+    x0 = jnp.asarray(np.random.default_rng(31).standard_normal(8))
+    long = qnm.optimize_tr(rosenbrock_logdensity, x0)
+    part = qnm.optimize_tr(rosenbrock_logdensity, x0, max_iterations=3)
+    assert part.state.x.ndim == 1  # squeezed, as the result contract says
+    resumed = qnm.optimize_tr_from_state(rosenbrock_logdensity, part.state)
+    assert int(resumed.status) == qnm.Status.CONVERGED
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(long.x))
+    np.testing.assert_array_equal(int(resumed.n_hev), int(long.n_hev))
+
+
+def test_certificate_accept_rejects_uphill_plateau():
+    # review finding: the endgame certificate-accept must NOT take an
+    # ASCENT (minimization) step onto a distant flat plateau. Objective
+    # (maximization): a sharp local peak at 0 the iterate is climbing,
+    # plus a far plateau at much LOWER logdensity where the gradient
+    # vanishes. A grown radius can propose a trial on the plateau whose
+    # KKT residual is < tol — without the descent gate it would be
+    # accepted and declared CONVERGED at the bad point.
+    def obj(x):
+        r2 = jnp.sum(x * x)
+        peak = -r2  # local max 0 at origin
+        # smooth plateau of value -100 for r2 > ~25
+        return jnp.where(r2 < 25.0, peak, -100.0 + 0.0 * r2)
+
+    res = qnm.optimize_tr(obj, jnp.full(3, 0.5), delta0=100.0, tol=1e-6)
+    assert int(res.status) == qnm.Status.CONVERGED
+    # converged at the PEAK, not the plateau
+    np.testing.assert_allclose(np.asarray(res.x), 0.0, atol=1e-6)
+    assert float(res.fun) > -1e-6
+
+
+def test_pipeline_lm_result_sign_consistency():
+    # review finding: map_engine='lm' must present fun/last_value/grad
+    # in ONE (maximization) convention
+    def resid(x):
+        return jnp.stack([x[0] - 1.0, 2.0 * x[1] + 1.0, x[0] + x[1]])
+
+    def obj(x):
+        r = resid(x)
+        return -0.5 * jnp.sum(r * r)
+
+    out = qnm.map_then_sample(
+        obj, jax.random.PRNGKey(8), jnp.zeros(2),
+        n_chains=8, sampler="chees", n_samples=16, n_warmup=8,
+        map_engine="lm", map_kwargs={"residual_fn": resid},
+    )
+    mr = out.map_result
+    ok = np.asarray(mr.status) == qnm.Status.CONVERGED
+    assert ok.any()
+    np.testing.assert_allclose(
+        np.asarray(mr.fun)[ok], np.asarray(mr.last_value)[ok], atol=1e-12
+    )
+    # grad is the gradient of the MAXIMIZED objective: -J^T r
+    x0_lane = np.asarray(mr.x)[np.argmax(ok)]
+    g_expected = np.asarray(
+        jax.grad(obj)(jnp.asarray(x0_lane))
+    )
+    np.testing.assert_allclose(
+        np.asarray(mr.grad)[np.argmax(ok)], g_expected, atol=1e-10
+    )
