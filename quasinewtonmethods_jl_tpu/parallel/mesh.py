@@ -142,6 +142,50 @@ def optimize_tr_sharded(
         return optimize_tr(obj, x0s, **kwargs)
 
 
+def optimize_tr_model_sharded(
+    obj,
+    x0: jax.Array,
+    mesh: Mesh,
+    axis: str = "model",
+    **kwargs,
+):
+    """ONE large-n trust-region solve with the parameter vector sharded.
+
+    The TR engine is pure jnp (CG dot products, elementwise updates,
+    HVPs through the gradient), so GSPMD partitions the whole program
+    from the x0 placement alone — no shard_map: every CG reduction
+    (rᵀr, dᵀHd, boundary τ) lowers to a local partial + all-reduce over
+    ICI, and the HVP's forward-over-reverse sweep partitions like the
+    gradient itself. This is the Newton-Krylov counterpart of
+    `optimize_lbfgs_sharded` (which needs explicit psum injection
+    because its two-loop recursion runs inside shard_map); parity with
+    the unsharded engine is iteration-exact up to fp reassociation of
+    the partitioned dots.
+
+    Objectives whose gradient mixes coordinates (e.g. Rosenbrock's
+    coupling) are still correct — GSPMD inserts the gathers it needs —
+    but separable/elementwise objectives partition with no gathers at
+    all. kwargs pass through to `qnm.optimize_tr`.
+    """
+    from ..trust_region import optimize_tr
+
+    x0 = jnp.asarray(x0)
+    if x0.ndim != 1:
+        raise ValueError(
+            f"x0 must be rank 1 (one large-n solve), got shape {x0.shape};"
+            " fleets shard over lanes via optimize_tr_sharded"
+        )
+    n_shards = mesh.shape[axis]
+    if x0.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"n ({x0.shape[0]}) must divide evenly over mesh axis "
+            f"{axis!r} ({n_shards} shards)"
+        )
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis)))
+    with mesh:
+        return optimize_tr(obj, x0, **kwargs)
+
+
 def least_squares_sharded(
     residual_fn,
     x0s: jax.Array,

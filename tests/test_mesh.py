@@ -318,3 +318,49 @@ def test_optimize_tr_sharded_matches_unsharded(rng):
     assert len({d for d in r_sh.x.devices()}) == 8
     with pytest.raises(ValueError, match="divide"):
         optimize_tr_sharded(rosenbrock_logdensity, jnp.zeros((12, 4)), mesh)
+
+
+def test_optimize_tr_model_sharded_matches_unsharded(rng):
+    from quasinewtonmethods_jl_tpu.parallel import optimize_tr_model_sharded
+
+    n = 512
+    d = jnp.asarray(np.geomspace(1.0, 1e4, n))
+
+    def obj(x):
+        return -0.5 * jnp.sum(d * x * x)
+
+    x0 = jnp.asarray(rng.standard_normal(n))
+    mesh = make_mesh({"model": 8})
+    r_sh = optimize_tr_model_sharded(obj, x0, mesh, max_cg=128)
+    r_un = qnm.optimize_tr(obj, x0, max_cg=128)
+    assert int(r_sh.status) == qnm.Status.CONVERGED
+    # partitioned dots reassociate fp reductions, so trajectories drift
+    # at rounding level (the lbfgs_sharded bar): same optimum to the
+    # quality bar, trip counts within one
+    assert abs(int(r_sh.iterations) - int(r_un.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(r_sh.x), 0.0, atol=1e-8)
+    assert float(jnp.max(jnp.abs(r_sh.grad))) < 1e-8
+    assert len({dd for dd in r_sh.x.devices()}) == 8
+
+
+def test_optimize_tr_model_sharded_nonseparable(rng):
+    # coupled gradient: GSPMD must insert the gathers it needs and still
+    # hit the reference bars
+    from quasinewtonmethods_jl_tpu.parallel import optimize_tr_model_sharded
+
+    x0 = jnp.asarray(rng.standard_normal(16))
+    mesh = make_mesh({"model": 8})
+    res = optimize_tr_model_sharded(rosenbrock_logdensity, x0, mesh)
+    assert int(res.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+
+
+def test_optimize_tr_model_sharded_validation(rng):
+    from quasinewtonmethods_jl_tpu.parallel import optimize_tr_model_sharded
+
+    mesh = make_mesh({"model": 8})
+    with pytest.raises(ValueError, match="rank 1"):
+        optimize_tr_model_sharded(quad_logdensity, jnp.zeros((4, 8)), mesh)
+    with pytest.raises(ValueError, match="divide"):
+        optimize_tr_model_sharded(quad_logdensity, jnp.zeros(10), mesh)
