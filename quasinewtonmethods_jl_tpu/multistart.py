@@ -46,6 +46,7 @@ def optimize_multistart(
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
     dtype=None,
+    engine: str = "bfgs",
     **batch_kwargs,
 ) -> MultistartResult:
     """Maximize from ``n_starts`` starting points; return the best mode.
@@ -54,6 +55,13 @@ def optimize_multistart(
     ((n_starts, dim)) is given. Only converged lanes compete; with zero
     converged lanes the result carries NaN fun and ``converged`` is False
     (the in-band contract, fleet-level).
+
+    ``engine``: 'bfgs' (default, the fused fleet) or 'tr' (the
+    trust-region Newton–Krylov fleet — prefer it when random starts land
+    in stiff or saddle-ridden regions, exactly where secant updates get
+    corrupted; `ls` does not apply, TR knobs like ``bounds=``/``max_cg=``
+    pass through ``batch_kwargs``). The result's ``fleet`` field carries
+    the engine's native result type either way.
     """
     if x0s is None:
         if dtype is None:
@@ -62,10 +70,26 @@ def optimize_multistart(
     else:
         x0s = jnp.asarray(x0s)
 
-    fleet = optimize_batched(
-        obj, x0s, ls=ls, tol=tol, max_iterations=max_iterations,
-        value_and_grad_fn=value_and_grad_fn, **batch_kwargs,
-    )
+    if engine == "bfgs":
+        fleet = optimize_batched(
+            obj, x0s, ls=ls, tol=tol, max_iterations=max_iterations,
+            value_and_grad_fn=value_and_grad_fn, **batch_kwargs,
+        )
+    elif engine == "tr":
+        # stiff or locally indefinite basins: the trust-region fleet
+        # (negative curvature ridden, not feared — multistart geometry
+        # is exactly where secant updates get corrupted by saddles).
+        # `ls` is a line-search knob and does not apply.
+        from .trust_region import optimize_tr
+
+        fleet = optimize_tr(
+            obj, x0s, tol=tol, max_iterations=max_iterations,
+            value_and_grad_fn=value_and_grad_fn, **batch_kwargs,
+        )
+    else:
+        raise ValueError(
+            f"engine must be 'bfgs' or 'tr', got {engine!r}"
+        )
     ok = fleet.status == Status.CONVERGED
     # fleet.fun is NaN on non-converged lanes already; argmax over a
     # -inf-masked copy picks the best converged mode deterministically.

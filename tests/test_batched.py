@@ -242,6 +242,26 @@ def test_multistart_all_failed_is_inband():
     assert np.isnan(float(res.fun))
 
 
+def test_multistart_tr_engine(rng):
+    """engine='tr': the TR fleet powers the multistart; saddle-ridden
+    double-well geometry where secant updates struggle."""
+    def wells(x):
+        return -jnp.sum((x * x - 1.0) ** 2) - 0.1 * jnp.sum((x - 1.0) ** 2)
+
+    res = qnm.optimize_multistart(
+        wells, jax.random.PRNGKey(3), n_starts=32, dim=3, init_scale=0.3,
+        tol=1e-7, engine="tr",
+    )
+    assert bool(res.converged)
+    # the deepest well is the all-ones corner (the -0.1 tilt term)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-5)
+    # fleet carries the TR result type (n_hev is TR-only)
+    assert hasattr(res.fleet, "n_hev")
+    with pytest.raises(ValueError, match="engine"):
+        qnm.optimize_multistart(wells, jax.random.PRNGKey(0), n_starts=4,
+                                dim=2, engine="newton")
+
+
 def test_batched_resume_from_state(rng):
     """Stop a fleet early, checkpoint the batched state, resume to
     convergence — the batched analog of optimize_from_state."""
