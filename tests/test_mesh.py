@@ -364,3 +364,36 @@ def test_optimize_tr_model_sharded_validation(rng):
         optimize_tr_model_sharded(quad_logdensity, jnp.zeros((4, 8)), mesh)
     with pytest.raises(ValueError, match="divide"):
         optimize_tr_model_sharded(quad_logdensity, jnp.zeros(10), mesh)
+
+
+def test_least_squares_residual_axis_sharded_single_fit(rng):
+    """The big-data curve fit: ONE lane whose residual axis m is sharded
+    over the mesh. The LM program is lane-elementwise AND
+    residual-reduction-shaped (JTJ/JTr are contractions over m), so
+    GSPMD partitions it from the data placement alone — pinned
+    BITWISE-identical to the unsharded fit (same contractions, same
+    order, just partitioned)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    M = 2048
+    t = np.linspace(0.0, 1.0, M)
+    y = 2.0 * np.exp(-1.3 * t) + 0.01 * rng.standard_normal(M)
+
+    def resid(p, d):
+        tt, yy = d
+        return p[..., 0:1] * jnp.exp(p[..., 1:2] * tt) - yy
+
+    x0 = jnp.asarray([[1.0, 0.0]])
+    data = (jnp.asarray(t)[None], jnp.asarray(y)[None])
+    mesh = make_mesh({"data": 8})
+    data_sh = jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, NamedSharding(mesh, P(None, "data"))),
+        data,
+    )
+    with mesh:
+        r_sh = qnm.least_squares(resid, x0, data=data_sh)
+    r_un = qnm.least_squares(resid, x0, data=data)
+    assert int(r_sh.status[0]) == qnm.Status.CONVERGED
+    np.testing.assert_array_equal(np.asarray(r_sh.x), np.asarray(r_un.x))
+    np.testing.assert_array_equal(np.asarray(r_sh.iterations),
+                                  np.asarray(r_un.iterations))
