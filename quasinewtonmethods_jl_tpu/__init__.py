@@ -45,6 +45,12 @@ from .trust_region import (
     optimize_tr,
     optimize_tr_from_state,
 )
+from .svgd import (
+    SVGDResult,
+    SVGDState,
+    svgd_sample,
+    svgd_sample_from_state,
+)
 from .lbfgs_batched_solve import optimize_lbfgs_batched_fused_from_state
 from .minimize import minimize
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
@@ -207,6 +213,10 @@ __all__ = [
     "TRState",
     "optimize_tr",
     "optimize_tr_from_state",
+    "SVGDResult",
+    "SVGDState",
+    "svgd_sample",
+    "svgd_sample_from_state",
     "optimize_batched_pytree",
     "optimize_lbfgs_pytree",
     "optimize_multistart",

@@ -30,11 +30,13 @@ def _sampler_state_classes():
     from ..least_squares import LMState
     from ..sampling import ChEESState, HMCState, NUTSState
     from ..tempering import PTState
+    from ..svgd import SVGDState
     from ..trust_region import TRState
 
     return {"HMCState": HMCState, "ChEESState": ChEESState,
             "NUTSState": NUTSState, "PTState": PTState,
-            "LMState": LMState, "TRState": TRState}
+            "LMState": LMState, "TRState": TRState,
+            "SVGDState": SVGDState}
 
 
 __all__ = ["save_state", "load_state"]
