@@ -86,10 +86,26 @@ def _phi(X, G, d2, h):
     return (drive + repulse) / B
 
 
+_MEDIAN_CAP = 65536  # elements fed to the per-step median sort
+
+
 def _median_bandwidth(d2, B, dtype):
     """med(‖xi−xj‖²)/log(B+1), floored away from zero (a collapsed fleet
-    must not divide by 0 — the floor re-inflates it via the repulsion)."""
-    med = jnp.median(d2)
+    must not divide by 0 — the floor re-inflates it via the repulsion).
+
+    The median is a SORT — measured on a v5e, sorting the full (B, B)
+    matrix dominated the whole step at B=4096 (43 ms/step; 12x WORSE
+    particle-throughput than B=256, while the actual Stein matmuls are
+    ~1 ms). Above _MEDIAN_CAP elements the median runs on a fixed-stride
+    subsample (deterministic, static shapes — resume identity holds);
+    the bandwidth is a heuristic, the subsampled estimate is within the
+    heuristic's own noise."""
+    flat = d2.reshape(-1)
+    m = flat.shape[0]
+    if m > _MEDIAN_CAP:  # static at trace time
+        stride = m // _MEDIAN_CAP
+        flat = flat[:: stride][:_MEDIAN_CAP]
+    med = jnp.median(flat)
     h = med / jnp.log(jnp.asarray(B + 1.0, dtype))
     return jnp.maximum(h, jnp.asarray(1e-10, dtype))
 
@@ -173,6 +189,14 @@ def svgd_sample(
     stop contributing gradient drive (in-band — inspect ``result.logp``
     for NaN lanes). Composes with `transforms.transform_objective` for
     constrained posteriors the same way every sampler here does.
+
+    Honest accuracy guidance (measured, v5e, n=60 correlated Gaussian):
+    SVGD nails locations (max|mean error| ~0.1 at 300 steps) but
+    UNDERESTIMATES covariance in higher dimensions (~0.6-0.7 relative
+    at n=60 — the known variance-collapse behavior; it shrinks slowly
+    with more particles). Use it for representative points, chain
+    initialization, and visualisation; for calibrated posterior
+    moments use the HMC family, which is asymptotically exact.
     """
     X0 = jnp.asarray(x0s)
     if X0.ndim != 2:
