@@ -98,6 +98,7 @@ def map_then_sample(
     transform=None,
     init: str = "map",
     pathfinder_kwargs: Optional[dict] = None,
+    svgd_kwargs: Optional[dict] = None,
     compute_evidence: Optional[str] = None,
     ais_kwargs: Optional[dict] = None,
     **sampler_kwargs,
@@ -200,23 +201,35 @@ def map_then_sample(
     unreliable and warmup should do the heavy lifting (raise
     ``n_warmup``). Incompatible with ``polish_steps`` (no fleet to
     polish). Composes with ``transform=`` (pathfinder runs in z).
+
+    ``init='svgd'`` (round 4) instead transports a particle fleet to the
+    posterior deterministically (`svgd_sample`; knobs in
+    ``svgd_kwargs``): chain starts are the particles (posterior-shaped
+    spread, already decorrelated), the 'hmc'/'pt' mass is the
+    SPD-guarded particle covariance, and the `SVGDResult` lands in
+    ``map_result``. chees/nuts still self-adapt their metric — SVGD's
+    high-dimensional covariance is underestimated (variance collapse;
+    see the `svgd_sample` docstring). Same restrictions as
+    'pathfinder': (n,) center, no polish, no compute_evidence.
     """
-    if init not in ("map", "pathfinder"):
-        raise ValueError(f"init must be 'map' or 'pathfinder', got {init!r}")
+    if init not in ("map", "pathfinder", "svgd"):
+        raise ValueError(
+            f"init must be 'map', 'pathfinder', or 'svgd', got {init!r}"
+        )
     if compute_evidence not in (None, "laplace", "ais", "bridge"):
         raise ValueError(
             f"compute_evidence must be None, 'laplace', 'ais' or "
             f"'bridge', got {compute_evidence!r}"
         )
-    if compute_evidence is not None and init == "pathfinder":
+    if compute_evidence is not None and init != "map":
         raise ValueError(
             "compute_evidence needs the MAP fleet's mode/curvature — "
             "use init='map', or run qnm.ais_evidence with an explicit "
-            "(mu, cov) base on the pathfinder output"
+            f"(mu, cov) base on the init={init!r} output"
         )
-    if init == "pathfinder" and polish_steps > 0:
+    if init != "map" and polish_steps > 0:
         raise ValueError(
-            "init='pathfinder' has no MAP fleet to polish; drop "
+            f"init={init!r} has no MAP fleet to polish; drop "
             "polish_steps or use init='map'"
         )
     sample_fn = get_sampler(sampler)
@@ -303,6 +316,56 @@ def map_then_sample(
         chains = pf.draws  # n_draws=n_chains above
         mass = pf.mass()
         x_map = pf.mu[jnp.argmax(pf.elbo)]
+    elif init == "svgd":
+        # deterministic particle transport: chain starts are the SVGD
+        # fleet (posterior-shaped spread, no warmup needed to decorrelate
+        # them). Mass: the particle covariance for 'hmc'/'pt' — but note
+        # SVGD UNDERESTIMATES high-d covariance (variance collapse, see
+        # svgd_sample docstring), so chees/nuts keep their own
+        # self-adaptation (the mass override below is hmc/pt-only).
+        if x0.ndim != 1:
+            raise ValueError(
+                "init='svgd' takes an (n,) center (chain starts are its "
+                f"particles), got x0 shape {x0.shape}"
+            )
+        from .svgd import svgd_sample as _run_svgd
+
+        starts = x0[None, :] + init_scale * jax.random.normal(
+            k_init, (n_chains, x0.shape[0]), x0.dtype
+        )
+        sk = dict(value_and_grad_fn=value_and_grad_fn)
+        sk.update(svgd_kwargs or {})  # explicit kwargs win
+        with mesh_ctx():
+            sv = _run_svgd(obj, _shard(starts), **sk)
+            ok_sv = jnp.isfinite(sv.logp)
+            if not bool(jnp.any(ok_sv)):
+                raise ValueError(
+                    "svgd stage failed: every particle's objective is "
+                    "non-finite; improve x0 or lower init_scale"
+                )
+            parts = sv.particles
+            n = parts.shape[-1]
+            w_sv = ok_sv.astype(parts.dtype)
+            w_sv = w_sv / jnp.sum(w_sv)
+            mu_sv = jnp.einsum("b,bn->n", w_sv, parts)
+            C = parts - mu_sv[None, :]
+            cov_sv = jnp.einsum("b,bi,bj->ij", w_sv, C, C)
+            # SPD in-band: jittered toward its own diagonal scale; a
+            # degenerate fleet (particles < n or collapsed) falls back
+            # to the diagonal variances
+            jitter_sv = 1e-6 * jnp.trace(cov_sv) / n
+            cov_j = cov_sv + jitter_sv * jnp.eye(n, dtype=parts.dtype)
+            chol_sv = jnp.linalg.cholesky(cov_j)
+            diag_sv = jnp.maximum(jnp.diagonal(cov_sv), 1e-10)
+            mass = jnp.where(
+                jnp.all(jnp.isfinite(chol_sv)),
+                cov_j,
+                jnp.eye(n, dtype=parts.dtype) * diag_sv[None, :],
+            )
+        fleet = sv
+        pol = None
+        chains = parts
+        x_map = parts[jnp.argmax(jnp.where(ok_sv, sv.logp, -jnp.inf))]
     else:
         fleet, pol, chains, mass, x_map = _map_stage(
             obj, x0s, x0.dtype, map_engine, map_tol, map_kwargs,

@@ -489,3 +489,42 @@ def test_pipeline_tr_engine_validation():
         qnm.map_then_sample(obj, jax.random.PRNGKey(0), jnp.zeros(3),
                             n_chains=8, n_samples=8, n_warmup=4,
                             map_engine="tr", mass_form="lowrank")
+
+
+# --- init='svgd' (round 4): particle-transport chain initialization --------
+
+def test_pipeline_svgd_init_recovers_gaussian():
+    logdensity, cov = _corr_gaussian(3)
+    out = qnm.map_then_sample(
+        logdensity, jax.random.PRNGKey(9), jnp.full(3, 2.0),
+        n_chains=32, sampler="hmc", n_samples=400, n_warmup=250,
+        init="svgd", svgd_kwargs={"n_steps": 300},
+    )
+    # map_result is the SVGDResult; chains started at its particles
+    assert hasattr(out.map_result, "particles")
+    assert out.samples.shape == (400, 32, 3)
+    draws = np.asarray(out.samples).reshape(-1, 3)
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.cov(draws.T), cov,
+                               atol=0.35 * np.abs(cov).max())
+    assert np.all(out.diagnostics.rhat < 1.1)
+    # the handed-over mass is the SPD particle covariance
+    assert np.all(np.linalg.eigvalsh(np.asarray(out.mass)) > 0)
+
+
+def test_pipeline_svgd_init_validation():
+    def obj(x):
+        return -0.5 * jnp.sum(x * x)
+
+    with pytest.raises(ValueError, match="polish"):
+        qnm.map_then_sample(obj, jax.random.PRNGKey(0), jnp.zeros(3),
+                            n_chains=8, n_samples=8, n_warmup=4,
+                            init="svgd", polish_steps=1)
+    with pytest.raises(ValueError, match="compute_evidence"):
+        qnm.map_then_sample(obj, jax.random.PRNGKey(0), jnp.zeros(3),
+                            n_chains=8, n_samples=8, n_warmup=4,
+                            init="svgd", compute_evidence="laplace")
+    with pytest.raises(ValueError, match="center"):
+        qnm.map_then_sample(obj, jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                            n_chains=8, n_samples=8, n_warmup=4,
+                            init="svgd")
