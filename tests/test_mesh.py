@@ -397,3 +397,24 @@ def test_least_squares_residual_axis_sharded_single_fit(rng):
     np.testing.assert_array_equal(np.asarray(r_sh.x), np.asarray(r_un.x))
     np.testing.assert_array_equal(np.asarray(r_sh.iterations),
                                   np.asarray(r_un.iterations))
+
+
+def test_svgd_particle_sharded_matches_unsharded(rng):
+    """SVGD under GSPMD: particles sharded over the mesh turn the (B, B)
+    kernel contractions into collective matmuls — pinned BITWISE
+    identical to the unsharded run (pure jnp, placement-only)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    x0 = jnp.asarray(rng.standard_normal((64, 4)))
+    mesh = make_mesh({"data": 8})
+    x0_sh = jax.device_put(x0, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        r_sh = qnm.svgd_sample(logdensity, x0_sh, n_steps=100)
+    r_un = qnm.svgd_sample(logdensity, x0, n_steps=100)
+    np.testing.assert_array_equal(
+        np.asarray(r_sh.particles), np.asarray(r_un.particles)
+    )
+    assert len({d for d in r_sh.particles.devices()}) == 8
