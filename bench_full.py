@@ -141,6 +141,58 @@ def main():
     emit("batched_rosenbrock_1024x128_blocked", t, {
         "solves_per_sec": round(1024 / t, 1), "converged": conv})
 
+    # 8. LM least-squares fleet: 4096 per-lane exponential fits
+    # (beyond-reference, round 4)
+    B8, M8 = 4096, 40
+    t8v = np.linspace(0.0, 1.0, M8, dtype=np.float32)
+    amp = RNG.uniform(0.5, 3.0, B8).astype(np.float32)
+    rate = RNG.uniform(-2.5, -0.5, B8).astype(np.float32)
+    y8 = amp[:, None] * np.exp(rate[:, None] * t8v[None, :])
+    data8 = (jnp.asarray(np.tile(t8v, (B8, 1))), jnp.asarray(y8))
+
+    def resid8(p, d):
+        tt, yy = d
+        return p[..., 0:1] * jnp.exp(p[..., 1:2] * tt) - yy
+
+    X8 = jnp.tile(jnp.asarray([1.0, 0.0], jnp.float32), (B8, 1))
+    t, res = timed(
+        lambda X: qnm.least_squares(resid8, X, data=data8, tol=1e-3), X8)
+    conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
+    emit("lm_expfit_fleet_4096x2", t, {
+        "solves_per_sec": round(B8 / t, 1), "converged": conv})
+
+    # 9. Trust-region fleet on the stiff quadratic (the geometry secant
+    # methods cannot certify at f32 — round 4)
+    N9, B9 = 256, 1024
+    Q9, _ = np.linalg.qr(RNG.standard_normal((N9, N9)))
+    A9 = jnp.asarray(((Q9 * np.geomspace(1.0, 1e4, N9)) @ Q9.T)
+                     .astype(np.float32))
+    b9 = jnp.asarray(RNG.standard_normal(N9).astype(np.float32))
+
+    def quad9(x):
+        return -0.5 * x @ (A9 @ x) + b9 @ x
+
+    X9 = jnp.asarray(RNG.standard_normal((B9, N9)).astype(np.float32))
+    t, res = timed(
+        lambda X: qnm.optimize_tr(quad9, X, tol=1e-3, max_cg=256), X9)
+    conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
+    emit("tr_stiff_quad_1024x256", t, {
+        "solves_per_sec": round(B9 / t, 1), "converged": conv})
+
+    # 10. SVGD particle fleet (round 4): 300 Stein steps at B=4096, n=60
+    A10 = RNG.standard_normal((60, 60)).astype(np.float32) * 0.3
+    prec10 = jnp.asarray(np.linalg.inv(A10 @ A10.T + np.eye(60, dtype=np.float32)))
+
+    def gauss10(x):
+        return -0.5 * x @ (prec10 @ x)
+
+    X10 = jnp.asarray((RNG.standard_normal((4096, 60)) * 2.0)
+                      .astype(np.float32))
+    t, res = timed(
+        lambda X: qnm.svgd_sample(gauss10, X, n_steps=300), X10)
+    emit("svgd_4096x60_300steps", t, {
+        "particle_steps_per_sec": round(4096 * 300 / t, 1)})
+
 
 if __name__ == "__main__":
     main()
