@@ -114,8 +114,8 @@ def _make_fleet_fns(obj, value_and_grad_fn):
 
 
 def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol,
-                 free=None, want_hp=True):
-    """Batched Steihaug-Toint truncated CG.
+                 free=None, want_hp=True, Mdiag=None):
+    """Batched Steihaug-Toint truncated CG (optionally preconditioned).
 
     Returns (p, Hp, iters_used, hit_boundary). Frozen/converged lanes
     idle behind the ``active`` mask (their p stays 0). Hp comes from one
@@ -129,6 +129,17 @@ def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol,
     supported on free coordinates and blocked coordinates get an
     exactly-zero step (the projected-TR analog of the LM engine's
     masked normal equations).
+
+    ``Mdiag`` (positive, (B, n)) turns this into PRECONDITIONED
+    Steihaug-CG (Conn–Gould–Toint Alg. 7.5.1 shape): z = M⁻¹r drives
+    the search directions and the trust region lives in the M-norm
+    ‖p‖_M = √(pᵀMp) — equivalent to plain Steihaug on the
+    diagonally-rescaled variables M^{1/2}x, so a good diagonal collapses
+    the inner iteration count on stiff (badly row-scaled) Hessians.
+    The CG STOP test stays on the true residual ‖r‖₂ ≤ η‖g‖₂ (the
+    Eisenstat–Walker forcing must measure the actual Newton residual,
+    not the preconditioned one). ``Mdiag=None`` is bitwise the
+    unpreconditioned path.
     """
     dtype = x.dtype
     B, n = x.shape
@@ -140,34 +151,41 @@ def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol,
         hvp_inner = hvp_fleet
         hvp_fleet = lambda xx, vv: hvp_inner(xx, vv) * fm
 
+    if Mdiag is None:
+        apply_minv = lambda r: r
+        wdot = lambda a, b: jnp.sum(a * b, axis=-1)
+    else:
+        apply_minv = lambda r: r / Mdiag
+        wdot = lambda a, b: jnp.sum(Mdiag * a * b, axis=-1)
+
     gnorm = jnp.linalg.norm(g, axis=-1)
     # Eisenstat–Walker forcing: loose early, sharp near the solution
     eta = cg_tol * jnp.minimum(0.5, jnp.sqrt(jnp.maximum(gnorm, tiny)))
     r_stop = eta * gnorm
 
     def boundary_tau(p, d, pp, dd):
-        # positive root of ‖p + τd‖² = Δ² (dd > 0 whenever called with an
-        # active direction; tiny-guarded for masked lanes)
-        pd = jnp.sum(p * d, axis=-1)
+        # positive root of ‖p + τd‖_M² = Δ² (dd > 0 whenever called with
+        # an active direction; tiny-guarded for masked lanes)
+        pd = wdot(p, d)
         disc = pd * pd + jnp.maximum(dd, tiny) * (delta * delta - pp)
         return (-pd + jnp.sqrt(jnp.maximum(disc, 0.0))) / jnp.maximum(dd, tiny)
 
     def cond(c):
-        p, r, d, rtr, cg_act, j = c
+        p, r, d, rz, cg_act, j = c
         return (j < max_cg) & jnp.any(cg_act)
 
     def body(c):
-        p, r, d, rtr, cg_act, j = c
+        p, r, d, rz, cg_act, j = c
         Hd = hvp_fleet(x, d)
         dHd = jnp.sum(d * Hd, axis=-1)
-        pp = jnp.sum(p * p, axis=-1)
+        pp = wdot(p, p)
 
         neg_curv = dHd <= 0.0
-        alpha = rtr / jnp.where(neg_curv, 1.0, jnp.maximum(dHd, tiny))
+        alpha = rz / jnp.where(neg_curv, 1.0, jnp.maximum(dHd, tiny))
         p_int = p + alpha[:, None] * d
-        leaves = jnp.sum(p_int * p_int, axis=-1) > delta * delta
+        leaves = wdot(p_int, p_int) > delta * delta
 
-        tau = boundary_tau(p, d, pp, jnp.sum(d * d, axis=-1))
+        tau = boundary_tau(p, d, pp, wdot(d, d))
         p_bnd = p + tau[:, None] * d
 
         to_boundary = cg_act & (neg_curv | leaves)
@@ -176,27 +194,67 @@ def _steihaug_cg(hvp_fleet, x, g, delta, active, max_cg, cg_tol,
         p_new = jnp.where(to_boundary[:, None], p_bnd,
                           jnp.where(step_in[:, None], p_int, p))
         r_new = jnp.where(step_in[:, None], r + alpha[:, None] * Hd, r)
-        rtr_new = jnp.where(step_in, jnp.sum(r_new * r_new, axis=-1), rtr)
+        z_new = apply_minv(r_new)
+        rz_new = jnp.where(step_in, jnp.sum(r_new * z_new, axis=-1), rz)
 
-        small = jnp.sqrt(rtr_new) <= r_stop
+        small = jnp.sqrt(jnp.sum(r_new * r_new, axis=-1)) <= r_stop
         cg_act_new = cg_act & ~to_boundary & ~small
-        beta = rtr_new / jnp.maximum(rtr, tiny)
-        d_new = jnp.where(cg_act_new[:, None], -r_new + beta[:, None] * d, d)
-        return p_new, r_new, d_new, rtr_new, cg_act_new, j + 1
+        beta = rz_new / jnp.maximum(rz, tiny)
+        d_new = jnp.where(cg_act_new[:, None], -z_new + beta[:, None] * d, d)
+        return p_new, r_new, d_new, rz_new, cg_act_new, j + 1
 
     p0 = jnp.zeros_like(x)
     r0 = g
-    rtr0 = jnp.sum(r0 * r0, axis=-1)
+    z0 = apply_minv(r0)
+    rz0 = jnp.sum(r0 * z0, axis=-1)
     # lanes already within tolerance at p=0 never enter CG
-    cg_act0 = active & (jnp.sqrt(rtr0) > r_stop)
-    init = (p0, r0, -r0, rtr0, cg_act0, jnp.zeros((), jnp.int32))
-    p, r, d, rtr, cg_act, j = lax.while_loop(cond, body, init)
+    cg_act0 = active & (jnp.sqrt(jnp.sum(r0 * r0, axis=-1)) > r_stop)
+    init = (p0, r0, -z0, rz0, cg_act0, jnp.zeros((), jnp.int32))
+    p, r, d, rz, cg_act, j = lax.while_loop(cond, body, init)
 
     # want_hp=False lets the bounded caller skip this sweep: it clips the
     # step and needs H·(clipped p) instead, so this Hp would be discarded
     Hp = hvp_fleet(x, p) if want_hp else None
-    hit_boundary = jnp.sum(p * p, axis=-1) >= (1.0 - 1e-6) * delta * delta
+    hit_boundary = wdot(p, p) >= (1.0 - 1e-6) * delta * delta
     return p, Hp, j, hit_boundary
+
+
+_HUTCHINSON_SEED = 0x7452  # arbitrary fixed stream, folded with max(k)
+
+
+def _jacobi_diag(hvp_fleet, x, k, probes):
+    """Hutchinson diagonal estimate of the (minimization) Hessian at x,
+    guarded into a positive Jacobi preconditioner.
+
+    diag(H) ≈ mean_j v_j ⊙ (H v_j) over Rademacher probes — EXACT (any
+    single probe) when H is diagonal, variance ∝ off-diagonal row mass
+    otherwise (Bekas–Kokiopoulou–Saad 2007). Probes are drawn (n,) and
+    broadcast across lanes, so a fleet lane sees the same probe sequence
+    as a solo solve (fleet-vs-solo trajectory parity is preserved), and
+    the key is folded with the fleet's max iteration count — carried in
+    TRState — so chunked resume replays the exact probe an uninterrupted
+    run would have drawn. |·| + a per-lane relative floor make the
+    scaling positive even where the true diagonal is ≤ 0 (indefinite
+    regions): there the preconditioner is just a benign rescale and
+    Steihaug's negative-curvature exit still does the real work.
+    """
+    dtype = x.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(_HUTCHINSON_SEED), jnp.max(k)
+    )
+    est = jnp.zeros_like(x)
+    for jp in range(probes):
+        v1 = jax.random.rademacher(
+            jax.random.fold_in(key, jp), (x.shape[-1],), dtype
+        )
+        v = jnp.broadcast_to(v1, x.shape)
+        est = est + v * hvp_fleet(x, v)
+    d_abs = jnp.abs(est) / probes
+    floor = jnp.maximum(
+        1e-6 * jnp.max(d_abs, axis=-1, keepdims=True), tiny
+    )
+    return jnp.maximum(d_abs, floor)
 
 
 def _tr_cond(max_iterations):
@@ -216,15 +274,34 @@ def _tr_body(
     cg_tol,
     delta_max,
     eta_accept,
+    precond_mode,
+    precond_probes,
+    precond_diag,
     s: TRState,
 ) -> TRState:
     dtype = s.x.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     active = s.status == Status.RUNNING
 
+    # diagonal preconditioner for this iteration (None = plain CG);
+    # 'jacobi' re-estimates at the current iterate so the scaling tracks
+    # the local Hessian (probes are extra HVPs, counted in n_hev)
+    if precond_mode == "none":
+        Mdiag = None
+        probe_hev = 0
+    elif precond_mode == "fixed":
+        Mdiag = jnp.broadcast_to(
+            jnp.asarray(precond_diag, dtype), s.x.shape
+        )
+        probe_hev = 0
+    else:  # jacobi
+        Mdiag = _jacobi_diag(hvp_fleet, s.x, s.k, precond_probes)
+        probe_hev = precond_probes
+
     if bounds is None:
         p, Hp, cg_iters, hit_bnd = _steihaug_cg(
-            hvp_fleet, s.x, s.g, s.delta, active, max_cg, cg_tol
+            hvp_fleet, s.x, s.g, s.delta, active, max_cg, cg_tol,
+            Mdiag=Mdiag,
         )
         x_t = s.x + p
         # predicted decrease of the quadratic model: −(g·p + ½ pᵀHp) ≥ 0
@@ -240,7 +317,7 @@ def _tr_body(
         blocked = ((s.x <= lo) & (s.g > 0)) | ((s.x >= hi) & (s.g < 0))
         p, _, cg_iters, hit_bnd = _steihaug_cg(
             hvp_fleet, s.x, s.g, s.delta, active, max_cg, cg_tol,
-            free=~blocked, want_hp=False,
+            free=~blocked, want_hp=False, Mdiag=Mdiag,
         )
         # free coordinates may legitimately hit a face mid-step: clip,
         # then score the quadratic model along the step ACTUALLY taken
@@ -251,7 +328,12 @@ def _tr_body(
         pred = -(jnp.sum(s.g * p, axis=-1)
                  + 0.5 * jnp.sum(p * Hp, axis=-1))
         extra_hev = 1
-    pnorm = jnp.linalg.norm(p, axis=-1)
+    # the radius lives in the trust-region norm: M-norm when
+    # preconditioned (the rescaled-variable Euclidean norm), ‖·‖₂ plain
+    if Mdiag is None:
+        pnorm = jnp.linalg.norm(p, axis=-1)
+    else:
+        pnorm = jnp.sqrt(jnp.sum(Mdiag * p * p, axis=-1))
 
     f_t, g_t = vag_fleet(x_t)
     trial_ok = jnp.isfinite(f_t) & jnp.all(jnp.isfinite(g_t), axis=-1)
@@ -326,7 +408,9 @@ def _tr_body(
         k=k_new,
         status=status_new,
         n_fev=jnp.where(active, s.n_fev + 1, s.n_fev),
-        n_hev=jnp.where(active, s.n_hev + cg_iters + extra_hev, s.n_hev),
+        n_hev=jnp.where(
+            active, s.n_hev + cg_iters + extra_hev + probe_hev, s.n_hev
+        ),
         stall=jnp.where(active, stall_new, s.stall),
     )
 
@@ -375,6 +459,33 @@ def _result_from_state(s: TRState, squeeze: bool) -> TRResult:
     return r
 
 
+def _resolve_precondition(precondition, n):
+    """(mode, diag) from the public ``precondition=`` knob.
+
+    None → plain CG; 'jacobi' → per-iteration Hutchinson diagonal;
+    an array → a FIXED positive diagonal scaling (shape broadcastable
+    to (n,) or the fleet's (B, n)), validated eagerly.
+    """
+    if precondition is None:
+        return "none", None
+    if isinstance(precondition, str):
+        if precondition != "jacobi":
+            raise ValueError(
+                "precondition must be None, 'jacobi', or a positive "
+                f"diagonal array, got {precondition!r}"
+            )
+        return "jacobi", None
+    diag = jnp.asarray(precondition)
+    if diag.shape[-1] != n:
+        raise ValueError(
+            f"precondition diagonal last axis must be n={n}, "
+            f"got shape {diag.shape}"
+        )
+    if not bool(jnp.all(jnp.isfinite(diag) & (diag > 0))):
+        raise ValueError("precondition diagonal must be finite and > 0")
+    return "fixed", diag
+
+
 @partial(
     jax.jit,
     static_argnums=(0,),
@@ -387,6 +498,8 @@ def _result_from_state(s: TRState, squeeze: bool) -> TRResult:
         "delta0",
         "delta_max",
         "eta_accept",
+        "precond_mode",
+        "precond_probes",
         "_squeeze",
     ),
 )
@@ -394,6 +507,7 @@ def _optimize_tr_impl(
     obj,
     X0,
     bounds,
+    precond_diag,
     value_and_grad_fn,
     tol,
     max_iterations,
@@ -402,6 +516,8 @@ def _optimize_tr_impl(
     delta0,
     delta_max,
     eta_accept,
+    precond_mode,
+    precond_probes,
     _squeeze,
 ):
     vag_fleet, hvp_fleet = _make_fleet_fns(obj, value_and_grad_fn)
@@ -419,6 +535,7 @@ def _optimize_tr_impl(
     body = partial(
         _tr_body, vag_fleet, hvp_fleet, bounds, tol, max_iterations,
         max_cg, cg_tol, delta_max, eta_accept,
+        precond_mode, precond_probes, precond_diag,
     )
     s = lax.while_loop(_tr_cond(max_iterations), body, s0)
     return _result_from_state(s, _squeeze)
@@ -436,6 +553,8 @@ def optimize_tr(
     delta0: float = 1.0,
     delta_max: float = 1e6,
     eta_accept: float = 1e-4,
+    precondition: Optional[Any] = None,
+    precond_probes: int = 2,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> TRResult:
     """Maximize a logdensity by trust-region Newton–Krylov (Steihaug-CG).
@@ -476,6 +595,20 @@ def optimize_tr(
     certificate floor documented for `least_squares` (f64 resolves
     decreases only to free-gradient ~sqrt(eps·|f*|) when the bounded
     optimum has |f*| > 0) applies here identically.
+
+    Preconditioning: ``precondition='jacobi'`` runs PRECONDITIONED
+    Steihaug-CG with a per-iteration Hutchinson estimate of |diag(H)|
+    (``precond_probes`` extra HVPs per outer iteration, counted in
+    ``n_hev``; exact when H is diagonal) — the right knob for stiff /
+    badly row-scaled problems, where plain CG needs ~√cond inner
+    iterations and Jacobi collapses that to O(1). Passing a positive
+    array (broadcastable to (n,) or the fleet's (B, n)) uses that FIXED
+    diagonal instead (zero probe cost — e.g. a known Hessian diagonal
+    or an L-BFGS diag estimate). The trust region then lives in the
+    M-norm (equivalently: plain TR on the rescaled variables
+    M^{1/2}x), so ``delta0``/``delta_max`` are in rescaled units.
+    Probes are deterministic (keyed off the iteration count carried in
+    TRState), so chunked resume and fleet-vs-solo parity both hold.
     """
     X0 = jnp.asarray(x0)
     if X0.ndim not in (1, 2):
@@ -492,10 +625,14 @@ def optimize_tr(
         raise ValueError(f"max_cg must be >= 1, got {max_cg}")
     if not float(delta0) > 0.0:
         raise ValueError(f"delta0 must be > 0, got {delta0}")
+    if precond_probes < 1:
+        raise ValueError(f"precond_probes must be >= 1, got {precond_probes}")
+    precond_mode, precond_diag = _resolve_precondition(precondition, n)
     return _optimize_tr_impl(
         obj,
         X0,
         _check_bounds(bounds, X0),
+        precond_diag,
         value_and_grad_fn=value_and_grad_fn,
         tol=float(tol),
         max_iterations=int(max_iterations),
@@ -504,6 +641,8 @@ def optimize_tr(
         delta0=float(delta0),
         delta_max=float(delta_max),
         eta_accept=float(eta_accept),
+        precond_mode=precond_mode,
+        precond_probes=int(precond_probes),
         _squeeze=squeeze,
     )
 
@@ -519,6 +658,8 @@ def optimize_tr(
         "cg_tol",
         "delta_max",
         "eta_accept",
+        "precond_mode",
+        "precond_probes",
         "_squeeze",
     ),
 )
@@ -526,6 +667,7 @@ def _optimize_tr_resume_impl(
     obj,
     state,
     bounds,
+    precond_diag,
     value_and_grad_fn,
     tol,
     max_iterations,
@@ -533,6 +675,8 @@ def _optimize_tr_resume_impl(
     cg_tol,
     delta_max,
     eta_accept,
+    precond_mode,
+    precond_probes,
     _squeeze,
 ):
     vag_fleet, hvp_fleet = _make_fleet_fns(obj, value_and_grad_fn)
@@ -549,6 +693,7 @@ def _optimize_tr_resume_impl(
     body = partial(
         _tr_body, vag_fleet, hvp_fleet, bounds, tol, max_iterations,
         max_cg, cg_tol, delta_max, eta_accept,
+        precond_mode, precond_probes, precond_diag,
     )
     s = lax.while_loop(_tr_cond(max_iterations), body, state)
     return _result_from_state(s, _squeeze)
@@ -565,6 +710,8 @@ def optimize_tr_from_state(
     cg_tol: float = 1.0,
     delta_max: float = 1e6,
     eta_accept: float = 1e-4,
+    precondition: Optional[Any] = None,
+    precond_probes: int = 2,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> TRResult:
     """Resume a trust-region solve from a checkpointed `TRState`.
@@ -572,13 +719,16 @@ def optimize_tr_from_state(
     ``max_iterations`` is the LIFETIME cap (state.k counts across legs);
     chunked resume reproduces the long run exactly — the carried
     (fun, g, Δ, stall) make the first resumed iteration bitwise the one
-    the uninterrupted run would have taken. Solver geometry knobs
-    (max_cg, cg_tol, AND bounds) must match the original call (same
-    must-match contract as `least_squares_from_state`'s
-    loss/f_scale/bounds).
+    the uninterrupted run would have taken (for ``precondition='jacobi'``
+    the Hutchinson probes replay too: they are keyed off the carried
+    iteration count). Solver geometry knobs (max_cg, cg_tol, bounds, AND
+    precondition) must match the original call (same must-match contract
+    as `least_squares_from_state`'s loss/f_scale/bounds).
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    if precond_probes < 1:
+        raise ValueError(f"precond_probes must be >= 1, got {precond_probes}")
     # a rank-1 (single-solve) result's state was squeezed: re-batch it
     # (the same re-batching least_squares_from_state does)
     squeeze = state.x.ndim == 1
@@ -587,10 +737,12 @@ def optimize_tr_from_state(
     n = state.x.shape[-1]
     if max_cg is None:
         max_cg = min(n, 64)
+    precond_mode, precond_diag = _resolve_precondition(precondition, n)
     return _optimize_tr_resume_impl(
         obj,
         state,
         _check_bounds(bounds, state.x),
+        precond_diag,
         value_and_grad_fn=value_and_grad_fn,
         tol=float(tol),
         max_iterations=int(max_iterations),
@@ -598,5 +750,7 @@ def optimize_tr_from_state(
         cg_tol=float(cg_tol),
         delta_max=float(delta_max),
         eta_accept=float(eta_accept),
+        precond_mode=precond_mode,
+        precond_probes=int(precond_probes),
         _squeeze=squeeze,
     )

@@ -343,3 +343,120 @@ def test_pipeline_lm_result_sign_consistency():
     np.testing.assert_allclose(
         np.asarray(mr.grad)[np.argmax(ok)], g_expected, atol=1e-10
     )
+
+
+# ---------------------------------------------------------------------------
+# preconditioned Steihaug-CG (precondition='jacobi' | fixed diagonal)
+
+
+def test_precondition_jacobi_slashes_hvps_on_stiff_quadratic():
+    # the geometry the knob is FOR: plain CG needs ~sqrt(cond) inner
+    # iterations per outer solve, Jacobi collapses that to O(1); on a
+    # DIAGONAL Hessian the Hutchinson estimate is exact from one probe
+    obj, _ = _quad(256, kappa=1e4)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(256))
+    plain = qnm.optimize_tr(obj, x0, tol=1e-8)
+    jac = qnm.optimize_tr(obj, x0, tol=1e-8, precondition="jacobi")
+    assert int(plain.status) == qnm.Status.CONVERGED
+    assert int(jac.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(jac.x), 0.0, atol=1e-10)
+    # measured on this fixture: 1475 -> 40 HVPs; bar kept loose (>= 5x)
+    assert int(jac.n_hev) * 5 < int(plain.n_hev)
+
+
+def test_precondition_fixed_diagonal_exact_scaling():
+    obj, d = _quad(128, kappa=1e4)
+    x0 = jnp.asarray(np.random.default_rng(1).standard_normal(128))
+    res = qnm.optimize_tr(obj, x0, tol=1e-8, precondition=d)
+    assert int(res.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), 0.0, atol=1e-12)
+    # exact scaling => rescaled Hessian is the identity: CG needs one
+    # direction per outer iteration and the iteration count is tiny
+    assert int(res.n_hev) <= 3 * int(res.iterations)
+
+
+def test_precondition_jacobi_reference_parity_bars():
+    # the knob must not break the reference's quality bar on its own
+    # fixture (off-diagonal Hessian: Jacobi is a rescale, not a win)
+    x0 = jnp.asarray(np.random.default_rng(7).standard_normal(12))
+    res = qnm.optimize_tr(
+        rosenbrock_logdensity, x0, precondition="jacobi"
+    )
+    assert int(res.status) == qnm.Status.CONVERGED
+    assert abs(float(res.fun)) < 2 * EPS64
+    assert float(jnp.max(jnp.abs(res.grad))) < 1e-8
+
+
+def test_precondition_jacobi_fleet_matches_solo():
+    # probes are drawn (n,) and broadcast across lanes, keyed off the
+    # fleet-max iteration count, so lane i replays the solo trajectory
+    X0 = jnp.asarray(np.random.default_rng(5).standard_normal((4, 8)))
+    fleet = qnm.optimize_tr(
+        rosenbrock_logdensity, X0, precondition="jacobi"
+    )
+    for i in range(4):
+        solo = qnm.optimize_tr(
+            rosenbrock_logdensity, X0[i], precondition="jacobi"
+        )
+        np.testing.assert_allclose(
+            np.asarray(fleet.x[i]), np.asarray(solo.x), atol=1e-9
+        )
+        assert int(fleet.iterations[i]) == int(solo.iterations)
+
+
+def test_precondition_jacobi_resume_chunked_equals_long():
+    # probe determinism through the carried iteration count: a resumed
+    # leg must draw the exact probes the uninterrupted run would have
+    x0 = jnp.asarray(np.random.default_rng(9).standard_normal(8))
+    long = qnm.optimize_tr(
+        rosenbrock_logdensity, x0, precondition="jacobi"
+    )
+    leg1 = qnm.optimize_tr(
+        rosenbrock_logdensity, x0, precondition="jacobi", max_iterations=6
+    )
+    leg2 = qnm.optimize_tr_from_state(
+        rosenbrock_logdensity, leg1.state, precondition="jacobi"
+    )
+    assert bool(jnp.all(leg2.x == long.x))
+    assert int(leg2.iterations) == int(long.iterations)
+    assert int(leg2.n_hev) == int(long.n_hev)
+
+
+def test_precondition_bounded_composition():
+    # free-subspace CG + M-norm radius together: blocked coordinates get
+    # an exactly-zero step and the KKT certificate fires
+    n = 32
+    d = jnp.asarray(np.geomspace(1.0, 1e3, n))
+
+    def obj(x):
+        return -0.5 * jnp.sum(d * (x - 2.0) ** 2)
+
+    lo = -jnp.ones(n)
+    hi = jnp.where(jnp.arange(n) % 2 == 0, 1.0, 3.0)
+    res = qnm.optimize_tr(
+        obj, jnp.zeros(n), bounds=(lo, hi), tol=1e-8,
+        precondition="jacobi",
+    )
+    expected = jnp.where(jnp.arange(n) % 2 == 0, 1.0, 2.0)
+    assert int(res.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(expected),
+                               atol=1e-9)
+
+
+def test_precondition_misuse_probes():
+    x0 = jnp.zeros(8)
+    with pytest.raises(ValueError, match="precondition"):
+        qnm.optimize_tr(rosenbrock_logdensity, x0, precondition="nope")
+    with pytest.raises(ValueError, match="finite and > 0"):
+        qnm.optimize_tr(
+            rosenbrock_logdensity, x0, precondition=-jnp.ones(8)
+        )
+    with pytest.raises(ValueError, match="last axis"):
+        qnm.optimize_tr(
+            rosenbrock_logdensity, x0, precondition=jnp.ones(4)
+        )
+    with pytest.raises(ValueError, match="precond_probes"):
+        qnm.optimize_tr(
+            rosenbrock_logdensity, x0, precondition="jacobi",
+            precond_probes=0,
+        )
