@@ -320,6 +320,26 @@ def test_optimize_tr_sharded_matches_unsharded(rng):
         optimize_tr_sharded(rosenbrock_logdensity, jnp.zeros((12, 4)), mesh)
 
 
+def test_optimize_tr_sharded_preconditioned_matches_unsharded(rng):
+    # the Hutchinson probe is a replicated (n,) draw broadcast into the
+    # lane-sharded fleet and the PCG dots become all-reduces — parity
+    # must hold including the HVP count (probes included)
+    from quasinewtonmethods_jl_tpu.parallel import optimize_tr_sharded
+
+    n = 8
+    d = jnp.asarray(np.geomspace(1.0, 1e3, n))
+    obj = lambda x: -0.5 * jnp.sum(d * x * x)
+    X0 = jnp.asarray(rng.standard_normal((16, n)))
+    mesh = make_mesh({"data": 8})
+    r_sh = optimize_tr_sharded(obj, X0, mesh, precondition="jacobi")
+    r_un = qnm.optimize_tr(obj, X0, precondition="jacobi")
+    assert np.all(np.asarray(r_sh.status) == qnm.Status.CONVERGED)
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_un.x),
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(r_sh.n_hev),
+                                  np.asarray(r_un.n_hev))
+
+
 def test_optimize_tr_model_sharded_matches_unsharded(rng):
     from quasinewtonmethods_jl_tpu.parallel import optimize_tr_model_sharded
 
