@@ -45,6 +45,12 @@ from .trust_region import (
     optimize_tr,
     optimize_tr_from_state,
 )
+from .cg_solve import (
+    CGResult,
+    CGState,
+    optimize_cg,
+    optimize_cg_from_state,
+)
 from .svgd import (
     SVGDResult,
     SVGDState,
@@ -213,6 +219,10 @@ __all__ = [
     "TRState",
     "optimize_tr",
     "optimize_tr_from_state",
+    "CGResult",
+    "CGState",
+    "optimize_cg",
+    "optimize_cg_from_state",
     "SVGDResult",
     "SVGDState",
     "svgd_sample",

@@ -294,23 +294,43 @@ def _batched_wolfe(phi_vag, f0, m, active, ls, dtype, with_grad=False):
         curv = c.sa <= c2 * m
         return armijo, curv
 
+    def accepts(c: _WLSCarry):
+        armijo, curv = conds(c)
+        ok = armijo & curv
+        if ls.approx:
+            # Hager–Zhang approximate Wolfe (per-lane; see ops/wolfe.py)
+            aw = (
+                (c.sa >= (2.0 * c1 - 1.0) * m)
+                & curv
+                & (c.fa >= f0 - ls.approx_eps * jnp.abs(f0))
+            )
+            ok = ok | aw
+        return ok
+
     doomed = ~(jnp.isfinite(m) & jnp.isfinite(f0))
 
     def lane_mask(c: _WLSCarry):
-        armijo, curv = conds(c)
-        return active & ~doomed & ~(armijo & curv) & (c.it < ls.iterations)
+        return active & ~doomed & ~accepts(c) & (c.it < ls.iterations)
 
     def cond(c: _WLSCarry):
         return jnp.any(lane_mask(c))
 
     def body(c: _WLSCarry):
         lane = lane_mask(c)
-        armijo, _curv = conds(c)
-        shrink = lane & ~armijo
+        if ls.approx:
+            # Hager–Zhang slope-driven interval update — see ops/wolfe.py
+            # for the derivation and the measured endgame failure of the
+            # Armijo-driven rule at the fp resolution floor
+            bar = f0 - ls.approx_eps * jnp.abs(f0)
+            bad = ~(jnp.isfinite(c.fa) & jnp.isfinite(c.sa))
+            shrink = lane & ((c.sa <= 0.0) | (c.fa < bar) | bad)
+        else:
+            armijo, _curv = conds(c)
+            shrink = lane & ~armijo
         hi = jnp.where(shrink, c.a, c.hi)
         fhi = jnp.where(shrink, c.fa, c.fhi)
         shi = jnp.where(shrink, c.sa, c.shi)
-        growlo = lane & armijo
+        growlo = lane & ~shrink
         lo = jnp.where(growlo, c.a, c.lo)
         flo = jnp.where(growlo, c.fa, c.flo)
         slo = jnp.where(growlo, c.sa, c.slo)
@@ -343,8 +363,7 @@ def _batched_wolfe(phi_vag, f0, m, active, ls, dtype, with_grad=False):
         n_ev=active.astype(jnp.int32),
     )
     fc = lax.while_loop(cond, body, init)
-    armijo, curv = conds(fc)
-    ok = armijo & curv
+    ok = accepts(fc)
     alpha = jnp.where(active & ok, fc.a, jnp.zeros((), dtype))
     failed = active & (alpha == 0.0)
     return alpha, fc.n_ev, fc.it, failed, fc.fa, fc.Ga

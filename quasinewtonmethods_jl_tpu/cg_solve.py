@@ -1,0 +1,517 @@
+"""Nonlinear conjugate-gradient fleet engine (memoryless quasi-Newton).
+
+The lightest member of the optimizer family: where BFGS carries an (n, n)
+inverse Hessian (reference src/QuasiNewtonMethods.jl:34-69), L-BFGS an
+(m, n) pair ring, and the trust-region engine touches curvature through
+HVPs, nonlinear CG carries exactly ONE extra (n,) vector — the previous
+search direction. Hager–Zhang CG is equivalent to memoryless BFGS under
+exact line search, which is why it belongs in a package of quasi-Newton
+methods: it is the m = 0 end of the L-BFGS memory spectrum.
+
+Why it earns a slot on TPU (the HBM-bandwidth argument): at very large n
+the L-BFGS fleet iteration is ring-bandwidth-bound — ~5-7 passes over the
+(m, n, batch) rings (measured, see lbfgs_batched_solve.py) — while a CG
+iteration is a handful of (n, batch) elementwise passes plus the line
+search's gradient evaluations. When the objective's value_and_grad is
+itself cheap (elementwise / fused matvec), CG's per-iteration HBM traffic
+is ~m× lower; the trade is more outer iterations (no curvature memory),
+so which engine wins is a measured, problem-dependent call — see
+STATUS.md for the chip numbers.
+
+TPU-first shape, same as every engine here (SURVEY.md §3): one
+masked-lockstep `lax.while_loop` over the whole fleet (the round-2
+lesson — never vmap a data-dependent while), lane-minor (n, batch)
+layout, static shapes, elementwise β/restart control. Library-wide
+contracts hold: maximization convention (``obj`` is a logdensity),
+Status codes, ``fun`` NaN on ANY failure with the iterate frozen at the
+last good point, α = 0 line-search sentinel, chunked resume == one long
+run, checkpointable state.
+
+β formulas (maximization form — derived by running the textbook
+minimization formulas on F = −obj, whose gradient is −g; the repo-wide
+pair convention y = g_old − g IS the minimization y_F = ∇F − ∇F_old):
+
+    FR:  β = g·g / g_old·g_old                      (Fletcher–Reeves)
+    PR+: β = max(0, g·(g − g_old) / g_old·g_old)    (Polak–Ribière+)
+    DY:  β = g·g / d·y                              (Dai–Yuan)
+    HZ:  β = max( (2 (d·g)(y·y)/(d·y) − y·g) / (d·y),
+                  −1 / (‖d‖ min(0.01, ‖g_old‖)) )   (Hager–Zhang, with
+                  the CG_DESCENT lower truncation that guarantees the
+                  ascent property under Wolfe searches)
+
+Default 'hz' with the weak-Wolfe search (ops/wolfe.py) — CG's β quality
+depends on the curvature condition holding, which backtracking does not
+test. Any non-ascent direction (d·g ≤ 0, NaN β, first iteration) resets
+in-band to steepest ascent; 'fr'/'pr' additionally take the classic
+Powell restart when |g·g_old| > ν g·g (default ν = 0.2 — conjugacy lost).
+
+Line-search warm start: the step along d is pre-scaled by
+t = α_prev · m_prev / m (first-order match with the previous accepted
+step, Nocedal & Wright eq. 3.60) so the shared Wolfe/backtracking
+searches can keep their fixed α = 1 start — the scale rides the
+direction, acceptance conditions are invariant under (d, α) → (t·d, α/t).
+Without this, unit steps along raw gradients make CG uncompetitive on
+badly scaled problems (BFGS gets its natural α = 1 from B; CG has no B).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .api import as_value_and_grad, as_value_fn
+from .batched_solve import _batched_linesearch, _batched_wolfe
+from .ops.linesearch import BackTracking
+from .ops.wolfe import Wolfe
+from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT
+from .state import Status
+
+__all__ = ["CGResult", "CGState", "optimize_cg", "optimize_cg_from_state"]
+
+_CG_METHODS = ("hz", "pr", "fr", "dy")
+
+
+class CGState(NamedTuple):
+    """Nonlinear-CG solver state (resumable / checkpointable).
+
+    Every leaf has a leading (batch,) axis (rank-1 solves are stored as a
+    batch of one). (fun, grad) hold the objective's evaluation at ``x``;
+    ``d`` is the last search direction actually used (post-reset), and
+    (m_prev, t_prev) are the directional derivative and effective step of
+    the last accepted step — the warm-start pair. m_prev == 0 marks a
+    lane that has never stepped (fresh → steepest ascent)."""
+
+    x: jax.Array  # (B, n) iterate
+    grad: jax.Array  # (B, n) ∇obj at x
+    grad_old: jax.Array  # (B, n) gradient at the previous iterate
+    d: jax.Array  # (B, n) previous search direction
+    m_prev: jax.Array  # (B,) previous d·g (0 = never stepped)
+    t_prev: jax.Array  # (B,) previous accepted effective step α·t
+    fun: jax.Array  # (B,) objective at x
+    k: jax.Array  # (B,) int32 lifetime iterations
+    status: jax.Array  # (B,) int32 Status
+    n_fev: jax.Array  # (B,) int32
+    n_gev: jax.Array  # (B,) int32
+    n_resets: jax.Array  # (B,) int32 steepest restarts (incl. Powell)
+    stall: jax.Array  # (B,) int32 consecutive non-improving iterations
+
+
+class CGResult(NamedTuple):
+    """Nonlinear-CG result — the library-wide in-band contract: ``fun`` is
+    the maximized logdensity on convergence and NaN on ANY failure path;
+    ``last_value`` is the final value regardless of status."""
+
+    x: jax.Array
+    fun: jax.Array
+    grad: jax.Array
+    status: jax.Array
+    iterations: jax.Array
+    n_fev: jax.Array
+    n_gev: jax.Array
+    n_resets: jax.Array
+    last_value: jax.Array
+    state: CGState
+
+    @property
+    def converged(self) -> jax.Array:
+        return self.status == Status.CONVERGED
+
+
+class _CGCarry(NamedTuple):
+    X: jax.Array  # (n, batch)
+    G: jax.Array  # (n, batch) latest evaluated gradient
+    G_old: jax.Array  # (n, batch)
+    D: jax.Array  # (n, batch)
+    m_prev: jax.Array  # (batch,)
+    t_prev: jax.Array  # (batch,)
+    fun: jax.Array  # (batch,)
+    k: jax.Array  # ()
+    status: jax.Array  # (batch,) int32
+    iterations: jax.Array
+    n_fev: jax.Array
+    n_gev: jax.Array
+    n_resets: jax.Array
+    stall: jax.Array
+
+
+def _cg_beta(method: str, g, G_old, D, restart_nu: float):
+    """(β, forced-restart mask) for the configured formula — all reductions
+    are (batch,)-shaped axis-0 sums over the lane-minor (n, batch) layout.
+    Division guards are by construction: a zero/NaN denominator produces a
+    non-finite β, the resulting direction fails the ascent test, and the
+    in-band steepest reset catches it — no special-casing in the body."""
+    gg = jnp.sum(g * g, axis=0)
+    gg_old = jnp.sum(G_old * G_old, axis=0)
+    gdotgold = jnp.sum(g * G_old, axis=0)
+    if method == "fr":
+        beta = gg / gg_old
+    elif method == "pr":
+        beta = jnp.maximum(0.0, (gg - gdotgold) / gg_old)
+    elif method == "dy":
+        y = G_old - g
+        beta = gg / jnp.sum(D * y, axis=0)
+    elif method == "hz":
+        y = G_old - g
+        dy = jnp.sum(D * y, axis=0)
+        dg = jnp.sum(D * g, axis=0)
+        yy = jnp.sum(y * y, axis=0)
+        yg = jnp.sum(y * g, axis=0)
+        beta = (2.0 * dg * yy / dy - yg) / dy
+        dnorm = jnp.sqrt(jnp.sum(D * D, axis=0))
+        eta_k = -1.0 / (dnorm * jnp.minimum(0.01, jnp.sqrt(gg_old)))
+        beta = jnp.maximum(beta, eta_k)
+    else:  # pragma: no cover - validated at the public entry
+        raise ValueError(f"unknown CG method {method!r}")
+    if method in ("fr", "pr"):
+        # Powell restart: successive gradients far from orthogonal means
+        # the conjugacy assumption behind β has broken down
+        powell = jnp.abs(gdotgold) > restart_nu * gg
+    else:
+        # HZ's lower truncation / DY's self-restart property play that role
+        powell = jnp.zeros(gg.shape, bool)
+    return beta, powell
+
+
+def _cg_loop_batched(
+    vag_b, f_b, carry0: _CGCarry, method: str, ls, tol,
+    max_iterations: int, stall_limit: int, restart_nu: float,
+) -> _CGCarry:
+    dtype = carry0.X.dtype
+    tol = jnp.asarray(tol, dtype)
+    use_wolfe = isinstance(ls, Wolfe)
+
+    def cond(c: _CGCarry):
+        return jnp.logical_and(
+            c.k < max_iterations, jnp.any(c.status == Status.RUNNING)
+        )
+
+    def body(c: _CGCarry):
+        f0, g = vag_b(c.X)
+        was_active = c.status == Status.RUNNING
+        nonfinite = ~jnp.isfinite(f0)
+        converged = jnp.max(jnp.abs(g), axis=0) < tol
+        improved = jnp.where(jnp.isnan(c.fun), True, f0 > c.fun)
+        stall = jnp.where(
+            was_active & ~improved, c.stall + 1, jnp.zeros_like(c.stall)
+        )
+        stall = jnp.where(was_active, stall, c.stall)
+        stalled = (
+            stall >= stall_limit if stall_limit else jnp.zeros_like(was_active)
+        )
+        status_pre = jnp.where(
+            was_active,
+            jnp.where(
+                nonfinite,
+                jnp.int32(Status.NONFINITE_VALUE),
+                jnp.where(
+                    converged,
+                    jnp.int32(Status.CONVERGED),
+                    jnp.where(
+                        stalled,
+                        jnp.int32(Status.LINESEARCH_FAILURE),
+                        jnp.int32(Status.RUNNING),
+                    ),
+                ),
+            ),
+            c.status,
+        )
+        active = (status_pre == Status.RUNNING) & was_active
+
+        gg = jnp.sum(g * g, axis=0)
+        beta, powell = _cg_beta(method, g, c.G_old, c.D, restart_nu)
+        fresh = c.m_prev == 0.0  # never stepped (init or resume of same)
+        d = g + beta[None, :] * c.D
+        m = jnp.sum(d * g, axis=0)
+        # in-band steepest reset: non-ascent (covers NaN β/m via the
+        # ~finite test — NaN comparisons are False so test explicitly),
+        # first iteration, lost conjugacy
+        reset = (~jnp.isfinite(m)) | (m <= 0.0) | fresh | powell
+        d = jnp.where(active[None, :], jnp.where(reset[None, :], g, d), 0.0)
+        m = jnp.where(active, jnp.where(reset, gg, m), jnp.ones_like(m))
+
+        # warm-start scale (first-order match with the previous step);
+        # fresh/restarted-from-garbage lanes fall back to 1/max(1, ‖g‖)
+        t0 = 1.0 / jnp.maximum(1.0, jnp.sqrt(gg))
+        t = c.t_prev * c.m_prev / m
+        t_ok = jnp.isfinite(t) & (t > 0.0)
+        t = jnp.where(fresh | ~t_ok, t0, t)
+        t = jnp.clip(t, 1e-12, 1e12)
+        d_ls = t[None, :] * d
+        m_ls = t * m
+
+        if use_wolfe:
+
+            def phi_vag(alpha):
+                fv, gv = vag_b(c.X + alpha[None, :] * d_ls)
+                return fv, jnp.sum(gv * d_ls, axis=0), gv
+
+            alpha, ls_fev, _it, ls_failed, _f_acc, _G_acc = _batched_wolfe(
+                phi_vag, f0, m_ls, active, ls, dtype
+            )
+            ls_gev = ls_fev
+        else:
+
+            def phi(alpha):
+                return f_b(c.X + alpha[None, :] * d_ls)
+
+            alpha, ls_fev, _it, ls_failed = _batched_linesearch(
+                phi, f0, m_ls, active, ls, dtype
+            )
+            ls_gev = jnp.zeros_like(ls_fev)
+
+        take = active & ~ls_failed
+        alpha_eff = alpha * t  # step along the UNSCALED direction d
+        step = jnp.where(take[None, :], alpha_eff[None, :] * d, 0.0)
+        new_status = jnp.where(
+            active & ls_failed,
+            jnp.int32(Status.LINESEARCH_FAILURE),
+            status_pre,
+        )
+        wmask = was_active[None, :]
+        amask = active[None, :]
+        return _CGCarry(
+            X=c.X + step,
+            G=jnp.where(wmask, g, c.G),
+            G_old=jnp.where(amask, g, c.G_old),
+            D=jnp.where(amask, d, c.D),
+            m_prev=jnp.where(take, m, c.m_prev),
+            t_prev=jnp.where(take, alpha_eff, c.t_prev),
+            fun=jnp.where(was_active, f0, c.fun),
+            k=c.k + 1,
+            status=new_status,
+            iterations=c.iterations + active.astype(jnp.int32),
+            n_fev=c.n_fev + was_active.astype(jnp.int32) + ls_fev,
+            n_gev=c.n_gev + was_active.astype(jnp.int32) + ls_gev,
+            n_resets=c.n_resets + (reset & active).astype(jnp.int32),
+            stall=stall,
+        )
+
+    final = lax.while_loop(cond, body, carry0)
+    return final._replace(
+        status=jnp.where(
+            final.status == Status.RUNNING,
+            jnp.int32(Status.MAX_ITERATIONS),
+            final.status,
+        )
+    )
+
+
+def _result_from_cg_carry(fc: _CGCarry, squeeze: bool) -> CGResult:
+    dtype = fc.X.dtype
+    state = CGState(
+        x=fc.X.T,
+        grad=fc.G.T,
+        grad_old=fc.G_old.T,
+        d=fc.D.T,
+        m_prev=fc.m_prev,
+        t_prev=fc.t_prev,
+        fun=fc.fun,
+        k=fc.iterations,
+        status=fc.status,
+        n_fev=fc.n_fev,
+        n_gev=fc.n_gev,
+        n_resets=fc.n_resets,
+        stall=fc.stall,
+    )
+    nan = jnp.asarray(jnp.nan, dtype)
+    res = CGResult(
+        x=state.x,
+        fun=jnp.where(fc.status == Status.CONVERGED, fc.fun, nan),
+        grad=state.grad,
+        status=fc.status,
+        iterations=fc.iterations,
+        n_fev=fc.n_fev,
+        n_gev=fc.n_gev,
+        n_resets=fc.n_resets,
+        last_value=fc.fun,
+        state=state,
+    )
+    if squeeze:
+        res = jax.tree_util.tree_map(lambda a: a[0], res)
+    return res
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "method", "ls", "max_iterations", "value_and_grad_fn",
+        "stall_limit", "restart_nu", "_squeeze",
+    ),
+)
+def _optimize_cg_jit(
+    obj, x0s, method, ls, tol, max_iterations, value_and_grad_fn,
+    stall_limit, restart_nu, _squeeze,
+):
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
+    vag_b = jax.vmap(vag, in_axes=1, out_axes=(0, 1))
+    f_b = jax.vmap(f, in_axes=1, out_axes=0)
+
+    batch, n = x0s.shape
+    dtype = x0s.dtype
+    zero_v = jnp.zeros((n, batch), dtype)
+    zero_b = jnp.zeros((batch,), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    carry0 = _CGCarry(
+        X=x0s.T,
+        G=zero_v,
+        G_old=zero_v,
+        D=zero_v,
+        m_prev=zero_b,  # 0 = fresh → steepest first step
+        t_prev=zero_b,
+        fun=jnp.full((batch,), jnp.nan, dtype),
+        k=jnp.zeros((), jnp.int32),
+        status=jnp.full((batch,), Status.RUNNING, jnp.int32),
+        iterations=zero_i,
+        n_fev=zero_i,
+        n_gev=zero_i,
+        n_resets=zero_i,
+        stall=zero_i,
+    )
+    fc = _cg_loop_batched(
+        vag_b, f_b, carry0, method, ls, tol, max_iterations,
+        stall_limit, restart_nu,
+    )
+    return _result_from_cg_carry(fc, _squeeze)
+
+
+def optimize_cg(
+    obj,
+    x0: jax.Array,
+    *,
+    method: str = "hz",
+    ls: Union[Wolfe, BackTracking] = Wolfe(approx=True),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
+    restart_nu: float = 0.2,
+) -> CGResult:
+    """Maximize a logdensity by nonlinear conjugate gradients.
+
+    The O(n)-state member of the engine family — no inverse Hessian, no
+    pair ring: per iteration one gradient, a β-weighted direction update,
+    and a line search. Use it when n is large enough that even the L-BFGS
+    ring's HBM traffic binds, or when the objective is cheap and fleet
+    memory is the constraint; prefer BFGS/L-BFGS when curvature memory
+    pays (fewer iterations), and the TR engine on stiff/indefinite
+    surfaces.
+
+    A rank-1 ``x0`` runs a single solve; a rank-2 (batch, n) ``x0`` runs
+    the masked-lockstep fleet (same pattern as every engine here).
+
+    ``method``: 'hz' (Hager–Zhang, default), 'pr' (Polak–Ribière+),
+    'fr' (Fletcher–Reeves), 'dy' (Dai–Yuan). ``ls``: a `Wolfe` (default —
+    CG's β quality needs the curvature condition) or a `BackTracking`
+    (value-only trials; safe with every method via the in-band steepest
+    reset, but expect more restarts). ``restart_nu``: Powell-restart
+    threshold for 'fr'/'pr' (|g·g_old| > ν g·g → steepest reset).
+
+    Same contracts as every engine: convergence certificate
+    max|∇obj| < ``tol``; ``fun`` NaN unless converged; α = 0 line-search
+    sentinel → Status.LINESEARCH_FAILURE with the iterate at the last
+    good point; ``stall_limit`` consecutive non-improving iterations
+    fail in-band; resumable via `optimize_cg_from_state`. f32/TPU
+    guidance: tol >= ~1e-3, as usual.
+    """
+    X0 = jnp.asarray(x0)
+    if X0.ndim not in (1, 2):
+        raise ValueError(f"x0 must be rank 1 or 2, got shape {X0.shape}")
+    squeeze = X0.ndim == 1
+    if squeeze:
+        X0 = X0[None]
+    if method not in _CG_METHODS:
+        raise ValueError(f"method must be one of {_CG_METHODS}, got {method!r}")
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    if not 0.0 < restart_nu:
+        raise ValueError(f"restart_nu must be > 0, got {restart_nu}")
+    return _optimize_cg_jit(
+        obj, X0, method, ls, tol, max_iterations, value_and_grad_fn,
+        stall_limit, float(restart_nu), squeeze,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "method", "ls", "max_iterations", "value_and_grad_fn",
+        "stall_limit", "restart_nu", "_squeeze",
+    ),
+)
+def _optimize_cg_resume_jit(
+    obj, state, method, ls, tol, max_iterations, value_and_grad_fn,
+    stall_limit, restart_nu, _squeeze,
+):
+    vag = as_value_and_grad(obj, value_and_grad_fn)
+    f = as_value_fn(obj, value_and_grad_fn)
+    vag_b = jax.vmap(vag, in_axes=1, out_axes=(0, 1))
+    f_b = jax.vmap(f, in_axes=1, out_axes=0)
+    carry0 = _CGCarry(
+        X=state.x.T,
+        G=state.grad.T,
+        G_old=state.grad_old.T,
+        D=state.d.T,
+        m_prev=state.m_prev,
+        t_prev=state.t_prev,
+        fun=state.fun,
+        k=jnp.zeros((), jnp.int32),
+        status=jnp.full(state.fun.shape, Status.RUNNING, jnp.int32),
+        iterations=state.k,
+        n_fev=state.n_fev,
+        n_gev=state.n_gev,
+        n_resets=state.n_resets,
+        # fresh stall budget per leg (same rationale as the other fleets)
+        stall=jnp.zeros_like(state.stall),
+    )
+    fc = _cg_loop_batched(
+        vag_b, f_b, carry0, method, ls, tol, max_iterations,
+        stall_limit, restart_nu,
+    )
+    return _result_from_cg_carry(fc, _squeeze)
+
+
+def optimize_cg_from_state(
+    obj,
+    state: CGState,
+    *,
+    method: str = "hz",
+    ls: Union[Wolfe, BackTracking] = Wolfe(approx=True),
+    tol: float = 1e-8,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    value_and_grad_fn: Optional[Callable] = None,
+    stall_limit: int = STALL_LIMIT_DEFAULT,
+    restart_nu: float = 0.2,
+) -> CGResult:
+    """Resume a nonlinear-CG solve/fleet from a (checkpointed) CGState.
+
+    All lanes re-arm to RUNNING (converged lanes can be re-solved under a
+    tighter tol); counters continue from the saved values and
+    ``max_iterations`` bounds this leg. A resumed lane CONTINUES its CG
+    trajectory: the saved (grad_old, d, m_prev, t_prev) drive the first
+    β and warm start exactly as the uninterrupted run would (chunked ==
+    one long run, regression-tested); lanes that never stepped
+    (m_prev == 0) take the steepest first step naturally. Pass the SAME
+    ``method``/``ls``/``restart_nu`` as the original run for trajectory
+    continuation."""
+    if method not in _CG_METHODS:
+        raise ValueError(f"method must be one of {_CG_METHODS}, got {method!r}")
+    # a rank-1 (single-solve) result's state was squeezed: re-batch it
+    # (the same re-batching optimize_tr_from_state does)
+    squeeze = state.x.ndim == 1
+    if squeeze:
+        state = jax.tree_util.tree_map(
+            lambda l: jnp.asarray(l)[None], state
+        )
+    if state.x.ndim != 2:
+        raise ValueError(
+            f"expected a rank-1 or rank-2 CGState, got x shape {state.x.shape}"
+        )
+    return _optimize_cg_resume_jit(
+        obj, state, method, ls, tol, max_iterations, value_and_grad_fn,
+        stall_limit, float(restart_nu), squeeze,
+    )

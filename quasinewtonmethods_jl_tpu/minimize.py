@@ -88,10 +88,14 @@ def minimize(
     """Minimize ``fun`` — the scipy-convention entry point.
 
     ``method``: 'bfgs' (dense inverse Hessian, the reference algorithm),
-    'lbfgs' (limited memory, large n; ``history`` applies), or 'tr'
+    'lbfgs' (limited memory, large n; ``history`` applies), 'tr'
     (trust-region Newton–Krylov — exact curvature via matrix-free HVPs;
     ``bounds=``/``max_cg=``/``cg_tol=`` pass through kwargs; ``ls`` and
-    ``h0_scale`` do not apply). A rank-1 x0
+    ``h0_scale`` do not apply), or 'cg' (nonlinear conjugate gradients —
+    O(n) state for very large n; the β formula is selected with
+    ``cg_method='hz'|'pr'|'fr'|'dy'`` since ``method`` itself names the
+    engine here, and the engine's Wolfe(approx=True) search applies
+    unless a non-default ``ls`` is passed). A rank-1 x0
     runs a single solve; a rank-2 (batch, n) x0 runs the batched fleet
     engine (`optimize_batched` / `optimize_lbfgs_batched`), with every
     result leaf carrying the batch axis. Extra keyword args pass through
@@ -152,8 +156,28 @@ def minimize(
             obj, x0, tol=tol, max_iterations=max_iterations,
             value_and_grad_fn=vag, **kwargs,
         )
+    elif method == "cg":
+        from .cg_solve import optimize_cg
+
+        # the shared BackTracking `ls` default would silently degrade CG
+        # (β quality needs the Wolfe curvature condition) — the engine's
+        # own Wolfe(approx=True) default applies unless the caller passed
+        # a NON-default ls (an explicitly-passed default BackTracking()
+        # is indistinguishable from the signature default and also gets
+        # the engine default; pass BackTracking(iterations=...) or any
+        # non-default field to force backtracking)
+        if ls != BackTracking():
+            kwargs = {"ls": ls, **kwargs}
+        # `method` names the engine in this shim, so the β formula rides
+        # the `cg_method` kwarg
+        if "cg_method" in kwargs:
+            kwargs["method"] = kwargs.pop("cg_method")
+        res = optimize_cg(
+            obj, x0, tol=tol, max_iterations=max_iterations,
+            value_and_grad_fn=vag, stall_limit=stall_limit, **kwargs,
+        )
     else:
         raise ValueError(
-            f"method must be 'bfgs', 'lbfgs', or 'tr', got {method!r}"
+            f"method must be 'bfgs', 'lbfgs', 'tr', or 'cg', got {method!r}"
         )
     return _flip_signs(res)

@@ -58,6 +58,23 @@ class Wolfe:
     c2: float = 0.9
     iterations: int = 50
     interp: str = "cubic"
+    # Hager–Zhang APPROXIMATE Wolfe acceptance (opt-in; "CG_DESCENT" §4,
+    # Hager & Zhang SIAM J. Optim. 16(1), 2005). Near an optimum the
+    # ordinary Armijo test becomes unsatisfiable in floating point — the
+    # true increase φ(a) − φ(0) ~ a²|φ''| falls below eps·|φ| while the
+    # SLOPE is still measured to full relative accuracy. The approximate
+    # conditions replace the value test with slope brackets:
+    #     (2c1 − 1)·φ'(0) ≤ φ'(a) ≤ c2·φ'(0)      (maximization form)
+    # guarded by a value non-decrease up to resolution,
+    #     φ(a) ≥ φ(0) − approx_eps·|φ(0)|.
+    # A trial is accepted when EITHER the ordinary or the approximate
+    # conditions hold. Linear-convergence engines (nonlinear CG) need this
+    # to certify tight tolerances — BFGS steps jump over the resolution
+    # floor quadratically and don't (measured: HZ-CG on a cond-100
+    # quadratic stalls in-band at max|∇| ~ 1e-7 without it, reaches 1e-8+
+    # with it; see cg_solve.py).
+    approx: bool = False
+    approx_eps: float = 1e-6
 
     def __post_init__(self):
         if not (0.0 < self.c1 < self.c2 < 1.0):
@@ -67,6 +84,10 @@ class Wolfe:
         if self.interp not in ("cubic", "bisection"):
             raise ValueError(
                 f"interp must be 'cubic' or 'bisection', got {self.interp!r}"
+            )
+        if self.approx_eps < 0.0:
+            raise ValueError(
+                f"approx_eps must be >= 0, got {self.approx_eps}"
             )
 
 
@@ -142,6 +163,20 @@ def wolfe_linesearch(
         curv = sa <= c2 * m
         return armijo, curv
 
+    def accepts(a, fa, sa):
+        armijo, curv = conds(a, fa, sa)
+        ok = armijo & curv
+        if ls.approx:
+            # Hager–Zhang approximate Wolfe (see the dataclass note):
+            # slope bracket + value non-decrease up to resolution
+            aw = (
+                (sa >= (2.0 * c1 - 1.0) * m)
+                & curv
+                & (fa >= f0 - ls.approx_eps * jnp.abs(f0))
+            )
+            ok = ok | aw
+        return ok
+
     # Acceptance is tested in the loop *condition*, so the accepting trial
     # is never followed by a wasted evaluation; the body only runs to
     # shrink/grow the bracket and evaluate the next trial.
@@ -152,18 +187,36 @@ def wolfe_linesearch(
     doomed = ~(jnp.isfinite(m) & jnp.isfinite(f0))
 
     def cond(c: _WCarry):
-        armijo, curv = conds(c.a, c.fa, c.sa)
-        return ~doomed & ~(armijo & curv) & (c.it < ls.iterations)
+        return ~doomed & ~accepts(c.a, c.fa, c.sa) & (c.it < ls.iterations)
 
     def body(c: _WCarry):
-        armijo, curv = conds(c.a, c.fa, c.sa)
-        # NaN trial values fail Armijo (NaN >= t is False) -> shrink: the
-        # same robustness direction as backtracking's finite-phase halving.
-        shrink = ~armijo
+        if ls.approx:
+            # Hager–Zhang SLOPE-DRIVEN interval update (CG_DESCENT §4).
+            # The Armijo-driven rule below misclassifies a noise-level
+            # value drop as "overshot" and traps the bracket on the wrong
+            # side of the 1D optimum once |φ(a) − φ(0)| < eps·|φ| (measured
+            # failure: cond-1e3 quadratic endgame, acceptable region at
+            # a ≥ 2 while the bracket collapsed inside [0, 1]). Slopes
+            # stay accurate to full relative precision there: past the max
+            # (φ' ≤ 0) → hi; still ascending with the value within the
+            # resolution bar → lo; non-finite or genuinely collapsed
+            # value → hi (the same robustness direction as Armijo-fail).
+            bar = f0 - ls.approx_eps * jnp.abs(f0)
+            bad = ~(jnp.isfinite(c.fa) & jnp.isfinite(c.sa))
+            shrink = (c.sa <= 0.0) | (c.fa < bar) | bad
+        else:
+            armijo, _curv = conds(c.a, c.fa, c.sa)
+            # NaN trial values fail Armijo (NaN >= t is False) -> shrink:
+            # the same robustness direction as backtracking's
+            # finite-phase halving.
+            shrink = ~armijo
         hi = jnp.where(shrink, c.a, c.hi)
         fhi = jnp.where(shrink, c.fa, c.fhi)
         shi = jnp.where(shrink, c.sa, c.shi)
-        growlo = armijo & ~curv
+        # an unaccepted non-shrink trial always advances lo (in the
+        # classic rule that is armijo & ~curv; in the approx rule it is
+        # any ascending within-bar trial)
+        growlo = ~shrink
         lo = jnp.where(growlo, c.a, c.lo)
         flo = jnp.where(growlo, c.fa, c.flo)
         slo = jnp.where(growlo, c.sa, c.slo)
@@ -187,8 +240,7 @@ def wolfe_linesearch(
     )
     fc = lax.while_loop(cond, body, init)
 
-    armijo, curv = conds(fc.a, fc.fa, fc.sa)
-    ok = armijo & curv
+    ok = accepts(fc.a, fc.fa, fc.sa)
     alpha = jnp.where(ok, fc.a, jnp.zeros((), dtype))
     failed = alpha == 0.0  # same in-band sentinel as backtracking
     return WolfeResult(

@@ -27,6 +27,7 @@ from ..state import BFGSState, LBFGSState
 
 def _sampler_state_classes():
     # deferred: sampling imports api/jax transforms; keep checkpoint cheap
+    from ..cg_solve import CGState
     from ..least_squares import LMState
     from ..sampling import ChEESState, HMCState, NUTSState
     from ..tempering import PTState
@@ -36,7 +37,7 @@ def _sampler_state_classes():
     return {"HMCState": HMCState, "ChEESState": ChEESState,
             "NUTSState": NUTSState, "PTState": PTState,
             "LMState": LMState, "TRState": TRState,
-            "SVGDState": SVGDState}
+            "SVGDState": SVGDState, "CGState": CGState}
 
 
 __all__ = ["save_state", "load_state"]

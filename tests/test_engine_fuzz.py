@@ -106,6 +106,9 @@ def test_all_engines_agree_on_random_quadratics(seed):
     lm = qnm.least_squares(lambda x: LT @ (x - xs_j), x0, tol=tol)
     assert int(lm.status) == qnm.Status.CONVERGED
     np.testing.assert_allclose(np.asarray(lm.x), x_star, atol=1e-6)
+    cg = qnm.optimize_cg(logdensity, x0, tol=tol, max_iterations=20_000)
+    assert int(cg.status) == qnm.Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(cg.x), x_star, atol=1e-6)
 
     # native C++ via numpy callbacks (f64 end to end)
     if optimize_host is None:
