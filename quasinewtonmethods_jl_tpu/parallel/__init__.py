@@ -4,6 +4,7 @@
 from .batch import optimize_batched, optimize_lbfgs_batched
 from .mesh import (
     least_squares_sharded,
+    optimize_cg_sharded,
     optimize_tr_sharded,
     optimize_tr_model_sharded,
     make_mesh,
@@ -17,6 +18,7 @@ __all__ = [
     "optimize_batched",
     "optimize_lbfgs_batched",
     "least_squares_sharded",
+    "optimize_cg_sharded",
     "optimize_tr_sharded",
     "optimize_tr_model_sharded",
     "make_mesh",

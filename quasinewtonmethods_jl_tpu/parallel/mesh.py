@@ -142,6 +142,37 @@ def optimize_tr_sharded(
         return optimize_tr(obj, x0s, **kwargs)
 
 
+def optimize_cg_sharded(
+    obj,
+    x0s: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    **kwargs,
+):
+    """Data-parallel nonlinear-CG fleet over `axis`.
+
+    The lightest fleet to shard: the per-lane state is O(n) (no ring,
+    no matrix), every β/direction/warm-start computation is elementwise
+    in the lane axis, and the only cross-device traffic is the two loop
+    predicates' all-reduces (outer iteration, Wolfe bracket). kwargs
+    pass through to `qnm.optimize_cg`.
+    """
+    from ..cg_solve import optimize_cg
+
+    x0s = jnp.asarray(x0s)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    n_shards = mesh.shape[axis]
+    if x0s.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"batch ({x0s.shape[0]}) must divide evenly over mesh axis "
+            f"{axis!r} ({n_shards} shards)"
+        )
+    x0s = jax.device_put(x0s, NamedSharding(mesh, P(axis, None)))
+    with mesh:
+        return optimize_cg(obj, x0s, **kwargs)
+
+
 def optimize_tr_model_sharded(
     obj,
     x0: jax.Array,

@@ -438,3 +438,21 @@ def test_svgd_particle_sharded_matches_unsharded(rng):
         np.asarray(r_sh.particles), np.asarray(r_un.particles)
     )
     assert len({d for d in r_sh.particles.devices()}) == 8
+
+
+def test_optimize_cg_sharded_matches_unsharded(rng):
+    from quasinewtonmethods_jl_tpu.parallel import optimize_cg_sharded
+
+    X0 = jnp.asarray(rng.standard_normal((16, 6)))
+    mesh = make_mesh({"data": 8})
+    r_sh = optimize_cg_sharded(quad_logdensity, X0, mesh, tol=1e-8)
+    r_un = qnm.optimize_cg(quad_logdensity, X0, tol=1e-8)
+    assert np.all(np.asarray(r_sh.status) == qnm.Status.CONVERGED)
+    # lanes are independent and per-lane reductions are shard-local, so
+    # GSPMD parity is exact (the only collectives are loop predicates)
+    np.testing.assert_array_equal(np.asarray(r_sh.x), np.asarray(r_un.x))
+    np.testing.assert_array_equal(np.asarray(r_sh.iterations),
+                                  np.asarray(r_un.iterations))
+    assert len({d for d in r_sh.x.devices()}) == 8
+    with pytest.raises(ValueError, match="divide"):
+        optimize_cg_sharded(quad_logdensity, jnp.zeros((12, 4)), mesh)
