@@ -56,12 +56,16 @@ def optimize_multistart(
     converged lanes the result carries NaN fun and ``converged`` is False
     (the in-band contract, fleet-level).
 
-    ``engine``: 'bfgs' (default, the fused fleet) or 'tr' (the
+    ``engine``: 'bfgs' (default, the fused fleet), 'tr' (the
     trust-region Newton–Krylov fleet — prefer it when random starts land
     in stiff or saddle-ridden regions, exactly where secant updates get
     corrupted; `ls` does not apply, TR knobs like ``bounds=``/``max_cg=``
-    pass through ``batch_kwargs``). The result's ``fleet`` field carries
-    the engine's native result type either way.
+    pass through ``batch_kwargs``), or 'cg' (the O(n)-state nonlinear-CG
+    fleet — for very large dim where per-lane curvature state would
+    dominate fleet memory; a `Wolfe` can be passed via ``ls``, CG knobs
+    like ``method=``/``restart_nu=`` pass through ``batch_kwargs``). The
+    result's ``fleet`` field carries the engine's native result type
+    either way.
     """
     if x0s is None:
         if dtype is None:
@@ -86,9 +90,21 @@ def optimize_multistart(
             obj, x0s, tol=tol, max_iterations=max_iterations,
             value_and_grad_fn=value_and_grad_fn, **batch_kwargs,
         )
+    elif engine == "cg":
+        from .cg_solve import optimize_cg
+        from .ops.wolfe import Wolfe
+
+        # the shared BackTracking default would degrade CG (same rule as
+        # minimize(method='cg')): the engine's Wolfe(approx=True) applies
+        # unless a non-default ls was passed
+        cg_ls = ls if ls != BackTracking() else Wolfe(approx=True)
+        fleet = optimize_cg(
+            obj, x0s, ls=cg_ls, tol=tol, max_iterations=max_iterations,
+            value_and_grad_fn=value_and_grad_fn, **batch_kwargs,
+        )
     else:
         raise ValueError(
-            f"engine must be 'bfgs' or 'tr', got {engine!r}"
+            f"engine must be 'bfgs', 'tr', or 'cg', got {engine!r}"
         )
     ok = fleet.status == Status.CONVERGED
     # fleet.fun is NaN on non-converged lanes already; argmax over a

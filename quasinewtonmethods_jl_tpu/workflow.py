@@ -126,7 +126,11 @@ def map_then_sample(
     'tr' (stiff/locally indefinite surfaces: the trust-region
     Newton–Krylov fleet; the handed-over mass is the EXACT inverse
     observed information from one `jax.hessian` at the best mode —
-    identity fallback in-band if H is indefinite there). The MAP fleet's
+    identity fallback in-band if H is indefinite there), or 'cg' (the
+    O(n)-state nonlinear-CG fleet for very large n; matrix-free like
+    'tr', so it shares 'tr''s exact-Hessian handoff — note that handoff
+    is O(n²), so at truly large n prefer 'lbfgs' whose mass stays
+    compact). The MAP fleet's
     converged-lane-averaged curvature becomes the mass for 'hmc'
     ('chees'/'nuts' adapt their own diagonal by default; pass
     ``mass=...`` through ``sampler_kwargs`` to override). ``map_tol`` defaults by dtype — 1e-3 for f32 (the
@@ -588,10 +592,17 @@ def _map_stage(
             from .trust_region import optimize_tr
 
             fleet = optimize_tr(obj, x0s, **mk)
+        elif map_engine == "cg":
+            # very-large-n MAP fleets where even the L-BFGS ring binds:
+            # the O(n)-state nonlinear-CG engine. Matrix-free like 'tr',
+            # so the mass handoff shares 'tr''s exact-Hessian path below.
+            from .cg_solve import optimize_cg
+
+            fleet = optimize_cg(obj, x0s, **mk)
         else:
             raise ValueError(
                 f"unknown map_engine {map_engine!r}; use 'bfgs', 'lbfgs',"
-                " 'lm', or 'tr'"
+                " 'lm', 'tr', or 'cg'"
             )
 
     # one status readback serves both the failure check and the masks
@@ -623,15 +634,16 @@ def _map_stage(
             fun=pol.fun.astype(fleet.fun.dtype),
         )
 
-    if map_engine == "tr":
-        # the TR engine is matrix-free (no carried curvature): hand over
+    if map_engine in ("tr", "cg"):
+        # these engines are matrix-free (no carried curvature): hand over
         # the EXACT observed information instead — one jax.hessian at the
         # best converged mode, mass = inv(-H). Sharper than any secant
         # estimate; O(n²) like polish/laplace (large-n users take 'lbfgs').
         if mass_form != "auto":
             raise ValueError(
-                "map_engine='tr' hands over the exact-Hessian inverse; "
-                f"mass_form={mass_form!r} does not apply (use 'auto')"
+                f"map_engine={map_engine!r} hands over the exact-Hessian "
+                f"inverse; mass_form={mass_form!r} does not apply "
+                "(use 'auto')"
             )
         from .api import as_logdensity
 

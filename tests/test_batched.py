@@ -262,6 +262,23 @@ def test_multistart_tr_engine(rng):
                                 dim=2, engine="newton")
 
 
+def test_multistart_cg_engine(rng):
+    """engine='cg': the O(n)-state fleet powers the multistart; the
+    engine's Wolfe(approx=True) default applies (BackTracking() is the
+    shim default, not a CG choice)."""
+    def wells(x):
+        return -jnp.sum((x * x - 1.0) ** 2) - 0.1 * jnp.sum((x - 1.0) ** 2)
+
+    res = qnm.optimize_multistart(
+        wells, jax.random.PRNGKey(3), n_starts=32, dim=3, init_scale=0.3,
+        tol=1e-7, engine="cg",
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-5)
+    # fleet carries the CG result type (n_resets is CG/BFGS-family)
+    assert hasattr(res.fleet, "n_resets") and hasattr(res.fleet, "n_gev")
+
+
 def test_batched_resume_from_state(rng):
     """Stop a fleet early, checkpoint the batched state, resume to
     convergence — the batched analog of optimize_from_state."""

@@ -491,6 +491,30 @@ def test_pipeline_tr_engine_validation():
                             map_engine="tr", mass_form="lowrank")
 
 
+# --- map_engine='cg' (round 4): shares the matrix-free exact-H handoff -----
+
+def test_pipeline_cg_engine_exact_hessian_mass():
+    logdensity, cov = _corr_gaussian(3)
+    out = qnm.map_then_sample(
+        logdensity, jax.random.PRNGKey(6), jnp.full(3, 2.0),
+        n_chains=32, sampler="hmc", n_samples=400, n_warmup=250,
+        map_engine="cg", map_tol=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(out.x_map), 0.0, atol=1e-8)
+    # matrix-free engine -> the 'tr' handoff path: mass is the EXACT
+    # inverse observed information
+    np.testing.assert_allclose(np.asarray(out.mass), cov, atol=1e-9)
+    draws = np.asarray(out.samples).reshape(-1, 3)
+    np.testing.assert_allclose(np.cov(draws.T), cov,
+                               atol=0.35 * np.abs(cov).max())
+    assert np.all(out.diagnostics.rhat < 1.1)
+
+    with pytest.raises(ValueError, match="mass_form"):
+        qnm.map_then_sample(logdensity, jax.random.PRNGKey(0), jnp.zeros(3),
+                            n_chains=8, n_samples=8, n_warmup=4,
+                            map_engine="cg", mass_form="lowrank")
+
+
 # --- init='svgd' (round 4): particle-transport chain initialization --------
 
 def test_pipeline_svgd_init_recovers_gaussian():
