@@ -114,6 +114,13 @@ def main():
         f"iters={int(rtr.iterations)} hvps={int(rtr.n_hev)}")
     assert int(rtr.status) == qnm.Status.CONVERGED
 
+    # -- nonlinear CG (O(n) state: the very-large-n fleet engine) ------------
+    rcg = qnm.optimize_cg(rosenbrock_logdensity, x0, tol=tol,
+                          max_iterations=50_000)
+    say(f"optimize_cg:         {qnm.Status(int(rcg.status)).name:10s} "
+        f"iters={int(rcg.iterations)} restarts={int(rcg.n_resets)}")
+    assert int(rcg.status) == qnm.Status.CONVERGED
+
     # -- nonlinear least squares (fit 64 curves in one launch) ---------------
     ts = jnp.tile(jnp.linspace(0.0, 3.0, 32, dtype=dtype), (64, 1))
     true_p = jnp.stack([jnp.linspace(0.5, 2.0, 64),
