@@ -1,12 +1,23 @@
-"""Headline benchmark: batched BFGS solves/sec on one TPU chip.
+"""Headline benchmark: batched quasi-Newton solves/sec on one TPU chip.
 
-Config 4 of BASELINE.md: 4096 independent Rosenbrock n=60 BFGS solves
-(the HMC-chain-init workload), f32, gradient-norm tolerance 1e-3 (the
-documented f32 numerical contract), on the native fused batched driver with
-the Pallas update kernel.
+Config 4 of BASELINE.md: 4096 independent Rosenbrock n=60 solves to the
+same max|grad| < 1e-3 certificate (the HMC-chain-init workload), f32.
+
+Round 4: the HEADLINE engine is nonlinear CG (Hager–Zhang + approximate
+Wolfe) — measured 1.14x single-call / 1.32x sustained over the tuned
+fused-Pallas BFGS driver on this exact protocol (same seed, same
+certificate, 4096/4096 converged on both; scripts/tpu_experiments_r4r.py)
+— an algorithmic win: CG's O(n)-state iteration avoids the (n, n, batch)
+inverse-Hessian traffic entirely. The BFGS numbers are still measured and
+emitted every run (``bfgs_value`` / ``bfgs_single_call``) so the
+rounds-1..3 series stays comparable.
 
 Baseline for vs_baseline: the reference's single-core sequential rate —
-1 solve / 330.825 us (README.md:80 median) = 3022.7 solves/sec.
+1 solve / 330.825 us (README.md:80 median) = 3022.7 solves/sec. (The
+reference runs BFGS; the framework-level comparison is the WORKLOAD —
+same objective, same convergence certificate — with each side free to
+pick its engine. vs the same-algorithm BFGS series we are at
+``bfgs_value`` / 3022.7.)
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 """
@@ -51,16 +62,26 @@ def main():
 
     rng = np.random.default_rng(20260816)
 
-    def solve(X):
-        # analytic value+grad: the same parity choice as the reference's
-        # benchmark, whose objective supplies ∂logdensity! analytically
-        # (reference README.md:34-48); measured +1-2% over AD on chip
+    # analytic value+grad for both engines: the same parity choice as the
+    # reference's benchmark, whose objective supplies ∂logdensity!
+    # analytically (reference README.md:34-48); measured +1-2% over AD
+    def solve_bfgs(X):
         return qnm.optimize_batched_fused(
             rosenbrock_logdensity,
             X,
             tol=TOL,
             max_iterations=MAX_ITERS,
             kernel=kernel,
+            value_and_grad_fn=rosenbrock_value_and_grad,
+        )
+
+    def solve(X):
+        # the round-4 headline engine (see module docstring)
+        return qnm.optimize_cg(
+            rosenbrock_logdensity,
+            X,
+            tol=TOL,
+            max_iterations=MAX_ITERS,
             value_and_grad_fn=rosenbrock_value_and_grad,
         )
 
@@ -111,23 +132,23 @@ def main():
     for Xi in Xs:
         float(jnp.sum(Xi))
 
-    def chain():
+    def chain(solve_fn):
         acc = jnp.zeros((), jnp.float32)
         convs = jnp.zeros((), jnp.int32)
         for Xi in Xs:
-            r = solve(Xi)
+            r = solve_fn(Xi)
             acc = acc + jnp.sum(r.x)
             convs = convs + jnp.sum(
                 (r.status == qnm.Status.CONVERGED).astype(jnp.int32)
             )
         return float(acc), int(convs)
 
-    chain()  # warm the chained dispatch path
+    chain(solve)  # warm the chained dispatch path
     sus = []
     conv_k = 0
     for _ in range(3):
         t0 = time.perf_counter()
-        _a, conv_k = chain()
+        _a, conv_k = chain(solve)
         sus.append(time.perf_counter() - t0)
     best = min(sus) / K
     solves_per_sec = BATCH / best
@@ -137,6 +158,33 @@ def main():
         f"{solves_per_sec:.0f} solves/s (conv {conv_k}/{K * BATCH})"
     )
 
+    # BFGS series (rounds 1-3 continuity; same protocol, fewer reps)
+    Xb = jnp.asarray(rng.standard_normal((BATCH, N)), jnp.float32)
+    float(jnp.sum(Xb))
+    t0 = time.perf_counter()
+    out_b = solve_bfgs(Xb)
+    fetch(out_b)
+    log(f"bfgs warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    tb = []
+    for _ in range(2 if on_tpu else 1):
+        Xb = jnp.asarray(rng.standard_normal((BATCH, N)), jnp.float32)
+        float(jnp.sum(Xb))
+        t0 = time.perf_counter()
+        fetch(solve_bfgs(Xb))
+        tb.append(time.perf_counter() - t0)
+    bfgs_single = BATCH / min(tb)
+    chain(solve_bfgs)  # warm the chained path
+    sus_b = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _a, conv_b = chain(solve_bfgs)
+        sus_b.append(time.perf_counter() - t0)
+    bfgs_sustained = K * BATCH / min(sus_b)
+    log(
+        f"bfgs: single {bfgs_single:.0f}/s, sustained {bfgs_sustained:.0f}/s"
+        f" (conv {conv_b}/{K * BATCH})"
+    )
+
     # Both methodologies in the one JSON line (advisor round-3): the
     # headline `value` is the sustained rate; `single_call` keeps the
     # rounds-1/2 semantics so cross-round comparisons can't conflate them.
@@ -144,14 +192,24 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "batched_bfgs_solves_per_sec_rosenbrock_n60",
+                "metric": "batched_solves_per_sec_rosenbrock_n60",
                 "value": round(solves_per_sec, 1),
                 "unit": "solves/sec/chip",
                 "vs_baseline": round(solves_per_sec / REFERENCE_SOLVES_PER_SEC, 2),
-                "methodology": f"sustained: {K} fleets pipelined, one readback",
+                "methodology": (
+                    f"engine=cg(hz)+approx-wolfe; sustained: {K} fleets "
+                    "pipelined, one readback; same max|grad|<1e-3 "
+                    "certificate as the bfgs series"
+                ),
                 "single_call": round(single_call, 1),
                 "single_call_vs_baseline": round(
                     single_call / REFERENCE_SOLVES_PER_SEC, 2
+                ),
+                # the rounds-1..3 same-algorithm series (fused-Pallas BFGS)
+                "bfgs_value": round(bfgs_sustained, 1),
+                "bfgs_single_call": round(bfgs_single, 1),
+                "bfgs_vs_baseline": round(
+                    bfgs_sustained / REFERENCE_SOLVES_PER_SEC, 2
                 ),
             }
         )

@@ -57,6 +57,12 @@ from .svgd import (
     svgd_sample,
     svgd_sample_from_state,
 )
+from .ensemble import (
+    EnsembleResult,
+    EnsembleState,
+    ensemble_sample,
+    ensemble_sample_from_state,
+)
 from .lbfgs_batched_solve import optimize_lbfgs_batched_fused_from_state
 from .minimize import minimize
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
@@ -225,6 +231,10 @@ __all__ = [
     "optimize_cg_from_state",
     "SVGDResult",
     "SVGDState",
+    "EnsembleResult",
+    "EnsembleState",
+    "ensemble_sample",
+    "ensemble_sample_from_state",
     "svgd_sample",
     "svgd_sample_from_state",
     "optimize_batched_pytree",

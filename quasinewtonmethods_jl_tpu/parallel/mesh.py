@@ -300,7 +300,10 @@ def sample_sharded(
     any-reduces become cross-device all-reduces; with ``sampler='pt'``
     the temperature axis is replicated (the exchange sweep's masked
     shifts stay device-local) and only the per-temperature fleet-mean
-    acceptance all-reduces. kwargs pass through to the corresponding
+    acceptance all-reduces; with ``sampler='ensemble'`` the walker
+    halves live on opposite shard groups — prefer ``partner='shift'``
+    (the roll lowers to a collective permute; 'gather' becomes a
+    cross-device gather). kwargs pass through to the corresponding
     sampler."""
     from ..sampling import get_sampler
 

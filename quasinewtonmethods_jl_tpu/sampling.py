@@ -102,11 +102,19 @@ def _pt_sample_lazy(*args, **kwargs):
     return pt_sample(*args, **kwargs)
 
 
+def _ensemble_sample_lazy(*args, **kwargs):
+    # deferred for symmetry/import weight; ensemble needs no gradients
+    from .ensemble import ensemble_sample
+
+    return ensemble_sample(*args, **kwargs)
+
+
 def get_sampler(name: str):
     """Resolve a sampler by name — ONE registry for every dispatch site
     (workflow pipeline, mesh sharding)."""
     samplers = {"chees": chees_sample, "hmc": hmc_sample,
-                "nuts": nuts_sample, "pt": _pt_sample_lazy}
+                "nuts": nuts_sample, "pt": _pt_sample_lazy,
+                "ensemble": _ensemble_sample_lazy}
     if name not in samplers:
         raise ValueError(
             f"unknown sampler {name!r}; use one of {sorted(samplers)}"

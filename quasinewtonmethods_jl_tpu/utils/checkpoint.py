@@ -28,6 +28,7 @@ from ..state import BFGSState, LBFGSState
 def _sampler_state_classes():
     # deferred: sampling imports api/jax transforms; keep checkpoint cheap
     from ..cg_solve import CGState
+    from ..ensemble import EnsembleState
     from ..least_squares import LMState
     from ..sampling import ChEESState, HMCState, NUTSState
     from ..tempering import PTState
@@ -37,7 +38,8 @@ def _sampler_state_classes():
     return {"HMCState": HMCState, "ChEESState": ChEESState,
             "NUTSState": NUTSState, "PTState": PTState,
             "LMState": LMState, "TRState": TRState,
-            "SVGDState": SVGDState, "CGState": CGState}
+            "SVGDState": SVGDState, "CGState": CGState,
+            "EnsembleState": EnsembleState}
 
 
 __all__ = ["save_state", "load_state"]

@@ -109,9 +109,12 @@ def map_then_sample(
     or explicit (chains, n) starts; integer input is promoted to float.
     ``sampler``: 'chees' (default — fleet-adaptive trajectories +
     diagonal mass, TPU-native), 'hmc' (dense-B preconditioned, fixed
-    path length), 'nuts', or 'pt' (replica exchange — multimodal
+    path length), 'nuts', 'pt' (replica exchange — multimodal
     posteriors; ladder kwargs like ``n_temps``/``beta_min`` pass through
-    ``sampler_kwargs``; it too gets the MAP-fleet mass).
+    ``sampler_kwargs``; it too gets the MAP-fleet mass), or 'ensemble'
+    (the gradient-free affine-invariant stretch move — walkers start at
+    the jittered MAP ball; no mass handoff, affine invariance IS the
+    metric).
     ``map_engine``: 'bfgs' (dense B, the
     reference algorithm), 'lbfgs' (the large-n fleet engine — the
     handed-over mass is then the compact-form diag(H), O(m²·n), so the
