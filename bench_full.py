@@ -193,6 +193,31 @@ def main():
     emit("svgd_4096x60_300steps", t, {
         "particle_steps_per_sec": round(4096 * 300 / t, 1)})
 
+    # 11. Nonlinear-CG fleets (round 4): the headline engine on the
+    # 4096x60 shape plus the large-n shapes where it beats the ring
+    # engines outright (r4q: 2.02x at 1024x512, 3.65x at 256x4096)
+    for b11, n11 in ((4096, 60), (1024, 512), (256, 4096)):
+        X11 = jnp.asarray(RNG.standard_normal((b11, n11)), DTYPE)
+        t, res = timed(
+            lambda X: qnm.optimize_cg(rosenbrock_logdensity, X, tol=TOL,
+                                      max_iterations=6000), X11)
+        emit(f"cg_fleet_{b11}x{n11}", t, {
+            "solves_per_sec": round(b11 / t, 1),
+            "converged": int(jnp.sum(res.status == qnm.Status.CONVERGED))})
+
+    # 12. Gradient-free ensemble sampler (round 4): 256 draws at 4096
+    # walkers, n=60 standard Gaussian
+    def gauss12(x):
+        return -0.5 * jnp.sum(x * x)
+
+    X12 = jnp.asarray(RNG.standard_normal((4096, 60)), DTYPE)
+    t, res = timed(
+        lambda X: qnm.ensemble_sample(gauss12, jax.random.PRNGKey(0), X,
+                                      n_samples=256, n_warmup=64), X12)
+    emit("ensemble_4096x60_256draws", t, {
+        "draws_per_sec": round(4096 * 256 / t, 1),
+        "accept": round(float(res.accept_rate.mean()), 3)})
+
 
 if __name__ == "__main__":
     main()
