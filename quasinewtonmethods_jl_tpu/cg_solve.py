@@ -123,12 +123,13 @@ class CGResult(NamedTuple):
 
 class _CGCarry(NamedTuple):
     X: jax.Array  # (n, batch)
-    G: jax.Array  # (n, batch) latest evaluated gradient
+    G: jax.Array  # (n, batch) gradient at X (the fold invariant)
     G_old: jax.Array  # (n, batch)
     D: jax.Array  # (n, batch)
     m_prev: jax.Array  # (batch,)
     t_prev: jax.Array  # (batch,)
-    fun: jax.Array  # (batch,)
+    fun: jax.Array  # (batch,) objective at X (the fold invariant)
+    fprev: jax.Array  # (batch,) previous iteration's objective (stall)
     k: jax.Array  # ()
     status: jax.Array  # (batch,) int32
     iterations: jax.Array
@@ -179,10 +180,13 @@ def _cg_beta(method: str, g, G_old, D, restart_nu: float):
 def _cg_loop_batched(
     vag_b, f_b, carry0: _CGCarry, method: str, ls, tol,
     max_iterations: int, stall_limit: int, restart_nu: float,
+    fold_eval: bool = False,
 ) -> _CGCarry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
     use_wolfe = isinstance(ls, Wolfe)
+    # fold needs the trial gradients only the Wolfe search evaluates
+    fold = use_wolfe and fold_eval
 
     def cond(c: _CGCarry):
         return jnp.logical_and(
@@ -190,11 +194,22 @@ def _cg_loop_batched(
         )
 
     def body(c: _CGCarry):
-        f0, g = vag_b(c.X)
+        if fold:
+            # fold_eval (Wolfe path only): every Wolfe trial
+            # is a value_and_grad anyway, so the ACCEPTED trial's
+            # (value, gradient) seed this iteration — no top-of-iteration
+            # evaluation. For CG this is a real win, not the L-BFGS
+            # engine's wall-neutral nicety: the objective eval is the
+            # dominant per-iteration cost when there is no curvature
+            # state to update (measured on chip, see STATUS.md).
+            # Invariant: (c.fun, c.G) are the evaluation at c.X.
+            f0, g = c.fun, c.G
+        else:
+            f0, g = vag_b(c.X)
         was_active = c.status == Status.RUNNING
         nonfinite = ~jnp.isfinite(f0)
         converged = jnp.max(jnp.abs(g), axis=0) < tol
-        improved = jnp.where(jnp.isnan(c.fun), True, f0 > c.fun)
+        improved = jnp.where(jnp.isnan(c.fprev), True, f0 > c.fprev)
         stall = jnp.where(
             was_active & ~improved, c.stall + 1, jnp.zeros_like(c.stall)
         )
@@ -249,8 +264,8 @@ def _cg_loop_batched(
                 fv, gv = vag_b(c.X + alpha[None, :] * d_ls)
                 return fv, jnp.sum(gv * d_ls, axis=0), gv
 
-            alpha, ls_fev, _it, ls_failed, _f_acc, _G_acc = _batched_wolfe(
-                phi_vag, f0, m_ls, active, ls, dtype
+            alpha, ls_fev, _it, ls_failed, f_acc, G_acc = _batched_wolfe(
+                phi_vag, f0, m_ls, active, ls, dtype, with_grad=fold
             )
             ls_gev = ls_fev
         else:
@@ -264,8 +279,10 @@ def _cg_loop_batched(
             ls_gev = jnp.zeros_like(ls_fev)
 
         take = active & ~ls_failed
-        alpha_eff = alpha * t  # step along the UNSCALED direction d
-        step = jnp.where(take[None, :], alpha_eff[None, :] * d, 0.0)
+        # step along the SCALED direction, bitwise the accepted trial's
+        # point — the fold invariant needs X_new == the point (f_acc,
+        # G_acc) were evaluated at, so alpha * d_ls, not (alpha*t) * d
+        step = jnp.where(take[None, :], alpha[None, :] * d_ls, 0.0)
         new_status = jnp.where(
             active & ls_failed,
             jnp.int32(Status.LINESEARCH_FAILURE),
@@ -273,19 +290,35 @@ def _cg_loop_batched(
         )
         wmask = was_active[None, :]
         amask = active[None, :]
+        tmask = take[None, :]
+        if fold:
+            # fold: (fun, G) move to the accepted trial's evaluation
+            fun_new = jnp.where(take, f_acc, jnp.where(was_active, f0, c.fun))
+            G_new = jnp.where(tmask, G_acc, jnp.where(wmask, g, c.G))
+        else:
+            fun_new = jnp.where(was_active, f0, c.fun)
+            G_new = jnp.where(wmask, g, c.G)
         return _CGCarry(
             X=c.X + step,
-            G=jnp.where(wmask, g, c.G),
+            G=G_new,
             G_old=jnp.where(amask, g, c.G_old),
             D=jnp.where(amask, d, c.D),
             m_prev=jnp.where(take, m, c.m_prev),
-            t_prev=jnp.where(take, alpha_eff, c.t_prev),
-            fun=jnp.where(was_active, f0, c.fun),
+            t_prev=jnp.where(take, alpha * t, c.t_prev),
+            fun=fun_new,
+            fprev=jnp.where(was_active, f0, c.fprev),
             k=c.k + 1,
             status=new_status,
             iterations=c.iterations + active.astype(jnp.int32),
-            n_fev=c.n_fev + was_active.astype(jnp.int32) + ls_fev,
-            n_gev=c.n_gev + was_active.astype(jnp.int32) + ls_gev,
+            # fold: no top-of-iteration evaluation — only the trials count
+            n_fev=c.n_fev + ls_fev + (
+                jnp.zeros_like(ls_fev) if fold
+                else was_active.astype(jnp.int32)
+            ),
+            n_gev=c.n_gev + ls_gev + (
+                jnp.zeros_like(ls_fev) if fold
+                else was_active.astype(jnp.int32)
+            ),
             n_resets=c.n_resets + (reset & active).astype(jnp.int32),
             stall=stall,
         )
@@ -339,12 +372,12 @@ def _result_from_cg_carry(fc: _CGCarry, squeeze: bool) -> CGResult:
     jax.jit,
     static_argnames=(
         "obj", "method", "ls", "max_iterations", "value_and_grad_fn",
-        "stall_limit", "restart_nu", "_squeeze",
+        "stall_limit", "restart_nu", "fold_eval", "_squeeze",
     ),
 )
 def _optimize_cg_jit(
     obj, x0s, method, ls, tol, max_iterations, value_and_grad_fn,
-    stall_limit, restart_nu, _squeeze,
+    stall_limit, restart_nu, fold_eval, _squeeze,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -356,25 +389,35 @@ def _optimize_cg_jit(
     zero_v = jnp.zeros((n, batch), dtype)
     zero_b = jnp.zeros((batch,), dtype)
     zero_i = jnp.zeros((batch,), jnp.int32)
+    X0 = x0s.T
+    nan_b = jnp.full((batch,), jnp.nan, dtype)
+    if isinstance(ls, Wolfe) and fold_eval:
+        # seed the fold invariant: (fun, G) = the evaluation at X
+        fun0, G0 = vag_b(X0)
+        nfev0 = jnp.ones((batch,), jnp.int32)
+    else:
+        fun0, G0 = nan_b, zero_v  # body evaluates at the top
+        nfev0 = zero_i
     carry0 = _CGCarry(
-        X=x0s.T,
-        G=zero_v,
+        X=X0,
+        G=G0,
         G_old=zero_v,
         D=zero_v,
         m_prev=zero_b,  # 0 = fresh → steepest first step
         t_prev=zero_b,
-        fun=jnp.full((batch,), jnp.nan, dtype),
+        fun=fun0,
+        fprev=nan_b,
         k=jnp.zeros((), jnp.int32),
         status=jnp.full((batch,), Status.RUNNING, jnp.int32),
         iterations=zero_i,
-        n_fev=zero_i,
-        n_gev=zero_i,
+        n_fev=nfev0,
+        n_gev=nfev0,
         n_resets=zero_i,
         stall=zero_i,
     )
     fc = _cg_loop_batched(
         vag_b, f_b, carry0, method, ls, tol, max_iterations,
-        stall_limit, restart_nu,
+        stall_limit, restart_nu, fold_eval,
     )
     return _result_from_cg_carry(fc, _squeeze)
 
@@ -390,6 +433,7 @@ def optimize_cg(
     value_and_grad_fn: Optional[Callable] = None,
     stall_limit: int = STALL_LIMIT_DEFAULT,
     restart_nu: float = 0.2,
+    fold_eval: bool = False,
 ) -> CGResult:
     """Maximize a logdensity by nonlinear conjugate gradients.
 
@@ -410,6 +454,16 @@ def optimize_cg(
     (value-only trials; safe with every method via the in-band steepest
     reset, but expect more restarts). ``restart_nu``: Powell-restart
     threshold for 'fr'/'pr' (|g·g_old| > ν g·g → steepest reset).
+    ``fold_eval`` (Wolfe path only, default OFF): seed each iteration
+    with the accepted trial's (value, gradient) instead of a
+    top-of-iteration evaluation — ~40% fewer objective evals, but
+    measured 4-6% SLOWER on chip on both the elementwise Rosenbrock and
+    the matvec logistic-MAP fleets (the (n, batch) gradient carried
+    through the Wolfe while-loop costs more than the saved eval;
+    scripts/tpu_experiments_r4t.py). Turn it on only when one
+    value_and_grad is a large fraction of the iteration wall (very
+    large datasets). Trajectories agree at certificate resolution, not
+    bitwise.
 
     Same contracts as every engine: convergence certificate
     max|∇obj| < ``tol``; ``fun`` NaN unless converged; α = 0 line-search
@@ -432,7 +486,7 @@ def optimize_cg(
         raise ValueError(f"restart_nu must be > 0, got {restart_nu}")
     return _optimize_cg_jit(
         obj, X0, method, ls, tol, max_iterations, value_and_grad_fn,
-        stall_limit, float(restart_nu), squeeze,
+        stall_limit, float(restart_nu), bool(fold_eval), squeeze,
     )
 
 
@@ -440,12 +494,12 @@ def optimize_cg(
     jax.jit,
     static_argnames=(
         "obj", "method", "ls", "max_iterations", "value_and_grad_fn",
-        "stall_limit", "restart_nu", "_squeeze",
+        "stall_limit", "restart_nu", "fold_eval", "_squeeze",
     ),
 )
 def _optimize_cg_resume_jit(
     obj, state, method, ls, tol, max_iterations, value_and_grad_fn,
-    stall_limit, restart_nu, _squeeze,
+    stall_limit, restart_nu, fold_eval, _squeeze,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -453,12 +507,18 @@ def _optimize_cg_resume_jit(
     f_b = jax.vmap(f, in_axes=1, out_axes=0)
     carry0 = _CGCarry(
         X=state.x.T,
+        # the fold invariant at resume: a Wolfe-run state carries (fun,
+        # grad) AT x (part of the pass-the-same-ls resume contract); the
+        # backtracking body re-evaluates at the top regardless
         G=state.grad.T,
         G_old=state.grad_old.T,
         D=state.d.T,
         m_prev=state.m_prev,
         t_prev=state.t_prev,
         fun=state.fun,
+        # fresh stall comparison base per leg (matches the fresh stall
+        # budget below)
+        fprev=jnp.full(state.fun.shape, jnp.nan, state.fun.dtype),
         k=jnp.zeros((), jnp.int32),
         status=jnp.full(state.fun.shape, Status.RUNNING, jnp.int32),
         iterations=state.k,
@@ -470,7 +530,7 @@ def _optimize_cg_resume_jit(
     )
     fc = _cg_loop_batched(
         vag_b, f_b, carry0, method, ls, tol, max_iterations,
-        stall_limit, restart_nu,
+        stall_limit, restart_nu, fold_eval,
     )
     return _result_from_cg_carry(fc, _squeeze)
 
@@ -486,6 +546,7 @@ def optimize_cg_from_state(
     value_and_grad_fn: Optional[Callable] = None,
     stall_limit: int = STALL_LIMIT_DEFAULT,
     restart_nu: float = 0.2,
+    fold_eval: bool = False,
 ) -> CGResult:
     """Resume a nonlinear-CG solve/fleet from a (checkpointed) CGState.
 
@@ -496,8 +557,9 @@ def optimize_cg_from_state(
     β and warm start exactly as the uninterrupted run would (chunked ==
     one long run, regression-tested); lanes that never stepped
     (m_prev == 0) take the steepest first step naturally. Pass the SAME
-    ``method``/``ls``/``restart_nu`` as the original run for trajectory
-    continuation."""
+    ``method``/``ls``/``restart_nu``/``fold_eval`` as the original run
+    for trajectory continuation (the fold invariant trusts the saved
+    (fun, grad) to be the evaluation at x)."""
     if method not in _CG_METHODS:
         raise ValueError(f"method must be one of {_CG_METHODS}, got {method!r}")
     # a rank-1 (single-solve) result's state was squeezed: re-batch it
@@ -513,5 +575,5 @@ def optimize_cg_from_state(
         )
     return _optimize_cg_resume_jit(
         obj, state, method, ls, tol, max_iterations, value_and_grad_fn,
-        stall_limit, float(restart_nu), squeeze,
+        stall_limit, float(restart_nu), bool(fold_eval), squeeze,
     )

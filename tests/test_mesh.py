@@ -448,9 +448,13 @@ def test_optimize_cg_sharded_matches_unsharded(rng):
     r_sh = optimize_cg_sharded(quad_logdensity, X0, mesh, tol=1e-8)
     r_un = qnm.optimize_cg(quad_logdensity, X0, tol=1e-8)
     assert np.all(np.asarray(r_sh.status) == qnm.Status.CONVERGED)
-    # lanes are independent and per-lane reductions are shard-local, so
-    # GSPMD parity is exact (the only collectives are loop predicates)
-    np.testing.assert_array_equal(np.asarray(r_sh.x), np.asarray(r_un.x))
+    # lanes are independent and per-lane reductions are shard-local; the
+    # only collectives are loop predicates. Parity is last-ulp rather
+    # than bitwise: the fold-eval invariant takes (fun, G) from the
+    # line-search trial, whose fusion differs under GSPMD partitioning
+    # (measured max drift ~1e-18 absolute on this fixture).
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_un.x),
+                               rtol=0, atol=1e-12)
     np.testing.assert_array_equal(np.asarray(r_sh.iterations),
                                   np.asarray(r_un.iterations))
     assert len({d for d in r_sh.x.devices()}) == 8
