@@ -121,6 +121,18 @@ def main():
         f"iters={int(rcg.iterations)} restarts={int(rcg.n_resets)}")
     assert int(rcg.status) == qnm.Status.CONVERGED
 
+    # -- gradient-free ensemble sampling (the emcee algorithm) ---------------
+    target_mu = jnp.asarray([1.0, -2.0, 0.5], dtype)
+    laplace = lambda x: -jnp.sum(jnp.abs(x - target_mu))  # noqa: E731
+    walkers = jax.random.normal(key, (64, 3), dtype)
+    rens = qnm.ensemble_sample(laplace, key, walkers,
+                               n_samples=1500, n_warmup=300)
+    tau, reliable = qnm.ensemble_autocorr_time(rens.samples)
+    say(f"ensemble_sample:     |mean err| "
+        f"{float(jnp.max(jnp.abs(rens.samples.reshape(-1, 3).mean(0) - target_mu))):.3f} "
+        f"on a non-differentiable target; tau={float(tau.max()):.1f} "
+        f"(reliable={bool(reliable.all())})")
+
     # -- nonlinear least squares (fit 64 curves in one launch) ---------------
     ts = jnp.tile(jnp.linspace(0.0, 3.0, 32, dtype=dtype), (64, 1))
     true_p = jnp.stack([jnp.linspace(0.5, 2.0, 64),

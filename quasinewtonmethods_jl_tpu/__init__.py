@@ -60,6 +60,7 @@ from .svgd import (
 from .ensemble import (
     EnsembleResult,
     EnsembleState,
+    ensemble_autocorr_time,
     ensemble_sample,
     ensemble_sample_from_state,
 )
@@ -233,6 +234,7 @@ __all__ = [
     "SVGDState",
     "EnsembleResult",
     "EnsembleState",
+    "ensemble_autocorr_time",
     "ensemble_sample",
     "ensemble_sample_from_state",
     "svgd_sample",

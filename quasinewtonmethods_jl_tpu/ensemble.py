@@ -50,8 +50,8 @@ from jax import lax
 
 from .api import as_value_fn
 
-__all__ = ["EnsembleResult", "EnsembleState", "ensemble_sample",
-           "ensemble_sample_from_state"]
+__all__ = ["EnsembleResult", "EnsembleState", "ensemble_autocorr_time",
+           "ensemble_sample", "ensemble_sample_from_state"]
 
 
 class EnsembleState(NamedTuple):
@@ -313,3 +313,52 @@ def ensemble_sample_from_state(
         obj, state, int(n_samples), int(n_warmup), float(a), partner,
         value_and_grad_fn,
     )
+
+
+def ensemble_autocorr_time(samples, c: float = 5.0):
+    """Integrated autocorrelation time per dimension (the emcee
+    diagnostic — Goodman & Weare's recommended convergence measure,
+    with Sokal's adaptive window as implemented in emcee).
+
+    Walkers are NOT independent chains, so `diagnose_chains`' split
+    R-hat/ESS (which assume independence) OVERSTATE the information in
+    a stretch-move run. The ensemble convention instead averages each
+    walker's normalized autocorrelation function and reports
+
+        τ(M) = 1 + 2 Σ_{t=1..M} ρ_t,   M = min window with M >= c·τ(M).
+
+    Effective samples ≈ draws·walkers / τ. Returns ``(tau, reliable)``,
+    both (n,): ``reliable`` is emcee's rule of thumb
+    draws > 50·τ — below it the τ estimate itself has not converged
+    (treat it as a lower bound and run longer).
+
+    Host-side numpy (an analysis-time diagnostic, not a hot path);
+    accepts the (draws, walkers, n) array from `EnsembleResult.samples`.
+    """
+    import numpy as np
+
+    x = np.asarray(samples, np.float64)
+    if x.ndim != 3 or x.shape[0] < 8:
+        raise ValueError(
+            "samples must be (draws >= 8, walkers, n), got shape "
+            f"{x.shape}"
+        )
+    n_draw = x.shape[0]
+    xc = x - x.mean(axis=0, keepdims=True)
+    size = 2 ** int(np.ceil(np.log2(2 * n_draw)))
+    f = np.fft.rfft(xc, n=size, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=size, axis=0)[:n_draw].real
+    # average the per-walker autocorrelation functions (emcee), guarding
+    # frozen walkers (zero variance -> zero autocov contributions)
+    acov = acov.mean(axis=1)  # (draws, n)
+    denom = np.where(acov[0] > 0.0, acov[0], 1.0)
+    rho = acov / denom[None, :]
+    taus = 2.0 * np.cumsum(rho, axis=0) - 1.0  # τ(M) for every window M
+    ts = np.arange(n_draw)[:, None]
+    crossed = ts >= c * taus
+    # first window satisfying Sokal's condition; none -> the full length
+    has = crossed.any(axis=0)
+    M = np.where(has, crossed.argmax(axis=0), n_draw - 1)
+    tau = np.maximum(taus[M, np.arange(x.shape[-1])], 1.0)
+    reliable = has & (n_draw > 50.0 * tau)
+    return tau, reliable

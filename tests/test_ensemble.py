@@ -204,3 +204,28 @@ def test_ensemble_sharded_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(r_sh.samples), np.asarray(r_un.samples)
     )
+
+
+def test_ensemble_autocorr_time():
+    from quasinewtonmethods_jl_tpu.ensemble import ensemble_autocorr_time
+
+    # iid pseudo-draws: tau == 1, reliable
+    iid = np.random.default_rng(8).standard_normal((2000, 32, 3))
+    tau, rel = ensemble_autocorr_time(iid)
+    np.testing.assert_allclose(tau, 1.0, atol=0.3)
+    assert rel.all()
+
+    # a real stretch-move run mixes slower than iid: tau >> 1, and the
+    # run is long enough for the estimate to be reliable
+    logd, _, _ = _corr_gaussian()
+    x0s = jnp.asarray(np.random.default_rng(9).standard_normal((64, 3)))
+    r = ensemble_sample(logd, jax.random.PRNGKey(10), x0s,
+                        n_samples=4000, n_warmup=500)
+    tau, rel = ensemble_autocorr_time(r.samples)
+    assert np.all(tau > 5.0)
+    assert rel.all()
+    # too-short run: the reliability flag must refuse
+    tau_s, rel_s = ensemble_autocorr_time(np.asarray(r.samples)[:100])
+    assert not rel_s.all()
+    with pytest.raises(ValueError, match="draws"):
+        ensemble_autocorr_time(np.zeros((4, 8, 2)))
