@@ -76,6 +76,8 @@ from .diagnostics import (
     ChainDiagnostics,
     diagnose_chains,
     diagnose_chains_device,
+    energy_bfmi,
+    energy_bfmi_device,
     ess,
     ess_device,
     rank_normalized_rhat,
@@ -169,6 +171,8 @@ __all__ = [
     "ChainDiagnostics",
     "diagnose_chains",
     "diagnose_chains_device",
+    "energy_bfmi",
+    "energy_bfmi_device",
     "ess",
     "ess_device",
     "rank_normalized_rhat",

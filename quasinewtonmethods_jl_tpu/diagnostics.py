@@ -44,11 +44,13 @@ __all__ = [
     "rank_normalized_rhat",
     "tail_ess",
     "diagnose_chains",
+    "energy_bfmi",
     "split_rhat_device",
     "ess_device",
     "rank_normalized_rhat_device",
     "tail_ess_device",
     "diagnose_chains_device",
+    "energy_bfmi_device",
 ]
 
 
@@ -370,3 +372,43 @@ def diagnose_chains_device(
         rhat_rank=rank_normalized_rhat_device(samples) if rank else None,
         ess_tail=tail_ess_device(samples) if rank else None,
     )
+
+
+def energy_bfmi(energies) -> np.ndarray:
+    """Per-chain E-BFMI, the Bayesian fraction of missing information of
+    the Hamiltonian transition (Betancourt 2016, "Diagnosing suboptimal
+    cotangent disintegrations"; Stan's ``E-BFMI`` check):
+
+        E-BFMI_c = sum_t (E_t - E_{t-1})^2 / sum_t (E_t - E_bar)^2
+
+    where E_t are the per-draw Hamiltonians that `hmc_sample` /
+    `chees_sample` / `nuts_sample` return as ``result.energies``
+    ((draws, chains)). It compares how far momentum refreshment moves the
+    energy (numerator) against the marginal energy spread the chain must
+    traverse (denominator): values near 2 are an ideally mixing Gaussian
+    energy spectrum; **below ~0.3** (Stan's warning bar) the sampler
+    random-walks across energy levels — heavy-tailed or funnel-like
+    targets — and no amount of extra draws fixes it (reparameterize, or
+    hand the geometry a better mass via `chain_init_from_map` /
+    ``adapt_mass``).
+
+    Host-side numpy; `energy_bfmi_device` is the on-device twin.
+    """
+    e = np.asarray(energies, np.float64)
+    if e.ndim != 2 or e.shape[0] < 3:
+        raise ValueError(
+            f"energies must be (draws >= 3, chains), got shape {e.shape}"
+        )
+    num = np.sum(np.diff(e, axis=0) ** 2, axis=0)
+    den = np.sum((e - e.mean(axis=0)) ** 2, axis=0)
+    return num / np.maximum(den, np.finfo(np.float64).tiny)
+
+
+@jax.jit
+def energy_bfmi_device(energies: jax.Array) -> jax.Array:
+    """`energy_bfmi` as one jitted XLA program over the on-device
+    (draws, chains) energies — two reductions, no host fetch."""
+    e = energies
+    num = jnp.sum(jnp.diff(e, axis=0) ** 2, axis=0)
+    den = jnp.sum((e - jnp.mean(e, axis=0)) ** 2, axis=0)
+    return num / jnp.maximum(den, jnp.finfo(e.dtype).tiny)

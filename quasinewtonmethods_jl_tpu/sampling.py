@@ -84,6 +84,11 @@ class HMCResult(NamedTuple):
     samples: (n_samples, chains, n) post-warmup draws
     accept_rate: (chains,) mean Metropolis acceptance over sampling
     step_size: (chains,) final (adapted) leapfrog step size
+    energies: (n_samples, chains) Hamiltonian -f(x)+K(p) of each
+        transition's selected phase-space point (Stan's ``energy__``) —
+        feed `diagnostics.energy_bfmi` for the Betancourt E-BFMI check
+    divergences: (chains,) int32 count of divergent transitions over
+        sampling (non-finite or catastrophic energy error)
     final_x: (chains, n) last state
     state: HMCState — resume via `hmc_sample_from_state`
     """
@@ -91,6 +96,8 @@ class HMCResult(NamedTuple):
     samples: jax.Array
     accept_rate: jax.Array
     step_size: jax.Array
+    energies: jax.Array
+    divergences: jax.Array
     final_x: jax.Array
     state: HMCState
 
@@ -433,7 +440,9 @@ def _hmc_core(
         p = _draw_momentum(k1, chains, n, dtype, mass_b, chol_u)
         x_new, p_new = leap_b(x, p, eps)
         f_new = f_b(x_new)
-        log_ratio = (f_new - _kinetic(p_new, mass_b)) - (f - _kinetic(p, mass_b))
+        e_init = _kinetic(p, mass_b) - f
+        e_prop = _kinetic(p_new, mass_b) - f_new
+        log_ratio = e_init - e_prop
         # NaN-robust: a diverged trajectory (non-finite ratio) is rejected
         accept_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
         accept_prob = jnp.where(jnp.isfinite(accept_prob), accept_prob, 0.0)
@@ -441,7 +450,13 @@ def _hmc_core(
         acc = u < accept_prob
         x = jnp.where(acc[:, None], x_new, x)
         f = jnp.where(acc, f_new, f)
-        return x, f, acc, accept_prob
+        # observability: the Hamiltonian of the transition's selected
+        # phase-space point (Stan's energy__), and the Stan-convention
+        # divergence flag (energy error non-finite or past the blow-up
+        # threshold — fixed-length HMC rejects these in-band above)
+        energy = jnp.where(acc, e_prop, e_init)
+        div = ~jnp.isfinite(log_ratio) | (log_ratio < -1000.0)
+        return x, f, acc, accept_prob, energy, div
 
     # first-ever call: the cached logdensity is not populated yet
     f0 = f_b(state.x) if (i_warm0 == 0 and i_samp0 == 0) else state.f
@@ -452,7 +467,7 @@ def _hmc_core(
     def warm_body(carry, i):
         x, f, log_eps, log_eps_bar, h_bar, t = carry
         k = jax.random.fold_in(k_warm, i)
-        x, f, _acc, a_prob = hmc_step(x, f, jnp.exp(log_eps), k)
+        x, f, _acc, a_prob, _e, _d = hmc_step(x, f, jnp.exp(log_eps), k)
         log_eps, log_eps_bar, h_bar, t = _da_update(
             h_bar, log_eps_bar, t, target_accept - a_prob, state.mu
         )
@@ -470,10 +485,12 @@ def _hmc_core(
     # ---- sampling at the adapted step ----
     def sample_body(carry, j):
         x, f = carry
-        x, f, acc, _ = hmc_step(x, f, eps_final, jax.random.fold_in(k_samp, j))
-        return (x, f), (x, acc)
+        x, f, acc, _, e, dv = hmc_step(
+            x, f, eps_final, jax.random.fold_in(k_samp, j)
+        )
+        return (x, f), (x, acc, e, dv)
 
-    (x, f), (samples, accs) = lax.scan(
+    (x, f), (samples, accs, energies, divs) = lax.scan(
         sample_body, (x, f), i_samp0 + jnp.arange(n_samples)
     )
     out_state = HMCState(
@@ -486,6 +503,8 @@ def _hmc_core(
         samples=samples,
         accept_rate=jnp.mean(accs.astype(dtype), axis=0),
         step_size=eps_final,
+        energies=energies,
+        divergences=jnp.sum(divs.astype(jnp.int32), axis=0),
         final_x=x,
         state=out_state,
     )
@@ -612,6 +631,11 @@ class ChEESResult(NamedTuple):
     step_size: () adapted shared leapfrog step size
     traj_length: () adapted mean trajectory length (time units)
     mass_diag: (n,) the (possibly fleet-adapted) diagonal preconditioner
+    energies: (n_samples, chains) Hamiltonian of each transition's
+        selected phase-space point (Stan's ``energy__``) — feed
+        `diagnostics.energy_bfmi` for the Betancourt E-BFMI check
+    divergences: (chains,) int32 count of divergent transitions over
+        sampling (non-finite or catastrophic energy error)
     final_x: (chains, n) last state
     state: ChEESState — resume via `chees_sample_from_state`
     """
@@ -621,6 +645,8 @@ class ChEESResult(NamedTuple):
     step_size: jax.Array
     traj_length: jax.Array
     mass_diag: jax.Array
+    energies: jax.Array
+    divergences: jax.Array
     final_x: jax.Array
     state: ChEESState
 
@@ -776,15 +802,19 @@ def _chees_core(
         p = _draw_momentum(k, chains, n, dtype, mass_d, chol_d)
         x_new, p_new = leapfrog_dyn(x, p, eps, mass_d, n_steps)
         f_new = f_b(x_new)
-        log_ratio = (f_new - _kinetic(p_new, mass_d)) - (
-            f - _kinetic(p, mass_d)
-        )
+        e_init = _kinetic(p, mass_d) - f
+        e_prop = _kinetic(p_new, mass_d) - f_new
+        log_ratio = e_init - e_prop
         a_prob = jnp.exp(jnp.minimum(log_ratio, 0.0))
         a_prob = jnp.where(jnp.isfinite(a_prob), a_prob, 0.0)
         u_mh = jax.random.uniform(jax.random.fold_in(k, 7), (chains,), dtype)
         acc = u_mh < a_prob
         x_out = jnp.where(acc[:, None], x_new, x)
         f_out = jnp.where(acc, f_new, f)
+        # observability (see hmc_step): selected-point Hamiltonian +
+        # Stan-convention divergence flag
+        energy = jnp.where(acc, e_prop, e_init)
+        div = ~jnp.isfinite(log_ratio) | (log_ratio < -1000.0)
 
         # ChEES gradient wrt log T (chain rule through t = u * 2T):
         # Delta_c * <x'_c - mean(x'), dx'/dt = M^-1-velocity ~ mass*p'>,
@@ -797,7 +827,7 @@ def _chees_core(
         wsum = jnp.maximum(jnp.sum(a_prob), 1e-6)
         g_chees = jnp.sum(a_prob * per_chain) / wsum * t_jit
         g_chees = jnp.where(jnp.isfinite(g_chees), g_chees, 0.0)
-        return x_out, f_out, a_prob, g_chees
+        return x_out, f_out, a_prob, g_chees, energy, div
 
     # first-ever call: populate the cached logdensity
     f0 = f_b(state.x) if (i_warm0 == 0 and i_samp0 == 0) else state.f
@@ -835,7 +865,7 @@ def _chees_core(
             mass_d, chol_d = var_ema, frozen_chol
         else:
             mass_d, chol_d = mass0, chol_u
-        x, f, a_prob, g_chees = round_(
+        x, f, a_prob, g_chees, _e, _d = round_(
             x, f, log_eps, log_T, mass_d, u, k, chol_d
         )
 
@@ -933,12 +963,12 @@ def _chees_core(
         x, f = carry
         u, j = xs
         k = jax.random.fold_in(k_samp, j)
-        x, f, a_prob, _g = round_(
+        x, f, a_prob, _g, e, dv = round_(
             x, f, log_eps_bar, log_T, mass_final, u, k, chol_final
         )
-        return (x, f), (x, a_prob)
+        return (x, f), (x, a_prob, e, dv)
 
-    (x, f), (samples, a_probs) = lax.scan(
+    (x, f), (samples, a_probs, energies, divs) = lax.scan(
         sample_body,
         (x, f),
         (us_s, i_samp0 + jnp.arange(n_samples)),
@@ -959,6 +989,8 @@ def _chees_core(
         step_size=eps_final,
         traj_length=jnp.exp(log_T),
         mass_diag=_mass_diag(mass_final),
+        energies=energies,
+        divergences=jnp.sum(divs.astype(jnp.int32), axis=0),
         final_x=x,
         state=out_state,
     )
@@ -1221,6 +1253,11 @@ class NUTSResult(NamedTuple):
     step_size: (chains,) adapted leapfrog step size
     mean_tree_depth: (chains,) mean doublings per draw over sampling
     mass_diag: (n,) the (possibly fleet-adapted) diagonal preconditioner
+    energies: (n_samples, chains) post-momentum-refresh Hamiltonian of
+        each transition — feed `diagnostics.energy_bfmi` for the
+        Betancourt E-BFMI check
+    divergences: (chains,) int32 count of draws whose tree hit a
+        divergent leaf (energy error past ``max_energy_change``)
     final_x: (chains, n) last state
     state: NUTSState — resume via `nuts_sample_from_state`
     """
@@ -1230,6 +1267,8 @@ class NUTSResult(NamedTuple):
     step_size: jax.Array
     mean_tree_depth: jax.Array
     mass_diag: jax.Array
+    energies: jax.Array
+    divergences: jax.Array
     final_x: jax.Array
     state: NUTSState
 
@@ -1409,9 +1448,14 @@ def _nuts_core(
 
     def one_draw(x, f, g, eps, mass_d, k, chol_d=None):
         """One NUTS transition for all chains. Returns the new (x, f, g),
-        the mean leaf-acceptance surrogate, and the tree depth. ``chol_d``
-        as in chees's round_: precomputed for a static dense mass, None
-        for the fleet-adapted dense EMA (factored per draw)."""
+        the mean leaf-acceptance surrogate, the tree depth, the
+        start-of-trajectory Hamiltonian (for E-BFMI — the multinomial
+        proposal's own momentum is never materialized; trajectories
+        conserve H to integrator error, so the post-momentum-refresh
+        energy carries the same marginal/transition content), and the
+        per-chain divergence flag. ``chol_d`` as in chees's round_:
+        precomputed for a static dense mass, None for the fleet-adapted
+        dense EMA (factored per draw)."""
         kp, kd = jax.random.split(k)
         p0 = _draw_momentum(kp, chains, n, dtype, mass_d, chol_d)
         h0 = f - _kinetic(p0, mass_d)
@@ -1421,7 +1465,7 @@ def _nuts_core(
 
         def body(c):
             (j, x_l, p_l, g_l, x_r, p_r, g_r, xp, fp, gp, lw_tot,
-             sa, na, depth, done) = c
+             sa, na, depth, divflag, done) = c
             kj = jax.random.fold_in(kd, j)
             d = jax.random.rademacher(
                 jax.random.fold_in(kj, 0), (chains,), jnp.int32
@@ -1460,20 +1504,22 @@ def _nuts_core(
             depth = depth + ok.astype(jnp.int32)
             sa = sa + jnp.where(~done, st_sa, 0.0)
             na = na + jnp.where(~done, st_na, 0)
+            divflag = divflag | st_div
             done = done | st_turn | st_div | (ok & turn_g)
             return (j + 1, x_l, p_l, g_l, x_r, p_r, g_r, xp, fp, gp,
-                    lw_tot, sa, na, depth, done)
+                    lw_tot, sa, na, depth, divflag, done)
 
         c0 = (
             jnp.zeros((), jnp.int32), x, p0, g, x, p0, g, x, f, g,
             jnp.zeros((chains,), dtype),  # initial leaf weight exp(0)
             jnp.zeros((chains,), dtype), jnp.zeros((chains,), jnp.int32),
             jnp.zeros((chains,), jnp.int32), jnp.zeros((chains,), bool),
+            jnp.zeros((chains,), bool),
         )
         (_, _xl, _pl, _gl, _xr, _pr, _gr, xp, fp, gp, _lw, sa, na,
-         depth, _done) = lax.while_loop(cond, body, c0)
+         depth, divflag, _done) = lax.while_loop(cond, body, c0)
         alpha = sa / jnp.maximum(na, 1).astype(dtype)
-        return xp, fp, gp, alpha, depth
+        return xp, fp, gp, alpha, depth, -h0, divflag
 
     # first-ever call: populate the cached (logdensity, gradient)
     if i_warm0 == 0 and i_samp0 == 0:
@@ -1500,7 +1546,7 @@ def _nuts_core(
             mass_d, chol_d = var_ema, frozen_chol
         else:
             mass_d, chol_d = mass_b, chol_u
-        x, f, g, alpha, depth = one_draw(
+        x, f, g, alpha, depth, _e, _d = one_draw(
             x, f, g, jnp.exp(log_eps), mass_d, k, chol_d
         )
         # depth telemetry over the plan's two tail windows — free probe
@@ -1585,13 +1631,13 @@ def _nuts_core(
     # ---- sampling at the adapted (eps, mass) ----
     def sample_body(carry, j):
         x, f, g = carry
-        x, f, g, alpha, depth = one_draw(
+        x, f, g, alpha, depth, e, dv = one_draw(
             x, f, g, eps_final, mass_final, jax.random.fold_in(k_samp, j),
             chol_final,
         )
-        return (x, f, g), (x, alpha, depth)
+        return (x, f, g), (x, alpha, depth, e, dv)
 
-    (x, f, g), (samples, alphas, depths) = lax.scan(
+    (x, f, g), (samples, alphas, depths, energies, divs) = lax.scan(
         sample_body, (x, f, g), i_samp0 + jnp.arange(n_samples)
     )
     out_state = NUTSState(
@@ -1610,6 +1656,8 @@ def _nuts_core(
         step_size=eps_final,
         mean_tree_depth=jnp.mean(depths.astype(dtype), axis=0),
         mass_diag=_mass_diag(mass_final),
+        energies=energies,
+        divergences=jnp.sum(divs.astype(jnp.int32), axis=0),
         final_x=x,
         state=out_state,
     )
@@ -1927,7 +1975,9 @@ def nuts_sample_depth_sorted(
         acc = sum(w * r.accept_prob for w, r in legs) / tot
         dep = sum(w * r.mean_tree_depth for w, r in legs) / tot
         return legs[-1][1]._replace(
-            samples=samples, accept_prob=acc, mean_tree_depth=dep
+            samples=samples, accept_prob=acc, mean_tree_depth=dep,
+            energies=jnp.concatenate([r.energies for _, r in legs]),
+            divergences=sum(r.divergences for _, r in legs),
         )
 
     if not (persistence >= min_persistence and spread >= min_depth_spread):
@@ -1963,6 +2013,13 @@ def nuts_sample_depth_sorted(
     acc_main = scatter([r.accept_prob for r in sub_results], 0)
     dep_main = scatter([r.mean_tree_depth for r in sub_results], 0)
     final_x = scatter([r.final_x for r in sub_results], 0)
+    energies = jnp.concatenate(
+        [r.energies for _, r in pre]
+        + [scatter([r.energies for r in sub_results], 1)]
+    )
+    divergences = sum(r.divergences for _, r in pre) + scatter(
+        [r.divergences for r in sub_results], 0
+    )
 
     samples = jnp.concatenate(
         [r.samples for _, r in pre] + [samples_main]
@@ -1996,6 +2053,8 @@ def nuts_sample_depth_sorted(
         step_size=scatter([r.step_size for r in sub_results], 0),
         mean_tree_depth=dep,
         mass_diag=sub_results[0].mass_diag,
+        energies=energies,
+        divergences=divergences,
         final_x=final_x,
         state=merged,
     )

@@ -263,3 +263,33 @@ def test_diagnose_chains_device_rank_opt_in():
         np.asarray(full.rhat_rank), rank_normalized_rhat(np.asarray(x)),
         rtol=1e-5,
     )
+
+
+def test_energy_bfmi_white_noise_is_two():
+    """iid Gaussian energies: Var(E_t - E_{t-1}) = 2 Var(E), so the
+    ratio of sums converges to 2 — the ideally-mixing spectrum."""
+    e = np.random.default_rng(3).standard_normal((5000, 8))
+    bfmi = qnm.energy_bfmi(e)
+    np.testing.assert_allclose(bfmi, 2.0, atol=0.15)
+    # device twin: identical math
+    np.testing.assert_allclose(
+        np.asarray(qnm.energy_bfmi_device(jnp.asarray(e))), bfmi,
+        rtol=1e-10,
+    )
+
+
+def test_energy_bfmi_random_walk_is_low():
+    """A random walk in energy (the pathology E-BFMI exists to catch:
+    momentum refreshment barely moves the energy level) scores far
+    below the iid value and below Stan's 0.3 warning bar."""
+    rng = np.random.default_rng(4)
+    e = np.cumsum(rng.standard_normal((2000, 4)), axis=0)
+    bfmi = qnm.energy_bfmi(e)
+    assert np.all(bfmi < 0.3), bfmi
+
+
+def test_energy_bfmi_shape_guard():
+    with pytest.raises(ValueError, match="draws"):
+        qnm.energy_bfmi(np.zeros((2, 3)))
+    with pytest.raises(ValueError, match="draws"):
+        qnm.energy_bfmi(np.zeros(7))

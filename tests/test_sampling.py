@@ -796,3 +796,82 @@ def test_chain_init_lowrank_on_bfgs_raises():
         qnm.chain_init_from_map(fleet, mass_form="lowrank")
     with pytest.raises(ValueError, match="mass_form"):
         qnm.chain_init_from_map(fleet, mass_form="nope")
+
+
+@pytest.mark.parametrize("sampler", ["hmc", "chees", "nuts"])
+def test_energies_and_divergences_contract(sampler):
+    """Every HMC-family result carries (draws, chains) Hamiltonians and a
+    per-chain divergence count; an easy Gaussian mixes with E-BFMI above
+    Stan's 0.3 warning bar and zero divergences."""
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    chains, n, draws = 16, 4, 250
+    key = jax.random.PRNGKey(5)
+    x0s = jax.random.normal(key, (chains, n))
+    fn = {"hmc": qnm.hmc_sample, "chees": qnm.chees_sample,
+          "nuts": qnm.nuts_sample}[sampler]
+    res = fn(logdensity, key, x0s, n_samples=draws, n_warmup=200)
+    e = np.asarray(res.energies)
+    d = np.asarray(res.divergences)
+    assert e.shape == (draws, chains)
+    assert d.shape == (chains,) and np.issubdtype(d.dtype, np.integer)
+    assert np.all(np.isfinite(e))
+    assert np.all(d == 0)
+    bfmi = qnm.energy_bfmi(e)
+    assert np.all(bfmi > 0.3), bfmi
+    # energies must actually be the Hamiltonian scale of this target:
+    # E[E] = (potential + kinetic)/draw ~ n/2 + n/2 = n for a standard
+    # Gaussian (generous MC bar)
+    assert abs(e.mean() - n) < 1.5
+
+
+@pytest.mark.parametrize("sampler", ["hmc", "nuts"])
+def test_energies_chunked_identical(sampler):
+    """The resume contract extends to the new observability outputs:
+    chunked runs concatenate to the long run's exact energies and sum to
+    its divergence counts."""
+    def logdensity(x):
+        return -0.5 * jnp.sum(x * x)
+
+    chains, n = 8, 3
+    key = jax.random.PRNGKey(6)
+    x0s = jax.random.normal(key, (chains, n))
+    if sampler == "hmc":
+        long = qnm.hmc_sample(logdensity, key, x0s, n_samples=120,
+                              n_warmup=80)
+        r1 = qnm.hmc_sample(logdensity, key, x0s, n_samples=50,
+                            n_warmup=80)
+        r2 = qnm.hmc_sample_from_state(logdensity, r1.state, n_samples=70)
+    else:
+        long = qnm.nuts_sample(logdensity, key, x0s, n_samples=120,
+                               n_warmup=80)
+        r1 = qnm.nuts_sample(logdensity, key, x0s, n_samples=50,
+                             n_warmup=80)
+        r2 = qnm.nuts_sample_from_state(logdensity, r1.state, n_samples=70)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(r1.energies), np.asarray(r2.energies)]),
+        np.asarray(long.energies),
+    )
+    assert int(r1.divergences.sum() + r2.divergences.sum()) == int(
+        long.divergences.sum()
+    )
+
+
+def test_divergences_count_in_band():
+    """A step size far past the stability limit must be *counted* as
+    divergent (and rejected in-band), not raise or poison the chain."""
+    def stiff(x):
+        return -0.5 * 1e6 * jnp.sum(x * x)
+
+    chains, n = 8, 3
+    key = jax.random.PRNGKey(7)
+    x0s = 0.001 * jax.random.normal(key, (chains, n))
+    rh = qnm.hmc_sample(stiff, key, x0s, n_samples=60, n_warmup=0,
+                        step_size=10.0)
+    assert int(rh.divergences.sum()) > 0
+    assert np.all(np.isfinite(np.asarray(rh.final_x)))
+    rn = qnm.nuts_sample(stiff, key, x0s, n_samples=40, n_warmup=0,
+                         step_size=5.0)
+    assert int(rn.divergences.sum()) > 0
+    assert np.all(np.isfinite(np.asarray(rn.final_x)))
