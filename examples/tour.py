@@ -133,6 +133,16 @@ def main():
         f"on a non-differentiable target; tau={float(tau.max()):.1f} "
         f"(reliable={bool(reliable.all())})")
 
+    # -- microcanonical Langevin (fixed-cost: every step is a draw) ----------
+    rmc = qnm.mclmc_sample(lambda x: -0.5 * jnp.sum(x * x), key,
+                           jax.random.normal(key, (64, 8), dtype),
+                           n_samples=600, n_warmup=300)
+    vmc = rmc.samples.reshape(-1, 8).var(0)
+    say(f"mclmc_sample:        var in [{float(vmc.min()):.3f}, "
+        f"{float(vmc.max()):.3f}] (controlled O(eps^2) bias), "
+        f"eps={float(rmc.step_size):.2f} L={float(rmc.L):.2f}, "
+        f"div={int(rmc.divergences.sum())}")
+
     # -- nonlinear least squares (fit 64 curves in one launch) ---------------
     ts = jnp.tile(jnp.linspace(0.0, 3.0, 32, dtype=dtype), (64, 1))
     true_p = jnp.stack([jnp.linspace(0.5, 2.0, 64),

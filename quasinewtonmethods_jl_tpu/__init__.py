@@ -64,6 +64,12 @@ from .ensemble import (
     ensemble_sample,
     ensemble_sample_from_state,
 )
+from .mclmc import (
+    MCLMCResult,
+    MCLMCState,
+    mclmc_sample,
+    mclmc_sample_from_state,
+)
 from .lbfgs_batched_solve import optimize_lbfgs_batched_fused_from_state
 from .minimize import minimize
 from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
@@ -241,6 +247,10 @@ __all__ = [
     "ensemble_autocorr_time",
     "ensemble_sample",
     "ensemble_sample_from_state",
+    "MCLMCResult",
+    "MCLMCState",
+    "mclmc_sample",
+    "mclmc_sample_from_state",
     "svgd_sample",
     "svgd_sample_from_state",
     "optimize_batched_pytree",

@@ -192,9 +192,12 @@ def _mclmc_core(
         if adapt_mass:
             m = var_ema
         elif mass is not None:
-            m = jnp.asarray(mass, dtype)
-            if m.ndim == 2:
-                m = jnp.diagonal(m)
+            if callable(getattr(mass, "diag", None)):
+                m = jnp.asarray(mass.diag(), dtype)  # LowRankMass handoff
+            else:
+                m = jnp.asarray(mass, dtype)
+                if m.ndim == 2:
+                    m = jnp.diagonal(m)
         else:
             m = jnp.ones((n,), dtype)
         s = jnp.sqrt(m)
@@ -319,6 +322,7 @@ def mclmc_sample(
     step_size: Optional[float] = None,
     desired_energy_var: float = 5e-4,
     adapt_mass: bool = False,
+    total_warmup: Optional[int] = None,
     value_and_grad_fn: Optional[Callable] = None,
 ) -> MCLMCResult:
     """Batched microcanonical Langevin Monte Carlo over a chain fleet.
@@ -346,7 +350,11 @@ def mclmc_sample(
     MCLMC-specific health dials (see `MCLMCResult`).
 
     The result carries a resumable `state`; `mclmc_sample_from_state`
-    continues (or checkpoint-chunks) the run trajectory-identically.
+    continues (or checkpoint-chunks) the run trajectory-identically. To
+    chunk THROUGH warmup, announce the plan with ``total_warmup`` (it
+    pins the variance-EMA freeze step) and run
+    ``n_warmup <= total_warmup`` steps now, the rest via
+    `mclmc_sample_from_state`.
     """
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
@@ -359,6 +367,18 @@ def mclmc_sample(
         )
     if n_warmup < 0 or n_samples < 0:
         raise ValueError("n_samples and n_warmup must be >= 0")
+    if total_warmup is None:
+        total_warmup = n_warmup
+    if n_warmup > total_warmup:
+        raise ValueError(
+            f"n_warmup ({n_warmup}) exceeds total_warmup ({total_warmup})"
+        )
+    if n_samples > 0 and n_warmup < total_warmup:
+        raise ValueError(
+            "cannot draw samples before the announced warmup plan is "
+            f"complete ({n_warmup} of {total_warmup} steps); chunk with "
+            "mclmc_sample_from_state"
+        )
     if desired_energy_var <= 0.0:
         raise ValueError("desired_energy_var must be > 0")
     if mass is not None and adapt_mass:
@@ -380,8 +400,8 @@ def mclmc_sample(
         key=key,
         i_warm=jnp.zeros((), jnp.int32),
         i_samp=jnp.zeros((), jnp.int32),
-        n_warmup_total=jnp.asarray(n_warmup, jnp.int32),
-        mass_freeze=jnp.asarray(max(n_warmup // 2, 1), jnp.int32),
+        n_warmup_total=jnp.asarray(total_warmup, jnp.int32),
+        mass_freeze=jnp.asarray(max(total_warmup // 2, 1), jnp.int32),
     )
     return _mclmc_core(
         obj, state0, mass, int(n_samples), int(n_warmup),
@@ -405,12 +425,24 @@ def mclmc_sample_from_state(
     trajectory-identical to one long run with the same totals (same base
     key; ``mass``/``adapt_mass``/``desired_energy_var`` are config, not
     state, and must be re-passed). Warmup cannot resume after sampling
-    has begun (phases are monotone)."""
+    has begun (phases are monotone), nor exceed (or be left short of)
+    the plan the first call announced via ``total_warmup``."""
     i_warm0, i_samp0 = int(state.i_warm), int(state.i_samp)
+    n_total = int(state.n_warmup_total)
     if n_warmup > 0 and i_samp0 > 0:
         raise ValueError(
             "cannot add warmup after sampling has begun "
             f"(state has {i_samp0} draws)"
+        )
+    if i_warm0 + n_warmup > n_total:
+        raise ValueError(
+            f"warmup plan exceeded: state has {i_warm0} of "
+            f"{n_total} planned steps; requested {n_warmup} more"
+        )
+    if n_samples > 0 and i_warm0 + n_warmup < n_total:
+        raise ValueError(
+            "cannot draw samples before the announced warmup plan is "
+            f"complete ({i_warm0 + n_warmup} of {n_total} steps)"
         )
     if mass is not None and adapt_mass:
         raise ValueError("pass either mass= or adapt_mass=True, not both")

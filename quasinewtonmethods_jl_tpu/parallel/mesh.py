@@ -303,7 +303,10 @@ def sample_sharded(
     acceptance all-reduces; with ``sampler='ensemble'`` the walker
     halves live on opposite shard groups — prefer ``partner='shift'``
     (the roll lowers to a collective permute; 'gather' becomes a
-    cross-device gather). kwargs pass through to the corresponding
+    cross-device gather); with ``sampler='mclmc'`` the warmup's fleet
+    tuning (the energy-error variance scalar and the (n,) fleet
+    variance) all-reduces and the sampling phase is embarrassingly
+    chain-parallel. kwargs pass through to the corresponding
     sampler."""
     from ..sampling import get_sampler
 

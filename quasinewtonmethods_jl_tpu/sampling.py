@@ -116,12 +116,20 @@ def _ensemble_sample_lazy(*args, **kwargs):
     return ensemble_sample(*args, **kwargs)
 
 
+def _mclmc_sample_lazy(*args, **kwargs):
+    # deferred: mclmc imports this module's conventions at call time
+    from .mclmc import mclmc_sample
+
+    return mclmc_sample(*args, **kwargs)
+
+
 def get_sampler(name: str):
     """Resolve a sampler by name — ONE registry for every dispatch site
     (workflow pipeline, mesh sharding)."""
     samplers = {"chees": chees_sample, "hmc": hmc_sample,
                 "nuts": nuts_sample, "pt": _pt_sample_lazy,
-                "ensemble": _ensemble_sample_lazy}
+                "ensemble": _ensemble_sample_lazy,
+                "mclmc": _mclmc_sample_lazy}
     if name not in samplers:
         raise ValueError(
             f"unknown sampler {name!r}; use one of {sorted(samplers)}"

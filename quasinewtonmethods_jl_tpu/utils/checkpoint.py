@@ -30,6 +30,7 @@ def _sampler_state_classes():
     from ..cg_solve import CGState
     from ..ensemble import EnsembleState
     from ..least_squares import LMState
+    from ..mclmc import MCLMCState
     from ..sampling import ChEESState, HMCState, NUTSState
     from ..tempering import PTState
     from ..svgd import SVGDState
@@ -39,7 +40,7 @@ def _sampler_state_classes():
             "NUTSState": NUTSState, "PTState": PTState,
             "LMState": LMState, "TRState": TRState,
             "SVGDState": SVGDState, "CGState": CGState,
-            "EnsembleState": EnsembleState}
+            "EnsembleState": EnsembleState, "MCLMCState": MCLMCState}
 
 
 __all__ = ["save_state", "load_state"]

@@ -111,10 +111,13 @@ def map_then_sample(
     diagonal mass, TPU-native), 'hmc' (dense-B preconditioned, fixed
     path length), 'nuts', 'pt' (replica exchange — multimodal
     posteriors; ladder kwargs like ``n_temps``/``beta_min`` pass through
-    ``sampler_kwargs``; it too gets the MAP-fleet mass), or 'ensemble'
+    ``sampler_kwargs``; it too gets the MAP-fleet mass), 'ensemble'
     (the gradient-free affine-invariant stretch move — walkers start at
     the jittered MAP ball; no mass handoff, affine invariance IS the
-    metric).
+    metric), or 'mclmc' (microcanonical Langevin — unadjusted,
+    fixed-cost, two gradients per draw; the MAP mass's DIAGONAL becomes
+    its preconditioner and warmup tunes eps to the energy-error target;
+    see `mclmc_sample` for the bias contract).
     ``map_engine``: 'bfgs' (dense B, the
     reference algorithm), 'lbfgs' (the large-n fleet engine — the
     handed-over mass is then the compact-form diag(H), O(m²·n), so the
@@ -384,9 +387,10 @@ def map_then_sample(
         n_samples=n_samples, n_warmup=n_warmup,
         value_and_grad_fn=value_and_grad_fn,
     )
-    if sampler in ("hmc", "pt"):
+    if sampler in ("hmc", "pt", "mclmc"):
         # the dense-B handoff is the point of 'hmc'; 'pt' (replica
-        # exchange, multimodal targets) has no self-adaptation either
+        # exchange, multimodal targets) has no self-adaptation either;
+        # 'mclmc' preconditions on the mass's diagonal
         kw["mass"] = mass
     elif mass_form == "lowrank" or init == "pathfinder":
         # an explicitly requested low-rank metric (or the pathfinder
