@@ -84,6 +84,8 @@ from .diagnostics import (
     diagnose_chains_device,
     energy_bfmi,
     energy_bfmi_device,
+    PosteriorSummary,
+    posterior_summary,
     ess,
     ess_device,
     rank_normalized_rhat,
@@ -179,6 +181,8 @@ __all__ = [
     "diagnose_chains_device",
     "energy_bfmi",
     "energy_bfmi_device",
+    "PosteriorSummary",
+    "posterior_summary",
     "ess",
     "ess_device",
     "rank_normalized_rhat",

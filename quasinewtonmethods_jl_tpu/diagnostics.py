@@ -45,6 +45,8 @@ __all__ = [
     "tail_ess",
     "diagnose_chains",
     "energy_bfmi",
+    "PosteriorSummary",
+    "posterior_summary",
     "split_rhat_device",
     "ess_device",
     "rank_normalized_rhat_device",
@@ -412,3 +414,90 @@ def energy_bfmi_device(energies: jax.Array) -> jax.Array:
     num = jnp.sum(jnp.diff(e, axis=0) ** 2, axis=0)
     den = jnp.sum((e - jnp.mean(e, axis=0)) ** 2, axis=0)
     return num / jnp.maximum(den, jnp.finfo(e.dtype).tiny)
+
+
+class PosteriorSummary(NamedTuple):
+    """The Stan/ArviZ-style per-dimension posterior table — everything a
+    practitioner reads off ``print(fit)`` before trusting a run. All
+    fields (n,) host numpy; build with `posterior_summary`, render with
+    `.table()`.
+
+    mean/sd: pooled posterior moments
+    mcse: Monte Carlo standard error of the mean, sd/sqrt(ess_bulk) —
+        the "is my posterior mean itself converged?" number
+    q5/median/q95: pooled quantiles (the 90% credible interval + center)
+    ess_bulk: rank-normalized-bulk-equivalent ESS (Geyer, per
+        `diagnose_chains`)
+    ess_tail: min of the 5%/95% quantile-indicator ESSs
+    rhat: rank-normalized split R-hat (max of bulk and folded — the
+        Vehtari et al. 2021 recommendation; want < 1.01)
+    """
+
+    mean: np.ndarray
+    sd: np.ndarray
+    mcse: np.ndarray
+    q5: np.ndarray
+    median: np.ndarray
+    q95: np.ndarray
+    ess_bulk: np.ndarray
+    ess_tail: np.ndarray
+    rhat: np.ndarray
+
+    def table(self, names=None, precision: int = 3) -> str:
+        """Render the summary as the fixed-width table every Bayesian
+        toolkit prints; ``names`` labels the rows (default x[i])."""
+        n = self.mean.shape[0]
+        if names is None:
+            names = [f"x[{i}]" for i in range(n)]
+        elif len(names) != n:
+            raise ValueError(
+                f"names has {len(names)} entries for {n} dimensions"
+            )
+        cols = ("mean", "sd", "mcse", "q5", "median", "q95",
+                "ess_bulk", "ess_tail", "rhat")
+        w = max(9, precision + 6)
+        name_w = max(len(str(s)) for s in names) + 1
+        out = [" " * name_w + "".join(f"{c:>{w}}" for c in cols)]
+        for i in range(n):
+            row = f"{str(names[i]):<{name_w}}"
+            for c in cols:
+                v = float(getattr(self, c if c != "mcse" else "mcse")[i])
+                if c in ("ess_bulk", "ess_tail"):
+                    row += f"{v:>{w}.0f}"
+                elif c == "rhat":
+                    row += f"{v:>{w}.3f}"
+                else:
+                    row += f"{v:>{w}.{precision}g}"
+            out.append(row)
+        return "\n".join(out)
+
+
+def posterior_summary(samples) -> PosteriorSummary:
+    """One-call posterior report over (draws, chains, n) samples from any
+    of the library's samplers: pooled moments and quantiles, the MCSE of
+    the mean, bulk/tail ESS, and the rank-normalized split R-hat — the
+    numbers `diagnose_chains` computes, arranged as the standard
+    publication-ready panel (plus MCSE, which no other entry point
+    reports). Host-side numpy (analysis time); print
+    ``summary.table(names)`` for the classic fixed-width readout.
+    """
+    x = np.asarray(samples, np.float64)
+    if x.ndim != 3:
+        raise ValueError(
+            f"samples must be (draws, chains, n), got shape {x.shape}"
+        )
+    d = diagnose_chains(x, rank=True)
+    pooled = x.reshape(-1, x.shape[-1])
+    q5, med, q95 = np.percentile(pooled, [5.0, 50.0, 95.0], axis=0)
+    ess_bulk = np.maximum(d.ess, 1.0)
+    return PosteriorSummary(
+        mean=d.mean,
+        sd=d.std,
+        mcse=d.std / np.sqrt(ess_bulk),
+        q5=q5,
+        median=med,
+        q95=q95,
+        ess_bulk=d.ess,
+        ess_tail=d.ess_tail,
+        rhat=d.rhat_rank,
+    )

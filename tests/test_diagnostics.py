@@ -293,3 +293,42 @@ def test_energy_bfmi_shape_guard():
         qnm.energy_bfmi(np.zeros((2, 3)))
     with pytest.raises(ValueError, match="draws"):
         qnm.energy_bfmi(np.zeros(7))
+
+
+def test_posterior_summary_iid():
+    rng = np.random.default_rng(12)
+    mu = np.array([1.0, -2.0, 0.0])
+    x = rng.standard_normal((500, 8, 3)) + mu
+    s = qnm.posterior_summary(x)
+    np.testing.assert_allclose(s.mean, mu, atol=0.1)
+    np.testing.assert_allclose(s.sd, 1.0, atol=0.1)
+    # iid: ess ~ N, mcse is sd/sqrt(ess) by construction
+    assert np.all(s.ess_bulk > 2000)
+    np.testing.assert_allclose(s.mcse, s.sd / np.sqrt(s.ess_bulk))
+    np.testing.assert_allclose(s.q5, mu - 1.645, atol=0.15)
+    np.testing.assert_allclose(s.median, mu, atol=0.1)
+    np.testing.assert_allclose(s.q95, mu + 1.645, atol=0.15)
+    assert np.all(s.rhat < 1.01)
+
+    tbl = s.table(names=["alpha", "beta", "sigma"])
+    lines = tbl.splitlines()
+    assert len(lines) == 4
+    assert "mcse" in lines[0] and "ess_tail" in lines[0]
+    assert lines[1].startswith("alpha")
+    with pytest.raises(ValueError, match="names"):
+        s.table(names=["just-one"])
+    with pytest.raises(ValueError, match="draws, chains, n"):
+        qnm.posterior_summary(np.zeros((10, 3)))
+
+
+def test_posterior_summary_on_sampler_draws():
+    def logd(x):
+        return -0.5 * jnp.sum(x * x)
+
+    r = qnm.chees_sample(logd, jax.random.PRNGKey(3),
+                         jnp.zeros((32, 3)), n_samples=500, n_warmup=300)
+    s = qnm.posterior_summary(r.samples)
+    np.testing.assert_allclose(s.mean, 0.0, atol=0.15)
+    np.testing.assert_allclose(s.sd, 1.0, atol=0.2)
+    assert np.all(s.rhat < 1.1)
+    assert np.all(s.ess_tail > 100)
