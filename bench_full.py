@@ -218,6 +218,21 @@ def main():
         "draws_per_sec": round(4096 * 256 / t, 1),
         "accept": round(float(res.accept_rate.mean()), 3)})
 
+    # 13. MCLMC (round 4): the fixed-cost gradient sampler — 512 draws
+    # at 4096 chains, n=60 standard Gaussian (r4u: 32.5M draws/s
+    # sampling-only, 1.36x ChEES ESS/s)
+    def gauss13(x):
+        return -0.5 * jnp.sum(x * x)
+
+    X13 = jnp.asarray(RNG.standard_normal((4096, 60)), DTYPE)
+    t, res = timed(
+        lambda X: qnm.mclmc_sample(gauss13, jax.random.PRNGKey(0), X,
+                                   n_samples=512, n_warmup=256), X13)
+    emit("mclmc_4096x60_512draws", t, {
+        "draws_per_sec": round(4096 * 512 / t, 1),
+        "energy_var": float(res.energy_var),
+        "divergences": int(res.divergences.sum())})
+
 
 if __name__ == "__main__":
     main()

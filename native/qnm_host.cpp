@@ -20,12 +20,15 @@
 // C ABI only (ctypes-friendly); no global state; one workspace per solve
 // call, reusable across calls from the owning thread.
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <new>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -624,6 +627,120 @@ double qnm_lbfgs_optimize_rosenbrock(int32_t n, const double* x0,
                             nullptr, n, x0, history, order, 1e-4, 0.5, 0.1,
                             1000, tol, max_iterations, out_x, out_grad,
                             out_status, out_iterations, out_nfev, out_ngev);
+}
+
+// ----- threaded fleet drivers ------------------------------------------------
+// The native analog of the reference's intended multi-thread usage pattern
+// (PtrBFGSState, src/QuasiNewtonMethods.jl:117-121 + README.md:14: one
+// self-contained zero-allocation state per thread, many independent solves
+// side by side). Lanes are pulled from an atomic counter by a pool of
+// std::threads; each thread's solves reuse its own thread_local workspace,
+// so the steady state allocates nothing. Per-lane outputs land in
+// caller-provided arrays (row i of the (batch, n) layouts).
+//
+// Callback contract: fg/f must be REENTRANT — the built-in objectives are;
+// a Python (ctypes) callback serializes every evaluation on the GIL and
+// turns the pool into an expensive single thread. Use n_threads = 1 for
+// Python objectives, or point fg/f at native code for real host
+// parallelism. n_threads <= 0 selects std::thread::hardware_concurrency().
+// Returns the number of CONVERGED lanes.
+
+int32_t qnm_bfgs_optimize_batch(
+    value_grad_fn fg, value_fn f, void* user, int32_t n, int32_t batch,
+    const double* x0s, int32_t order, double ls_c1, double rho_hi,
+    double rho_lo, int32_t ls_iterations, double tol,
+    int32_t max_iterations, int32_t h0_scale, int32_t n_threads,
+    double* out_f, double* out_x, double* out_grad, int32_t* out_status,
+    int32_t* out_iterations, int64_t* out_nfev, int64_t* out_ngev) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > batch) n_threads = batch;
+  std::atomic<int32_t> next{0};
+  std::atomic<int32_t> converged{0};
+
+  auto worker = [&]() {
+    int32_t local_conv = 0;
+    for (;;) {
+      const int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= batch) break;
+      const size_t off = static_cast<size_t>(i) * n;
+      out_f[i] = qnm_bfgs_optimize(
+          fg, f, user, n, x0s + off, order, ls_c1, rho_hi, rho_lo,
+          ls_iterations, tol, max_iterations, h0_scale, out_x + off,
+          out_grad + off, out_status + i, out_iterations + i, out_nfev + i,
+          out_ngev + i);
+      if (out_status[i] == kConverged) ++local_conv;
+    }
+    converged.fetch_add(local_conv, std::memory_order_relaxed);
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return converged.load();
+}
+
+int32_t qnm_lbfgs_optimize_batch(
+    value_grad_fn fg, value_fn f, void* user, int32_t n, int32_t batch,
+    const double* x0s, int32_t history, int32_t order, double ls_c1,
+    double rho_hi, double rho_lo, int32_t ls_iterations, double tol,
+    int32_t max_iterations, int32_t n_threads, double* out_f, double* out_x,
+    double* out_grad, int32_t* out_status, int32_t* out_iterations,
+    int64_t* out_nfev, int64_t* out_ngev) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > batch) n_threads = batch;
+  std::atomic<int32_t> next{0};
+  std::atomic<int32_t> converged{0};
+
+  auto worker = [&]() {
+    int32_t local_conv = 0;
+    for (;;) {
+      const int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= batch) break;
+      const size_t off = static_cast<size_t>(i) * n;
+      out_f[i] = qnm_lbfgs_optimize(
+          fg, f, user, n, x0s + off, history, order, ls_c1, rho_hi, rho_lo,
+          ls_iterations, tol, max_iterations, out_x + off, out_grad + off,
+          out_status + i, out_iterations + i, out_nfev + i, out_ngev + i);
+      if (out_status[i] == kConverged) ++local_conv;
+    }
+    converged.fetch_add(local_conv, std::memory_order_relaxed);
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return converged.load();
+}
+
+// Benchmark convenience: the threaded fleet on the built-in Rosenbrock —
+// the host-side counterpart of the TPU fleet benchmark (no Python in the
+// hot path, so the pool actually scales).
+int32_t qnm_bfgs_optimize_rosenbrock_batch(
+    int32_t n, int32_t batch, const double* x0s, int32_t order, double tol,
+    int32_t max_iterations, int32_t h0_scale, int32_t n_threads,
+    double* out_f, double* out_x, double* out_grad, int32_t* out_status,
+    int32_t* out_iterations, int64_t* out_nfev, int64_t* out_ngev) {
+  return qnm_bfgs_optimize_batch(
+      &qnm_rosenbrock_value_grad, &qnm_rosenbrock_value, nullptr, n, batch,
+      x0s, order, 1e-4, 0.5, 0.1, 1000, tol, max_iterations, h0_scale,
+      n_threads, out_f, out_x, out_grad, out_status, out_iterations,
+      out_nfev, out_ngev);
 }
 
 }  // extern "C"

@@ -24,9 +24,12 @@ import numpy as np
 __all__ = [
     "optimize_host",
     "optimize_lbfgs_host",
+    "optimize_batch_host",
     "rosenbrock_host",
     "rosenbrock_lbfgs_host",
+    "rosenbrock_batch_host",
     "HostResult",
+    "HostBatchResult",
     "lib_path",
     "load",
 ]
@@ -59,6 +62,19 @@ class HostResult(NamedTuple):
     iterations: int
     n_fev: int
     n_gev: int
+
+
+class HostBatchResult(NamedTuple):
+    """Per-lane outputs of the threaded native fleet drivers."""
+
+    x: np.ndarray  # (batch, n)
+    fun: np.ndarray  # (batch,) converged values / NaN (in-band contract)
+    grad: np.ndarray  # (batch, n)
+    status: np.ndarray  # (batch,) int32 state.Status codes
+    iterations: np.ndarray  # (batch,) int32
+    n_fev: np.ndarray  # (batch,) int64
+    n_gev: np.ndarray  # (batch,) int64
+    n_converged: int
 
 
 def lib_path() -> str:
@@ -99,7 +115,7 @@ def _build() -> str:
         arch_flags = ["-mcpu=native"] if platform.machine().startswith(("arm", "aarch")) else []
     cmd = [
         "g++", "-O3", *arch_flags,
-        "-funroll-loops", "-fopenmp-simd",
+        "-funroll-loops", "-fopenmp-simd", "-pthread",
         "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
     ]
     try:
@@ -111,7 +127,8 @@ def _build() -> str:
         if arch_flags and extra is None:
             cmd = [
                 "g++", "-O3", "-funroll-loops", "-fopenmp-simd",
-                "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
+                "-pthread", "-std=c++17", "-shared", "-fPIC", _SRC,
+                "-o", _LIB,
             ]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -166,6 +183,30 @@ def load() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
+            ]
+            I32 = ctypes.POINTER(ctypes.c_int32)
+            I64 = ctypes.POINTER(ctypes.c_int64)
+            lib.qnm_bfgs_optimize_batch.restype = ctypes.c_int32
+            lib.qnm_bfgs_optimize_batch.argtypes = [
+                _VALUE_GRAD_FN, _VALUE_FN, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_int32, D, ctypes.c_int32, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, D, D, D, I32, I32, I64, I64,
+            ]
+            lib.qnm_lbfgs_optimize_batch.restype = ctypes.c_int32
+            lib.qnm_lbfgs_optimize_batch.argtypes = [
+                _VALUE_GRAD_FN, _VALUE_FN, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_int32, D, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+                ctypes.c_int32, D, D, D, I32, I32, I64, I64,
+            ]
+            lib.qnm_bfgs_optimize_rosenbrock_batch.restype = ctypes.c_int32
+            lib.qnm_bfgs_optimize_rosenbrock_batch.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, D, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, D, D, D, I32, I32, I64, I64,
             ]
             _lib = lib
     return _lib
@@ -359,3 +400,135 @@ def optimize_lbfgs_host(
     )
     return HostResult(out_x, fun, out_g, status.value, iters.value,
                       nfev.value, ngev.value)
+
+
+def _batch_outputs(batch, n):
+    out_f = np.empty(batch, np.float64)
+    out_x = np.empty((batch, n), np.float64)
+    out_g = np.empty((batch, n), np.float64)
+    status = np.empty(batch, np.int32)
+    iters = np.empty(batch, np.int32)
+    nfev = np.empty(batch, np.int64)
+    ngev = np.empty(batch, np.int64)
+    return out_f, out_x, out_g, status, iters, nfev, ngev
+
+
+def _as_i32(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _as_i64(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def rosenbrock_batch_host(
+    x0s: np.ndarray,
+    order: int = 2,
+    tol: float = 1e-8,
+    max_iterations: int = 10_000,
+    h0_scale: bool = True,
+    threads: int = 0,
+) -> HostBatchResult:
+    """Threaded native fleet on the built-in Rosenbrock: the host-side
+    counterpart of the TPU fleet benchmark, and the native realization of
+    the reference's intended multi-thread pattern (one self-contained
+    zero-allocation state per thread — PtrBFGSState,
+    src/QuasiNewtonMethods.jl:117-121). Lanes are pulled from an atomic
+    counter by ``threads`` std::threads (0 = all hardware threads); no
+    Python crosses the hot path, so the pool scales to the core count.
+    Each lane is bitwise-identical to a `rosenbrock_host` call on its row.
+    """
+    lib = load()
+    x0s = np.ascontiguousarray(x0s, np.float64)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    batch, n = x0s.shape
+    out_f, out_x, out_g, status, iters, nfev, ngev = _batch_outputs(batch, n)
+    n_conv = lib.qnm_bfgs_optimize_rosenbrock_batch(
+        n, batch, _as_c(x0s), order, tol, max_iterations, int(h0_scale),
+        int(threads), _as_c(out_f), _as_c(out_x), _as_c(out_g),
+        _as_i32(status), _as_i32(iters), _as_i64(nfev), _as_i64(ngev),
+    )
+    return HostBatchResult(out_x, out_f, out_g, status, iters, nfev, ngev,
+                           int(n_conv))
+
+
+def optimize_batch_host(
+    value_and_grad: Callable[[np.ndarray], tuple],
+    x0s: np.ndarray,
+    value: Optional[Callable[[np.ndarray], float]] = None,
+    engine: str = "bfgs",
+    history: int = 10,
+    order: int = 2,
+    c1: float = 1e-4,
+    rho_hi: float = 0.5,
+    rho_lo: float = 0.1,
+    ls_iterations: int = 1000,
+    tol: float = 1e-8,
+    max_iterations: int = 10_000,
+    h0_scale: bool = True,
+    threads: int = 1,
+) -> HostBatchResult:
+    """Native fleet solve with Python objective callbacks.
+
+    ``engine``: 'bfgs' (dense, small n) or 'lbfgs' (O(history·n), large
+    n). ``threads`` defaults to 1 because a Python (ctypes) callback
+    serializes every evaluation on the GIL — a bigger pool is CORRECT but
+    buys nothing until the objective itself releases the GIL (numpy does
+    for large arrays) or is native; `rosenbrock_batch_host` shows the
+    all-native scaling. Callback hygiene matches `optimize_host`
+    (exceptions become an in-band NaN; x views are read-only — note the
+    callbacks run on pool threads, so user code must be thread-safe when
+    ``threads != 1``).
+    """
+    if engine not in ("bfgs", "lbfgs"):
+        raise ValueError(f"engine must be 'bfgs' or 'lbfgs', got {engine!r}")
+    lib = load()
+    x0s = np.ascontiguousarray(x0s, np.float64)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    batch, n = x0s.shape
+
+    if value is None:
+        value = lambda x: value_and_grad(x)[0]
+
+    nan = float("nan")
+
+    def _ro_view(ptr, n_):
+        arr = np.ctypeslib.as_array(ptr, (n_,))
+        arr.flags.writeable = False
+        return arr
+
+    @_VALUE_GRAD_FN
+    def fg_cb(grad_ptr, x_ptr, n_, _user):
+        try:
+            v, g = value_and_grad(_ro_view(x_ptr, n_))
+            np.ctypeslib.as_array(grad_ptr, (n_,))[:] = g
+            return float(v)
+        except Exception:
+            return nan
+
+    @_VALUE_FN
+    def f_cb(x_ptr, n_, _user):
+        try:
+            return float(value(_ro_view(x_ptr, n_)))
+        except Exception:
+            return nan
+
+    out_f, out_x, out_g, status, iters, nfev, ngev = _batch_outputs(batch, n)
+    if engine == "bfgs":
+        n_conv = lib.qnm_bfgs_optimize_batch(
+            fg_cb, f_cb, None, n, batch, _as_c(x0s), order, c1, rho_hi,
+            rho_lo, ls_iterations, tol, max_iterations, int(h0_scale),
+            int(threads), _as_c(out_f), _as_c(out_x), _as_c(out_g),
+            _as_i32(status), _as_i32(iters), _as_i64(nfev), _as_i64(ngev),
+        )
+    else:
+        n_conv = lib.qnm_lbfgs_optimize_batch(
+            fg_cb, f_cb, None, n, batch, _as_c(x0s), history, order, c1,
+            rho_hi, rho_lo, ls_iterations, tol, max_iterations,
+            int(threads), _as_c(out_f), _as_c(out_x), _as_c(out_g),
+            _as_i32(status), _as_i32(iters), _as_i64(nfev), _as_i64(ngev),
+        )
+    return HostBatchResult(out_x, out_f, out_g, status, iters, nfev, ngev,
+                           int(n_conv))

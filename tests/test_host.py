@@ -252,3 +252,68 @@ def test_native_lbfgs_invalid_history():
         lambda x: (float(-x @ x), -2 * x), np.ones(3), history=0
     )
     assert r.status == 4  # in-band rejection, no crash
+
+
+def test_native_batch_rosenbrock_matches_per_lane(rng):
+    """The threaded fleet driver is lane-for-lane bitwise identical to
+    per-lane solo calls (same code path, per-thread workspaces), and the
+    thread count does not change results (lane pull order is the only
+    nondeterminism, and lanes are independent)."""
+    from quasinewtonmethods_jl_tpu.host import rosenbrock_batch_host
+
+    x0s = rng.standard_normal((24, 13))
+    r1 = rosenbrock_batch_host(x0s, threads=1)
+    rN = rosenbrock_batch_host(x0s, threads=0)  # all hardware threads
+    assert r1.n_converged == rN.n_converged == 24
+    np.testing.assert_array_equal(r1.x, rN.x)
+    np.testing.assert_array_equal(r1.fun, rN.fun)
+    np.testing.assert_array_equal(r1.iterations, rN.iterations)
+    for i in (0, 7, 23):
+        solo = rosenbrock_host(x0s[i])
+        np.testing.assert_array_equal(r1.x[i], solo.x)
+        assert r1.fun[i] == solo.fun
+        assert r1.iterations[i] == solo.iterations
+        assert r1.n_fev[i] == solo.n_fev
+
+
+def test_native_batch_callback_engines(rng):
+    """The generic batch entry drives both engines through a Python
+    callback (GIL-serialized — correctness path, threads=1 and a pool)."""
+    from quasinewtonmethods_jl_tpu.host import optimize_batch_host
+
+    diag = np.linspace(1.0, 4.0, 6)
+
+    def vag(x):
+        return -0.5 * float(x @ (diag * x)), -(diag * x)
+
+    x0s = rng.standard_normal((8, 6))
+    for engine in ("bfgs", "lbfgs"):
+        r = optimize_batch_host(vag, x0s, engine=engine)
+        assert r.n_converged == 8, (engine, r.status)
+        np.testing.assert_allclose(r.x, 0.0, atol=1e-7)
+        # a pool with a Python callback is correct (just serialized)
+        r2 = optimize_batch_host(vag, x0s, engine=engine, threads=4)
+        np.testing.assert_array_equal(r.x, r2.x)
+    with pytest.raises(ValueError, match="engine"):
+        optimize_batch_host(vag, x0s, engine="cg")
+    with pytest.raises(ValueError, match="batch, n"):
+        optimize_batch_host(vag, x0s[0])
+
+
+def test_native_batch_failure_lanes(rng):
+    """Failed lanes report in-band per lane (NaN fun + status) without
+    disturbing healthy neighbors."""
+    from quasinewtonmethods_jl_tpu.host import optimize_batch_host
+
+    def vag(x):
+        if x[0] > 1e3:  # lane 1 starts in a poisoned region
+            return float("nan"), np.zeros_like(x)
+        return -0.5 * float(x @ x), -np.asarray(x)
+
+    x0s = rng.standard_normal((3, 4))
+    x0s[1, 0] = 1e9
+    r = optimize_batch_host(vag, x0s)
+    assert r.n_converged == 2
+    assert r.status[0] == 1 and r.status[2] == 1
+    assert r.status[1] == 4 and np.isnan(r.fun[1])  # NONFINITE_VALUE
+    np.testing.assert_allclose(r.x[[0, 2]], 0.0, atol=1e-7)
