@@ -629,6 +629,308 @@ double qnm_lbfgs_optimize_rosenbrock(int32_t n, const double* x0,
                             out_status, out_iterations, out_nfev, out_ngev);
 }
 
+// ----- nonlinear CG (memoryless quasi-Newton) --------------------------------
+// Native counterpart of the JAX CG fleet engine
+// (quasinewtonmethods_jl_tpu/cg_solve.py): Hager-Zhang / PR+ / FR / DY
+// betas in the maximization convention, in-band steepest resets, Powell
+// restarts for fr/pr, the Nocedal-Wright warm-start scale riding the
+// direction, and the weak-Wolfe line search with the Hager-Zhang
+// approximate acceptance + slope-driven interval update (the endgame a
+// linear-convergence engine needs below the fp resolution floor —
+// measured in cg_solve.py: ordinary Armijo stalls at max|grad| ~ 1e-6 on
+// stiff quadratics, approx certifies 1e-8).
+
+enum CGMethod : int32_t { kHZ = 0, kPR = 1, kFR = 2, kDY = 3 };
+
+struct CGWorkspace {
+  int n = 0, L = 0;
+  double* buf = nullptr;  // 7 vectors of length L
+  double *x_old, *x_trial, *g_new, *g_old, *g_trial, *d, *d_ls;
+
+  bool resize(int n_) {
+    if (n_ == n && buf) return true;
+    std::free(buf);
+    n = n_;
+    L = (n_ + 7) & ~7;
+    size_t vec = static_cast<size_t>(L);
+    buf = static_cast<double*>(
+        std::aligned_alloc(64, ((7 * vec * 8 + 63) / 64) * 64));
+    if (!buf) return false;
+    std::memset(buf, 0, 7 * vec * 8);
+    x_old = buf;
+    x_trial = x_old + vec;
+    g_new = x_trial + vec;
+    g_old = g_new + vec;
+    g_trial = g_old + vec;
+    d = g_trial + vec;
+    d_ls = d + vec;
+    return true;
+  }
+  ~CGWorkspace() { std::free(buf); }
+};
+
+inline double dot_n(const double* __restrict__ a, const double* __restrict__ b,
+                    int n) {
+  double s = 0.0;
+#pragma omp simd reduction(+ : s)
+  for (int i = 0; i < n; ++i) s += a[i] * b[i];
+  return s;
+}
+
+// Weak-Wolfe search along w.d_ls (maximization form; cg_solve/ops/wolfe.py
+// semantics): returns the accepted alpha or 0.0 in-band. Evaluates
+// value+grad at w.x_trial into w.g_trial; fa/sa returned via refs.
+double wolfe_search(CGWorkspace& w, value_grad_fn fg, void* user, double f0,
+                    double m, double c1, double c2, int iterations,
+                    bool approx, double approx_eps, int64_t* n_fev,
+                    int64_t* n_gev) {
+  if (!std::isfinite(m) || !std::isfinite(f0)) return 0.0;  // doomed
+  const double inf = std::numeric_limits<double>::infinity();
+  const double NaN = std::numeric_limits<double>::quiet_NaN();
+
+  auto phi = [&](double a, double& fa, double& sa) {
+    const double* __restrict__ xo = w.x_old;
+    const double* __restrict__ dl = w.d_ls;
+    double* __restrict__ xt = w.x_trial;
+#pragma omp simd
+    for (int i = 0; i < w.L; ++i) xt[i] = xo[i] + a * dl[i];
+    fa = fg(w.g_trial, w.x_trial, w.n, user);
+    sa = dot_n(w.g_trial, w.d_ls, w.n);
+    ++*n_fev;
+    ++*n_gev;
+  };
+
+  auto accepts = [&](double a, double fa, double sa) {
+    const bool armijo = fa >= f0 + c1 * a * m;
+    const bool curv = sa <= c2 * m;
+    bool ok = armijo && curv;
+    if (approx) {
+      const bool aw = (sa >= (2.0 * c1 - 1.0) * m) && curv &&
+                      (fa >= f0 - approx_eps * std::fabs(f0));
+      ok = ok || aw;
+    }
+    return ok;
+  };
+
+  double lo = 0.0, flo = f0, slo = m;
+  double hi = inf, fhi = NaN, shi = NaN;
+  double a = 1.0, fa, sa;
+  phi(a, fa, sa);
+
+  for (int it = 0; !accepts(a, fa, sa) && it < iterations; ++it) {
+    bool shrink;
+    if (approx) {
+      // Hager-Zhang slope-driven update (CG_DESCENT §4; see
+      // ops/wolfe.py for the measured Armijo-bracket failure mode)
+      const double bar = f0 - approx_eps * std::fabs(f0);
+      const bool bad = !(std::isfinite(fa) && std::isfinite(sa));
+      shrink = (sa <= 0.0) || (fa < bar) || bad;
+    } else {
+      shrink = !(fa >= f0 + c1 * a * m);  // NaN fails Armijo -> shrink
+    }
+    if (shrink) {
+      hi = a;
+      fhi = fa;
+      shi = sa;
+    } else {
+      lo = a;
+      flo = fa;
+      slo = sa;
+    }
+    if (std::isinf(hi)) {
+      a = 2.0 * lo;
+    } else {
+      // safeguarded Hermite-cubic maximizer (wolfe_propose)
+      const double wid = hi - lo;
+      const double mid = 0.5 * (lo + hi);
+      const double d1 = -(slo + shi) + 3.0 * (flo - fhi) / (lo - hi);
+      const double disc = d1 * d1 - slo * shi;
+      if (disc >= 0.0) {
+        const double d2 = std::sqrt(disc);
+        double at = hi - wid * (-shi + d2 - d1) / (-shi + slo + 2.0 * d2);
+        at = std::fmin(std::fmax(at, lo + 0.1 * wid), hi - 0.1 * wid);
+        a = std::isfinite(at) ? at : mid;
+      } else {
+        a = mid;
+      }
+    }
+    phi(a, fa, sa);
+  }
+  return accepts(a, fa, sa) ? a : 0.0;
+}
+
+// Full nonlinear-CG solve. Same contract as qnm_bfgs_optimize: maximized
+// value on convergence, NaN on any failure, in-band status codes.
+// method: 0 = hz, 1 = pr, 2 = fr, 3 = dy. approx_wolfe != 0 enables the
+// Hager-Zhang approximate acceptance (the JAX engine's default).
+double qnm_cg_optimize(value_grad_fn fg, void* user, int32_t n,
+                       const double* x0, int32_t method, double ls_c1,
+                       double ls_c2, int32_t ls_iterations,
+                       int32_t approx_wolfe, double approx_eps,
+                       double restart_nu, double tol,
+                       int32_t max_iterations, double* out_x,
+                       double* out_grad, int32_t* out_status,
+                       int32_t* out_iterations, int64_t* out_nfev,
+                       int64_t* out_ngev) {
+  thread_local CGWorkspace w;
+  const double NaN = std::numeric_limits<double>::quiet_NaN();
+  *out_status = kMaxIterations;
+  *out_iterations = 0;
+  *out_nfev = 0;
+  *out_ngev = 0;
+  if (method < kHZ || method > kDY || !w.resize(n)) {
+    *out_status = kNonfiniteValue;
+    return NaN;
+  }
+  std::memcpy(w.x_old, x0, sizeof(double) * n);
+  std::memset(w.g_old, 0, sizeof(double) * w.L);
+  std::memset(w.d, 0, sizeof(double) * w.L);
+
+  double result = NaN;
+  double m_prev = 0.0, t_prev = 0.0;
+
+  for (int32_t k = 0; k < max_iterations; ++k) {
+    const double f0 = fg(w.g_new, w.x_old, n, user);
+    ++*out_nfev;
+    ++*out_ngev;
+    if (!std::isfinite(f0)) {
+      *out_status = kNonfiniteValue;
+      break;
+    }
+    double gmax = 0.0;
+    {
+      const double* __restrict__ gv = w.g_new;
+#pragma omp simd reduction(max : gmax)
+      for (int i = 0; i < n; ++i) gmax = std::fmax(gmax, std::fabs(gv[i]));
+    }
+    if (gmax < tol) {
+      *out_status = kConverged;
+      result = f0;
+      break;
+    }
+
+    const double gg = dot_n(w.g_new, w.g_new, n);
+    double beta = 0.0;
+    bool powell = false;
+    if (k > 0) {
+      const double gg_old = dot_n(w.g_old, w.g_old, n);
+      const double gdotgold = dot_n(w.g_new, w.g_old, n);
+      switch (method) {
+        case kFR:
+          beta = gg / gg_old;
+          powell = std::fabs(gdotgold) > restart_nu * gg;
+          break;
+        case kPR:
+          beta = std::fmax(0.0, (gg - gdotgold) / gg_old);
+          powell = std::fabs(gdotgold) > restart_nu * gg;
+          break;
+        case kDY: {
+          double dy = 0.0;
+          const double* __restrict__ dv = w.d;
+          const double* __restrict__ go = w.g_old;
+          const double* __restrict__ gn = w.g_new;
+#pragma omp simd reduction(+ : dy)
+          for (int i = 0; i < n; ++i) dy += dv[i] * (go[i] - gn[i]);
+          beta = gg / dy;
+          break;
+        }
+        case kHZ:
+        default: {
+          double dy = 0.0, dg = 0.0, yy = 0.0, yg = 0.0, dd = 0.0;
+          const double* __restrict__ dv = w.d;
+          const double* __restrict__ go = w.g_old;
+          const double* __restrict__ gn = w.g_new;
+#pragma omp simd reduction(+ : dy) reduction(+ : dg) reduction(+ : yy) \
+    reduction(+ : yg) reduction(+ : dd)
+          for (int i = 0; i < n; ++i) {
+            const double yi = go[i] - gn[i];
+            dy += dv[i] * yi;
+            dg += dv[i] * gn[i];
+            yy += yi * yi;
+            yg += yi * gn[i];
+            dd += dv[i] * dv[i];
+          }
+          beta = (2.0 * dg * yy / dy - yg) / dy;
+          const double eta_k =
+              -1.0 / (std::sqrt(dd) * std::fmin(0.01, std::sqrt(gg_old)));
+          beta = std::fmax(beta, eta_k);
+          break;
+        }
+      }
+    }
+
+    // candidate direction + in-band steepest reset
+    double m;
+    {
+      double* __restrict__ dv = w.d;
+      const double* __restrict__ gn = w.g_new;
+      double md = 0.0;
+#pragma omp simd reduction(+ : md)
+      for (int i = 0; i < w.L; ++i) {
+        const double di = gn[i] + beta * dv[i];
+        dv[i] = di;
+        md += di * gn[i];
+      }
+      m = md;
+      const bool fresh = (k == 0);
+      if (!std::isfinite(m) || m <= 0.0 || fresh || powell) {
+#pragma omp simd
+        for (int i = 0; i < w.L; ++i) dv[i] = gn[i];
+        m = gg;
+      }
+    }
+
+    // warm-start scale (Nocedal-Wright first-order match; cg_solve.py)
+    double t = t_prev * m_prev / m;
+    if (m_prev == 0.0 || !std::isfinite(t) || t <= 0.0) {
+      t = 1.0 / std::fmax(1.0, std::sqrt(gg));
+    }
+    t = std::fmin(std::fmax(t, 1e-12), 1e12);
+    {
+      double* __restrict__ dl = w.d_ls;
+      const double* __restrict__ dv = w.d;
+#pragma omp simd
+      for (int i = 0; i < w.L; ++i) dl[i] = t * dv[i];
+    }
+
+    const double alpha =
+        wolfe_search(w, fg, user, f0, t * m, ls_c1, ls_c2, ls_iterations,
+                     approx_wolfe != 0, approx_eps, out_nfev, out_ngev);
+    if (alpha == 0.0) {
+      *out_status = kLinesearchFailure;
+      break;
+    }
+    {
+      double* __restrict__ xo = w.x_old;
+      const double* __restrict__ dl = w.d_ls;
+#pragma omp simd
+      for (int i = 0; i < w.L; ++i) xo[i] += alpha * dl[i];
+    }
+    m_prev = m;
+    t_prev = alpha * t;
+    std::swap(w.g_old, w.g_new);
+    ++*out_iterations;
+  }
+  std::memcpy(out_x, w.x_old, sizeof(double) * n);
+  // same freshest-gradient bookkeeping as qnm_bfgs_optimize
+  std::memcpy(out_grad,
+              *out_status == kMaxIterations ? w.g_old : w.g_new,
+              sizeof(double) * n);
+  return result;
+}
+
+double qnm_cg_optimize_rosenbrock(int32_t n, const double* x0,
+                                  int32_t method, double tol,
+                                  int32_t max_iterations, double* out_x,
+                                  double* out_grad, int32_t* out_status,
+                                  int32_t* out_iterations,
+                                  int64_t* out_nfev, int64_t* out_ngev) {
+  return qnm_cg_optimize(&qnm_rosenbrock_value_grad, nullptr, n, x0, method,
+                         1e-4, 0.9, 50, 1, 1e-6, 0.2, tol, max_iterations,
+                         out_x, out_grad, out_status, out_iterations,
+                         out_nfev, out_ngev);
+}
+
 // ----- threaded fleet drivers ------------------------------------------------
 // The native analog of the reference's intended multi-thread usage pattern
 // (PtrBFGSState, src/QuasiNewtonMethods.jl:117-121 + README.md:14: one

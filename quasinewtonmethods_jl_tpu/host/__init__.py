@@ -25,9 +25,11 @@ __all__ = [
     "optimize_host",
     "optimize_lbfgs_host",
     "optimize_batch_host",
+    "optimize_cg_host",
     "rosenbrock_host",
     "rosenbrock_lbfgs_host",
     "rosenbrock_batch_host",
+    "rosenbrock_cg_host",
     "HostResult",
     "HostBatchResult",
     "lib_path",
@@ -186,6 +188,19 @@ def load() -> ctypes.CDLL:
             ]
             I32 = ctypes.POINTER(ctypes.c_int32)
             I64 = ctypes.POINTER(ctypes.c_int64)
+            lib.qnm_cg_optimize.restype = ctypes.c_double
+            lib.qnm_cg_optimize.argtypes = [
+                _VALUE_GRAD_FN, ctypes.c_void_p, ctypes.c_int32, D,
+                ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+                D, D, I32, I32, I64, I64,
+            ]
+            lib.qnm_cg_optimize_rosenbrock.restype = ctypes.c_double
+            lib.qnm_cg_optimize_rosenbrock.argtypes = [
+                ctypes.c_int32, D, ctypes.c_int32, ctypes.c_double,
+                ctypes.c_int32, D, D, I32, I32, I64, I64,
+            ]
             lib.qnm_bfgs_optimize_batch.restype = ctypes.c_int32
             lib.qnm_bfgs_optimize_batch.argtypes = [
                 _VALUE_GRAD_FN, _VALUE_FN, ctypes.c_void_p, ctypes.c_int32,
@@ -532,3 +547,90 @@ def optimize_batch_host(
         )
     return HostBatchResult(out_x, out_f, out_g, status, iters, nfev, ngev,
                            int(n_conv))
+
+
+_CG_METHODS = {"hz": 0, "pr": 1, "fr": 2, "dy": 3}
+
+
+def rosenbrock_cg_host(
+    x0: np.ndarray,
+    method: str = "hz",
+    tol: float = 1e-8,
+    max_iterations: int = 10_000,
+) -> HostResult:
+    """Fully-native nonlinear-CG solve of the built-in Rosenbrock fixture
+    (Hager-Zhang default, approximate-Wolfe acceptance on — the JAX
+    `optimize_cg` defaults)."""
+    lib = load()
+    x0 = np.ascontiguousarray(x0, np.float64)
+    n = x0.shape[0]
+    out_x, out_g, status, iters, nfev, ngev = _outputs(n)
+    fun = lib.qnm_cg_optimize_rosenbrock(
+        n, _as_c(x0), _CG_METHODS[method], tol, max_iterations,
+        _as_c(out_x), _as_c(out_g),
+        ctypes.byref(status), ctypes.byref(iters),
+        ctypes.byref(nfev), ctypes.byref(ngev),
+    )
+    return HostResult(out_x, fun, out_g, status.value, iters.value,
+                      nfev.value, ngev.value)
+
+
+def optimize_cg_host(
+    value_and_grad: Callable[[np.ndarray], tuple],
+    x0: np.ndarray,
+    method: str = "hz",
+    c1: float = 1e-4,
+    c2: float = 0.9,
+    ls_iterations: int = 50,
+    approx_wolfe: bool = True,
+    approx_eps: float = 1e-6,
+    restart_nu: float = 0.2,
+    tol: float = 1e-8,
+    max_iterations: int = 10_000,
+) -> HostResult:
+    """Native nonlinear-CG solve with a Python value_and_grad callback —
+    the O(n)-state member of the native engine family (BFGS O(n²),
+    L-BFGS O(history·n), CG one vector). Semantics mirror the JAX
+    `optimize_cg` engine: Hager-Zhang/PR+/FR/DY betas (maximization
+    form), in-band steepest resets, Powell restarts for fr/pr, the
+    warm-start scale riding the direction, weak-Wolfe search with the
+    Hager-Zhang approximate acceptance on by default (the endgame that
+    certifies 1e-8 where plain Armijo stalls at ~1e-6 on stiff
+    quadratics). Callback hygiene matches `optimize_host` (exceptions
+    become an in-band NaN value; x views are read-only). Note CG's
+    Wolfe search evaluates value+grad at every trial — there is no
+    value-only callback."""
+    if method not in _CG_METHODS:
+        raise ValueError(
+            f"method must be one of {sorted(_CG_METHODS)}, got {method!r}"
+        )
+    lib = load()
+    x0 = np.ascontiguousarray(x0, np.float64)
+    n = x0.shape[0]
+
+    nan = float("nan")
+
+    def _ro_view(ptr, n_):
+        arr = np.ctypeslib.as_array(ptr, (n_,))
+        arr.flags.writeable = False
+        return arr
+
+    @_VALUE_GRAD_FN
+    def fg_cb(grad_ptr, x_ptr, n_, _user):
+        try:
+            v, g = value_and_grad(_ro_view(x_ptr, n_))
+            np.ctypeslib.as_array(grad_ptr, (n_,))[:] = g
+            return float(v)
+        except Exception:
+            return nan
+
+    out_x, out_g, status, iters, nfev, ngev = _outputs(n)
+    fun = lib.qnm_cg_optimize(
+        fg_cb, None, n, _as_c(x0), _CG_METHODS[method], c1, c2,
+        ls_iterations, int(approx_wolfe), approx_eps, restart_nu, tol,
+        max_iterations, _as_c(out_x), _as_c(out_g),
+        ctypes.byref(status), ctypes.byref(iters),
+        ctypes.byref(nfev), ctypes.byref(ngev),
+    )
+    return HostResult(out_x, fun, out_g, status.value, iters.value,
+                      nfev.value, ngev.value)

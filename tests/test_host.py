@@ -317,3 +317,73 @@ def test_native_batch_failure_lanes(rng):
     assert r.status[0] == 1 and r.status[2] == 1
     assert r.status[1] == 4 and np.isnan(r.fun[1])  # NONFINITE_VALUE
     np.testing.assert_allclose(r.x[[0, 2]], 0.0, atol=1e-7)
+
+
+@pytest.mark.parametrize("method", ["hz", "pr", "fr", "dy"])
+def test_native_cg_rosenbrock(method, rng):
+    from quasinewtonmethods_jl_tpu.host import rosenbrock_cg_host
+
+    x0 = rng.standard_normal(24)
+    res = rosenbrock_cg_host(x0, method=method)
+    assert res.status == 1, (method, res.status)
+    assert abs(res.fun) < 1e-12
+    np.testing.assert_allclose(res.x, 1.0, rtol=1e-5)
+    assert np.abs(res.grad).max() < 1e-8
+    # CG's Wolfe evaluates value+grad together at every trial
+    assert res.n_fev == res.n_gev
+
+
+def test_native_cg_matches_jax_on_quadratic(rng):
+    """Same optimum as the JAX CG engine (independent implementation of
+    the same algorithm — different compiler, same algebra)."""
+    import jax.numpy as jnp
+
+    from quasinewtonmethods_jl_tpu.host import optimize_cg_host
+
+    diag = np.linspace(1.0, 30.0, 12)
+    x_star = rng.standard_normal(12)
+
+    def vag(x):
+        r = x - x_star
+        return -0.5 * float(r @ (diag * r)), -(diag * r)
+
+    res = optimize_cg_host(vag, rng.standard_normal(12))
+    assert res.status == 1
+    np.testing.assert_allclose(res.x, x_star, atol=1e-7)
+
+    diag_j = jnp.asarray(diag)
+    xs_j = jnp.asarray(x_star)
+    rj = qnm.optimize_cg(
+        lambda x: -0.5 * (x - xs_j) @ (diag_j * (x - xs_j)),
+        jnp.asarray(rng.standard_normal(12)),
+    )
+    np.testing.assert_allclose(res.x, np.asarray(rj.x), atol=1e-6)
+
+
+def test_native_cg_stiff_quadratic_certifies():
+    """The approximate-Wolfe endgame: cond-1e3 quadratic certifies 1e-8
+    (the JAX engine's measured requirement for linear-convergence
+    engines at tight tolerances)."""
+    from quasinewtonmethods_jl_tpu.host import optimize_cg_host
+
+    diag = np.geomspace(1.0, 1e3, 40)
+
+    def vag(x):
+        return -0.5 * float(x @ (diag * x)), -(diag * x)
+
+    rng_ = np.random.default_rng(5)
+    res = optimize_cg_host(vag, rng_.standard_normal(40))
+    assert res.status == 1
+    assert np.abs(res.grad).max() < 1e-8
+
+
+def test_native_cg_failure_paths(rng):
+    from quasinewtonmethods_jl_tpu.host import optimize_cg_host
+
+    def bad(x):
+        return float("nan"), np.zeros_like(x)
+
+    res = optimize_cg_host(bad, rng.standard_normal(4))
+    assert res.status == 4 and np.isnan(res.fun)  # NONFINITE_VALUE
+    with pytest.raises(ValueError, match="method"):
+        optimize_cg_host(bad, rng.standard_normal(4), method="newton")
