@@ -246,6 +246,28 @@ def main():
     say(f"rank diagnostics:    rhat_rank {float(diag.rhat_rank.max()):.3f}, "
         f"min tail ESS {float(diag.ess_tail.min()):.0f}")
 
+    # the energy panel (Betancourt's E-BFMI — geometry problems R-hat
+    # can't see) + the Stan-style posterior table with MCSE
+    bfmi = qnm.energy_bfmi(nu.energies)
+    say(f"energy panel:        E-BFMI min {float(bfmi.min()):.2f} "
+        f"(warn < 0.3), divergences {int(nu.divergences.sum())}")
+    summ = qnm.posterior_summary(nu.samples)
+    say("posterior_summary:   mcse max "
+        f"{float(summ.mcse.max()):.4f}; first row: "
+        + summ.table().splitlines()[1].split()[0])
+
+    # structured parameters end-to-end: pipeline over a pytree
+    ptree = qnm.map_then_sample_pytree(
+        lambda p: (-0.5 * jnp.sum((p["beta"] - 1.0) ** 2)
+                   - 0.5 * p["scales"]["sigma"] ** 2),
+        jax.random.PRNGKey(31),
+        {"beta": jnp.zeros(2, dtype),
+         "scales": {"sigma": jnp.asarray(0.0, dtype)}},
+        n_chains=16, n_samples=200, n_warmup=150,
+    )
+    say(f"pytree pipeline:     samples['beta'] {ptree.samples['beta'].shape},"
+        f" names {list(ptree.names)}")
+
     # PSIS-LOO: out-of-sample model comparison from existing draws —
     # theta ~ posterior for y_i ~ N(theta, 1); compare against a model
     # whose predictions are biased by +1

@@ -76,7 +76,14 @@ from .lbfgs_solve import LBFGSResult, optimize_lbfgs, optimize_lbfgs_from_state
 from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .polish import PolishResult, polish_newton
-from .pytree import optimize_batched_pytree, optimize_lbfgs_pytree, optimize_pytree
+from .pytree import (
+    PytreeSampleResult,
+    map_then_sample_pytree,
+    optimize_batched_pytree,
+    optimize_lbfgs_pytree,
+    optimize_pytree,
+    pytree_names,
+)
 from .resident_solve import optimize_batched_resident, resident_feasible
 from .diagnostics import (
     ChainDiagnostics,
@@ -259,6 +266,9 @@ __all__ = [
     "svgd_sample_from_state",
     "optimize_batched_pytree",
     "optimize_lbfgs_pytree",
+    "map_then_sample_pytree",
+    "pytree_names",
+    "PytreeSampleResult",
     "optimize_multistart",
     "optimize_pytree",
     "MultistartResult",

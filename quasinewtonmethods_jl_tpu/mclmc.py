@@ -37,6 +37,10 @@ The TPU translation of the published algorithm:
     fresh random velocity ("bounce"), the event counts into
     ``divergences``, and the energy error feeds the eps adaptation as a
     large penalty so the fleet steps down out of the unstable regime.
+    A chain STARTING outside the support (f non-finite) instead walks
+    ballistically (zero gradient there) until a step lands inside —
+    best-effort entry, not a divergence; start chains in or near the
+    support (far-outside wanderers are unguided and may drift).
 
 Maximization convention throughout (``obj`` is the logdensity to be
 MAXIMIZED, reference src/QuasiNewtonMethods.jl:8-9): the potential is
@@ -138,12 +142,15 @@ def _mom_update(dt, u, g_eff):
     identity with zero energy change.
     """
     chains, d = u.shape
-    dtype = u.dtype
     gn = jnp.linalg.norm(g_eff, axis=1)
-    gn_safe = jnp.maximum(gn, jnp.finfo(dtype).tiny)
-    e = g_eff / gn_safe[:, None]
+    # zero-gradient guard via where, NOT max(gn, finfo.tiny): the TPU
+    # backend flushes the f64 tiny constant to 0 (measured through
+    # axon), which poisons the whole update with 0/0 NaNs exactly in
+    # the flat/out-of-support regions the guard exists for
+    safe = gn > 0.0
+    e = g_eff / jnp.where(safe, gn, 1.0)[:, None]
     ue = jnp.sum(u * e, axis=1)
-    delta = dt * gn_safe / (d - 1)
+    delta = dt * gn / (d - 1)
     zeta = jnp.exp(-delta)
     uu = (
         e * ((1.0 - zeta) * (1.0 + zeta + ue * (1.0 - zeta)))[:, None]
@@ -215,26 +222,36 @@ def _mclmc_core(
         x2 = x1 + (0.5 * eps) * (s * u2)
         f2, g2 = vag_b(x2)
         u3, dk3 = _mom_update(b1 * eps, u2, s * g2)
-        dE = (dk1 + dk2 + dk3) - (f2 - f)
-        bad = (
-            ~jnp.isfinite(f2)
-            | ~jnp.all(jnp.isfinite(g2), axis=1)
-            | ~jnp.all(jnp.isfinite(x2), axis=1)
-            | ~jnp.all(jnp.isfinite(u3), axis=1)
-            | ~jnp.isfinite(dE)
+        # support-boundary semantics (the library's in-band conventions):
+        #   * inside (f finite) -> outside/non-finite: REVERT with a
+        #     fresh direction and count a divergence (reflection — the
+        #     chain stays at its last good point);
+        #   * outside (f non-finite, e.g. a -inf start): move
+        #     BALLISTICALLY (the gradient is zero there) until a step
+        #     lands inside — entry, not a divergence, ΔE referenced to
+        #     the landing value so it is finite.
+        f_ref = jnp.where(jnp.isfinite(f), f, f2)
+        dE = (dk1 + dk2 + dk3) - (f2 - f_ref)
+        structural_ok = (
+            jnp.all(jnp.isfinite(g2), axis=1)
+            & jnp.all(jnp.isfinite(x2), axis=1)
+            & jnp.all(jnp.isfinite(u3), axis=1)
         )
+        outside = ~jnp.isfinite(f)
+        move = structural_ok & (jnp.isfinite(f2) | outside)
+        bad = ~move
         # in-band bounce: revert the chain, fresh random direction
         u_fresh = _unit(jax.random.normal(
             jax.random.fold_in(k, 1), (chains, n), dtype
         ))
-        m = bad[:, None]
-        x_o = jnp.where(m, x, x2)
-        f_o = jnp.where(bad, f, f2)
-        g_o = jnp.where(m, g, g2)
-        u_o = jnp.where(m, u_fresh, u3)
-        dE_o = jnp.where(bad, 0.0, dE)
+        m = move[:, None]
+        x_o = jnp.where(m, x2, x)
+        f_o = jnp.where(move, f2, f)
+        g_o = jnp.where(m, g2, g)
+        u_o = jnp.where(m, u3, u_fresh)
+        dE_o = jnp.where(move & jnp.isfinite(dE), dE, 0.0)
         u_o = _partial_refresh(u_o, jax.random.fold_in(k, 2), eps, L)
-        return x_o, f_o, g_o, u_o, dE_o, bad
+        return x_o, f_o, g_o, u_o, dE_o, bad, outside
 
     # first-ever call: cached (f, g) and the initial velocities
     if i_warm0 == 0 and i_samp0 == 0:
@@ -254,11 +271,21 @@ def _mclmc_core(
         x, f, g, u, log_eps, var_ema, varE_ema = carry
         s, L = _precond(var_ema)
         k = jax.random.fold_in(k_warm, i)
-        x, f, g, u, dE, bad = step(x, f, g, u, jnp.exp(log_eps), s, L, k)
-        # bounced chains feed a large penalty (not their masked 0) so
-        # instability always steps eps DOWN
+        x, f, g, u, dE, bad, outside = step(
+            x, f, g, u, jnp.exp(log_eps), s, L, k
+        )
+        # bounced chains feed a penalty (not their masked 0) so
+        # instability steps eps DOWN; 100x target — big enough that a
+        # fleet-wide blow-up saturates the clipped Newton step, small
+        # enough that sporadic boundary reflections (hard -inf supports)
+        # cost ~log(1 + 99·frac)/12 instead of death-spiraling eps (a
+        # 1e6 penalty measured: ONE bounce among 64 chains pinned the
+        # update at the -0.25 clip every step). Chains still hunting for
+        # the support (outside, ballistic) carry no energy-error signal
+        # and contribute NEUTRALLY (exactly the target).
         vE = jnp.mean(
-            jnp.where(bad, 1e6 * target * n, dE * dE)
+            jnp.where(bad, 1e2 * target * n,
+                      jnp.where(outside, target * n, dE * dE))
         ) / n
         varE_ema = 0.8 * varE_ema + 0.2 * vE
         # ΔE ~ eps³ ⇒ log varE/d responds 6× to log eps: damped Newton,
@@ -281,7 +308,7 @@ def _mclmc_core(
     # ---- sampling at the frozen (eps, s, L): every step is a draw ----
     def sample_body(carry, j):
         x, f, g, u = carry
-        x, f, g, u, dE, bad = step(
+        x, f, g, u, dE, bad, _outside = step(
             x, f, g, u, eps_final, s_final, L_final,
             jax.random.fold_in(k_samp, j),
         )

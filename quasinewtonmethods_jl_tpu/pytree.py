@@ -20,7 +20,9 @@ from jax.flatten_util import ravel_pytree
 from .ops.linesearch import BackTracking
 from .solve import MAX_ITERATIONS_DEFAULT, optimize
 
-__all__ = ["optimize_pytree", "optimize_lbfgs_pytree", "optimize_batched_pytree"]
+__all__ = ["optimize_pytree", "optimize_lbfgs_pytree",
+           "optimize_batched_pytree", "map_then_sample_pytree",
+           "pytree_names", "PytreeSampleResult"]
 
 
 class _PytreeObjective:
@@ -127,3 +129,74 @@ def optimize_batched_pytree(
     )
     params = jax.vmap(unravel)(res.x)
     return params, res
+
+
+def pytree_names(tree):
+    """Flat coordinate names in ravel order — 'beta[0]', 'scales.sigma',
+    nested paths joined with '.'; multi-element leaves get C-order
+    ``[i]`` / ``[i,j]`` suffixes. Feed
+    ``posterior_summary(...).table(names=pytree_names(x0_tree))`` to
+    label a structured model's summary rows."""
+    import numpy as np
+
+    paths, _ = jax.tree_util.tree_flatten_with_path(tree)
+    names = []
+    for path, leaf in paths:
+        base = jax.tree_util.keystr(path, simple=True, separator=".")
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim == 0:
+            names.append(base)
+        else:
+            for idx in np.ndindex(*leaf.shape):
+                names.append(f"{base}[{','.join(map(str, idx))}]")
+    return names
+
+
+class PytreeSampleResult(tuple):
+    """(samples, x_map, names, flat) — see `map_then_sample_pytree`."""
+
+    __slots__ = ()
+
+    def __new__(cls, samples, x_map, names, flat):
+        return tuple.__new__(cls, (samples, x_map, names, flat))
+
+    @property
+    def samples(self):
+        return self[0]
+
+    @property
+    def x_map(self):
+        return self[1]
+
+    @property
+    def names(self):
+        return self[2]
+
+    @property
+    def flat(self):
+        return self[3]
+
+
+def map_then_sample_pytree(obj, key, x0_tree, **kwargs):
+    """The one-call MAP→posterior pipeline over STRUCTURED parameters:
+    ``obj`` is a logdensity of the pytree (dicts of coefficient blocks,
+    scale scalars, ...), and the returned draws carry the same structure.
+
+    Runs `map_then_sample` on the raveled coordinates and unravels the
+    outputs: ``result.samples`` is a pytree whose leaves are
+    (draws, chains, *leaf.shape); ``result.x_map`` has ``x0_tree``'s
+    structure; ``result.names`` labels the flat coordinates (hand them to
+    `posterior_summary(result.flat.samples).table(names=...)`);
+    ``result.flat`` is the full flat `MapThenSampleResult` (diagnostics,
+    sampler state, evidence — everything the pipeline reports, in
+    raveled coordinates). All `map_then_sample` kwargs pass through;
+    a ``transform=`` composes on the FLAT coordinates.
+    """
+    flat0, unravel, flat_obj = _flatten_problem(obj, x0_tree)
+    from .workflow import map_then_sample
+
+    out = map_then_sample(flat_obj, key, flat0, **kwargs)
+    samples_tree = jax.vmap(jax.vmap(unravel))(out.samples)
+    return PytreeSampleResult(
+        samples_tree, unravel(out.x_map), tuple(pytree_names(x0_tree)), out
+    )

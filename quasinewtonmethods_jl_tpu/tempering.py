@@ -124,6 +124,11 @@ class PTResult(NamedTuple):
     run — the DEEP mixing diagnostic: healthy swap_rate with ~zero
     round trips means replicas ping-pong locally and the ladder is too
     long or too weakly coupled for states to actually traverse it.
+    energies: (n_samples, C) cold-row Hamiltonians at each HMC
+    transition's selected point (beta = 1, so this is the true target's
+    energy — feed `diagnostics.energy_bfmi`; recorded pre-exchange).
+    divergences: (C,) int32 cold-row divergent-transition counts over
+    sampling (the hmc_sample convention).
     final_x: (K, C, n) last replica positions.
     state: PTState — resume via `pt_sample_from_state`."""
 
@@ -133,6 +138,8 @@ class PTResult(NamedTuple):
     step_size: jax.Array
     betas: jax.Array
     round_trips: jax.Array
+    energies: jax.Array
+    divergences: jax.Array
     final_x: jax.Array
     state: PTState
 
@@ -259,7 +266,14 @@ def _pt_core(
         acc = u < a_prob
         x = jnp.where(acc[:, :, None], x_new, x)
         f = jnp.where(acc, f_new, f)
-        return x, f, a_prob
+        # cold-row observability (the row whose draws are the samples;
+        # beta = 1, so this is the true target's Hamiltonian at the
+        # transition's selected point — see hmc_step in sampling.py)
+        e_cold = jnp.where(
+            acc[0], kin1[0] - f_new[0], kin0[0] - f[0]
+        )
+        div_cold = ~jnp.isfinite(log_ratio[0]) | (log_ratio[0] < -1000.0)
+        return x, f, a_prob, e_cold, div_cold
 
     def swap_move(x, f, tag, trips, betas, i, k):
         """Even–odd exchange sweep over adjacent temperature pairs.
@@ -308,7 +322,8 @@ def _pt_core(
         sweep. ``i`` is the GLOBAL round index — the sweep parity and
         swap cadence derive from it so chunked runs replay exactly."""
         k_hmc, k_swap = jax.random.split(k)
-        x, f, a_prob = hmc_move(x, f, eps, betas, m, k_hmc)
+        x, f, a_prob, e_cold, div_cold = hmc_move(x, f, eps, betas, m,
+                                                  k_hmc)
         do_swap = (i % swap_every) == 0
         x_s, f_s, tag_s, trips_s, pair_acc, pair_att = swap_move(
             x, f, tag, trips, betas, i // swap_every, k_swap
@@ -324,7 +339,8 @@ def _pt_core(
             rate = pair_acc / jnp.maximum(pair_att, 1.0)
             upd = (do_swap & (pair_att > 0)).astype(dtype)
             swap_ema = swap_ema + upd * _LADDER_EMA * (rate - swap_ema)
-        return x, f, tag, trips, a_prob, swap_acc, swap_att, swap_ema
+        return (x, f, tag, trips, a_prob, swap_acc, swap_att, swap_ema,
+                e_cold, div_cold)
 
     # first-ever call: the cached logdensity is not populated yet
     f0 = f_all(state.x) if (i_warm0 == 0 and i_samp0 == 0) else state.f
@@ -336,7 +352,7 @@ def _pt_core(
         (x, f, tag, trips, betas, var_ema, log_eps, log_eps_bar, h_bar,
          t, s_acc, s_att, s_ema) = carry
         k = jax.random.fold_in(k_warm, i)
-        x, f, tag, trips, a_prob, s_acc, s_att, s_ema = round_(
+        x, f, tag, trips, a_prob, s_acc, s_att, s_ema, _e, _d = round_(
             x, f, tag, trips, jnp.exp(log_eps), betas, var_ema, i, k,
             s_acc, s_att, s_ema
         )
@@ -374,14 +390,14 @@ def _pt_core(
     def sample_body(carry, j):
         x, f, tag, trips, s_acc, s_att, s_ema = carry
         k = jax.random.fold_in(k_samp, j)
-        x, f, tag, trips, a_prob, s_acc, s_att, s_ema = round_(
+        x, f, tag, trips, a_prob, s_acc, s_att, s_ema, e, dv = round_(
             x, f, tag, trips, eps_final, betas, var_ema, j, k, s_acc,
             s_att, s_ema
         )
-        return (x, f, tag, trips, s_acc, s_att, s_ema), (x[0], a_prob)
+        return (x, f, tag, trips, s_acc, s_att, s_ema), (x[0], a_prob, e, dv)
 
     ((x, f, tag, trips, swap_acc, swap_att, swap_ema),
-     (samples, a_probs)) = lax.scan(
+     (samples, a_probs, energies, divs)) = lax.scan(
         sample_body, (x, f, tag, trips, swap_acc, swap_att, swap_ema),
         i_samp0 + jnp.arange(n_samples),
     )
@@ -406,6 +422,8 @@ def _pt_core(
         step_size=eps_final,
         betas=betas,
         round_trips=trips,
+        energies=energies,
+        divergences=jnp.sum(divs.astype(jnp.int32), axis=0),
         final_x=x,
         state=out_state,
     )

@@ -287,3 +287,30 @@ def test_mclmc_sharded():
     np.testing.assert_array_equal(
         np.asarray(r_sh.samples), np.asarray(r_un.samples)
     )
+
+
+def test_out_of_support_start_enters():
+    """Chains starting where f = -inf (outside the support) must be able
+    to ENTER once a step lands on a finite point (the ensemble sampler's
+    out-of-support convention), not bounce forever."""
+    def bounded(x):
+        r2 = jnp.sum(x * x)
+        return jnp.where(r2 < 4.0, -0.5 * r2, -jnp.inf)
+
+    key = jax.random.PRNGKey(13)
+    # all chains start just OUTSIDE the ball (|x| = 2.1 > 2): entry is
+    # ballistic (no gradient outside), so it is only reliable for starts
+    # within reach of the support — the documented contract
+    x0 = (2.1 / 2.0) * jnp.ones((64, 4))
+    r = mclmc_sample(bounded, key, x0, n_samples=400, n_warmup=300)
+    s = np.asarray(r.samples)
+    assert np.isfinite(s).all()
+    # entry is best-effort (the outside walk is ballistic — unreached
+    # chains may wander; start chains in or near the support): the bulk
+    # of the fleet must have entered, and entered chains stay inside
+    final_r = np.sqrt((np.asarray(r.final_x) ** 2).sum(-1))
+    assert (final_r < 2.0).mean() > 0.55
+    entered_at = np.sqrt((s**2).sum(-1)) < 2.0  # (draws, chains)
+    # once inside, never outside again (the reflection contract)
+    ever_in = np.maximum.accumulate(entered_at, axis=0)
+    assert not np.any(ever_in[:-1] & ~entered_at[1:])

@@ -86,3 +86,43 @@ def test_optimize_batched_pytree(rng):
     assert params["b"].shape == (batch,)
     np.testing.assert_allclose(np.asarray(params["w"]), 1.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(params["b"]), -2.0, atol=1e-7)
+
+
+def test_map_then_sample_pytree():
+    """Structured params end-to-end: MAP + draws come back in the tree
+    structure, names label the flat summary, and the flat result keeps
+    the full pipeline surface."""
+    mu = jnp.asarray([1.0, -2.0])
+
+    def logd(params):
+        return (
+            -0.5 * jnp.sum((params["beta"] - mu) ** 2)
+            - 0.5 * (params["scales"]["sigma"] - 0.5) ** 2
+        )
+
+    tree0 = {"beta": jnp.zeros(2), "scales": {"sigma": jnp.asarray(0.0)}}
+    out = qnm.map_then_sample_pytree(
+        logd, jax.random.PRNGKey(3), tree0, n_chains=16, n_samples=300,
+        n_warmup=200,
+    )
+    assert out.samples["beta"].shape == (300, 16, 2)
+    assert out.samples["scales"]["sigma"].shape == (300, 16)
+    np.testing.assert_allclose(np.asarray(out.x_map["beta"]), mu, atol=1e-5)
+    np.testing.assert_allclose(
+        float(out.x_map["scales"]["sigma"]), 0.5, atol=1e-5
+    )
+    draws = np.asarray(out.samples["beta"]).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(0), mu, atol=0.15)
+    assert out.names == ("beta[0]", "beta[1]", "scales.sigma")
+    # the flat surface carries the summary/diagnostics story
+    s = qnm.posterior_summary(out.flat.samples)
+    tbl = s.table(names=list(out.names))
+    assert "scales.sigma" in tbl
+    assert out.flat.diagnostics is not None
+
+
+def test_pytree_names_shapes():
+    names = qnm.pytree_names(
+        {"A": jnp.zeros((2, 2)), "b": jnp.asarray(1.0)}
+    )
+    assert names == ["A[0,0]", "A[0,1]", "A[1,0]", "A[1,1]", "b"]

@@ -421,3 +421,29 @@ def test_pt_f32_under_x64():
     )
     assert res.samples.dtype == jnp.float32
     assert res.state.var_ema.dtype == jnp.float32
+
+
+def test_pt_cold_chain_energy_panel():
+    """PT carries the family's energy observability on its COLD row (the
+    chain whose draws are the samples): finite Hamiltonians, healthy
+    E-BFMI on an easy Gaussian, zero divergences, and the chunked-resume
+    identity extends to the energies."""
+    def logd(x):
+        return -0.5 * jnp.sum(x * x)
+
+    key = jax.random.PRNGKey(21)
+    x0 = jax.random.normal(key, (16, 3))
+    r = qnm.pt_sample(logd, key, x0, n_temps=4, n_samples=200,
+                      n_warmup=150)
+    e = np.asarray(r.energies)
+    d = np.asarray(r.divergences)
+    assert e.shape == (200, 16) and np.isfinite(e).all()
+    assert d.shape == (16,) and d.sum() == 0
+    assert np.all(qnm.energy_bfmi(e) > 0.3)
+    r1 = qnm.pt_sample(logd, key, x0, n_temps=4, n_samples=80,
+                       n_warmup=150)
+    r2 = qnm.pt_sample_from_state(logd, r1.state, n_samples=120)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(r1.energies), np.asarray(r2.energies)]),
+        e,
+    )
