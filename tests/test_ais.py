@@ -165,6 +165,90 @@ def test_ais_resample_threshold_validation():
                          base, resample=True, resample_threshold=1.5)
 
 
+def test_smc_adaptive_exact_base_single_jump():
+    """With the EXACT base, logp − logq0 is constant, so the weight ESS
+    stays N for ANY increment — the adaptive schedule must take one full
+    jump to b = 1 and the estimate is exact."""
+    ld, logz = _gaussian_target([1.0, 4.0, 0.25, 2.0])
+    res = qnm.ais_evidence(
+        ld, jax.random.PRNGKey(0),
+        (jnp.zeros(4), jnp.asarray([1.0, 0.25, 4.0, 0.5])),
+        n_particles=64, n_steps=32, n_leapfrog=2, schedule="adaptive",
+    )
+    assert int(res.n_rungs) == 1
+    np.testing.assert_allclose(float(res.logZ), logz, atol=1e-8)
+    # ladder: [0, 1, 1, ..., 1] (padded), acceptance zero-padded
+    np.testing.assert_allclose(np.asarray(res.betas)[1:], 1.0)
+    assert np.all(np.asarray(res.accept_rate)[1:] == 0.0)
+
+
+def test_smc_adaptive_displaced_target():
+    """The displaced target (mode 5σ from the base): adaptive SMC must
+    find its own ladder (monotone 0 → 1 within the cap), keep the weight
+    ESS healthy via resampling, and land on the analytic evidence."""
+    n = 4
+    logz_true = 0.5 * n * _LOG_2PI
+
+    def ld(x):
+        return -0.5 * jnp.sum((x - 5.0) ** 2)
+
+    res = qnm.ais_evidence(
+        ld, jax.random.PRNGKey(7), (jnp.zeros(n), jnp.ones(n)),
+        n_particles=512, n_steps=64, n_leapfrog=4,
+        schedule="adaptive", resample=True,
+    )
+    t = int(res.n_rungs)
+    assert 1 < t <= 64
+    betas = np.asarray(res.betas)
+    assert betas[0] == 0.0
+    assert np.all(np.diff(betas[: t + 1]) > 0)
+    np.testing.assert_allclose(betas[t:], 1.0)
+    assert abs(float(res.logZ) - logz_true) < 0.3
+    # the self-tuned ladder keeps the final-segment weights healthy
+    assert float(res.ess) > 0.25 * 512
+
+
+def test_smc_adaptive_floor_guarantees_termination():
+    """adapt_target ≈ 1 is unreachable on a displaced target — the
+    remaining-budget floor must still walk b to exactly 1 within the
+    rung cap (degrading to the linear ladder), never stalling."""
+
+    def ld(x):
+        return -0.5 * jnp.sum((x - 5.0) ** 2)
+
+    res = qnm.ais_evidence(
+        ld, jax.random.PRNGKey(8), (jnp.zeros(2), jnp.ones(2)),
+        n_particles=64, n_steps=8, n_leapfrog=2,
+        schedule="adaptive", adapt_target=0.999,
+    )
+    assert int(res.n_rungs) == 8
+    assert float(np.asarray(res.betas)[8]) == 1.0
+    assert np.isfinite(float(res.logZ))
+
+
+def test_smc_adaptive_validation():
+    ld = lambda x: -jnp.sum(x * x)  # noqa: E731
+    base = (jnp.zeros(2), jnp.ones(2))
+    with pytest.raises(ValueError, match="adapt_target"):
+        qnm.ais_evidence(ld, jax.random.PRNGKey(0), base,
+                         schedule="adaptive", adapt_target=1.5)
+    with pytest.raises(ValueError, match="power, an array, or"):
+        qnm.ais_evidence(ld, jax.random.PRNGKey(0), base,
+                         schedule="geometric")
+
+
+def test_smc_adaptive_f32():
+    res = qnm.ais_evidence(
+        lambda x: -0.5 * jnp.sum((x - 2.0) ** 2), jax.random.PRNGKey(1),
+        (jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32)),
+        n_particles=64, n_steps=16, n_leapfrog=2,
+        schedule="adaptive", resample=True,
+    )
+    assert res.logw.dtype == jnp.float32
+    assert res.betas.dtype == jnp.float32
+    assert np.isfinite(float(res.logZ))
+
+
 def test_ais_f32_under_x64():
     res = qnm.ais_evidence(
         lambda x: -0.5 * jnp.sum(x * x), jax.random.PRNGKey(1),
