@@ -51,6 +51,10 @@ from .cg_solve import (
     optimize_cg,
     optimize_cg_from_state,
 )
+from .constrained import (
+    AugLagResult,
+    optimize_auglag,
+)
 from .svgd import (
     SVGDResult,
     SVGDState,
@@ -251,6 +255,8 @@ __all__ = [
     "CGState",
     "optimize_cg",
     "optimize_cg_from_state",
+    "AugLagResult",
+    "optimize_auglag",
     "SVGDResult",
     "SVGDState",
     "EnsembleResult",

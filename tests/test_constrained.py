@@ -1,0 +1,234 @@
+"""Augmented-Lagrangian constrained solves: KKT parity vs analytic
+solutions, multiplier recovery, in-band failure, validation.
+
+The certificate under test: result.converged iff the inner engine
+certified max|grad L| < tol AND the violation max(|eq|, |min(ineq,
+mu/rho)|) <= ctol; fun is f(x) then and NaN in-band otherwise; lam/mu
+converge to the true KKT multipliers (first-order updates)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quasinewtonmethods_jl_tpu as qnm
+from quasinewtonmethods_jl_tpu.state import Status
+
+
+def _quad(z):
+    """maximize -(x-2)^2 - (y-1)^2; with x+y=1 the KKT solution is
+    x = (1, 0), lam = 2, f* = -2 (stationarity: -2(x-2) = lam = -2(y-1))."""
+    return -((z[0] - 2.0) ** 2) - ((z[1] - 1.0) ** 2)
+
+
+def _h(z):
+    return z[0] + z[1] - 1.0
+
+
+@pytest.mark.parametrize("engine", ["bfgs", "lbfgs", "cg", "tr"])
+def test_equality_kkt_all_engines(engine):
+    r = qnm.optimize_auglag(_quad, jnp.zeros(2), eq=_h, engine=engine)
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), [1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(float(r.fun), -2.0, atol=1e-6)
+    np.testing.assert_allclose(float(r.lam[0]), 2.0, atol=1e-5)
+    assert float(r.viol) <= 1e-8
+    assert int(r.n_outer) >= 1 and int(r.iterations) > 0
+
+
+def test_random_equality_quadratic_vs_kkt_solve():
+    """maximize -0.5 x'Qx + b'x s.t. Ax = d against the exact KKT linear
+    system [[Q, A'], [A, 0]] [x; lam] = [b; d]."""
+    rng = np.random.default_rng(3)
+    n, m = 8, 3
+    M = rng.standard_normal((n, n))
+    Q = M @ M.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    d = rng.standard_normal(m)
+    kkt = np.block([[Q, A.T], [A, np.zeros((m, m))]])
+    sol = np.linalg.solve(kkt, np.concatenate([b, d]))
+    x_true, lam_true = sol[:n], sol[n:]
+
+    Qj, bj, Aj, dj = map(jnp.asarray, (Q, b, A, d))
+
+    def f(x):
+        return -0.5 * x @ Qj @ x + bj @ x
+
+    def eq(x):
+        return Aj @ x - dj
+
+    r = qnm.optimize_auglag(f, jnp.zeros(n), eq=eq)
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), x_true, atol=1e-6)
+    # the augmented-Lagrangian lam converges to the TRUE multiplier of
+    # the maximization KKT system (sign convention: grad f = A' lam)
+    np.testing.assert_allclose(np.asarray(r.lam), lam_true, atol=1e-5)
+
+
+def test_inequality_active_and_inactive():
+    def f(z):
+        return -jnp.sum(z * z)
+
+    # active: optimum pulled onto the boundary x+y = 1, mu = 1
+    r = qnm.optimize_auglag(f, jnp.zeros(2),
+                            ineq=lambda z: z[0] + z[1] - 1.0)
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), [0.5, 0.5], atol=1e-6)
+    np.testing.assert_allclose(float(r.mu[0]), 1.0, atol=1e-5)
+    assert float(r.ineq[0]) >= -1e-8
+
+    # inactive: unconstrained optimum feasible, mu stays exactly 0
+    r2 = qnm.optimize_auglag(f, jnp.ones(2),
+                             ineq=lambda z: z[0] + z[1] + 5.0)
+    assert bool(r2.converged)
+    np.testing.assert_allclose(np.asarray(r2.x), [0.0, 0.0], atol=1e-7)
+    assert float(r2.mu[0]) == 0.0
+
+
+def test_mixed_eq_ineq():
+    """maximize -(x² + y² + z²) s.t. x + y + z = 3 (eq) and x >= 1.5
+    (ineq). Without the ineq: x = y = z = 1; the bound is active, so
+    x = 1.5, y = z = 0.75 by symmetry of the remaining problem."""
+
+    def f(v):
+        return -jnp.sum(v * v)
+
+    r = qnm.optimize_auglag(
+        f, jnp.zeros(3),
+        eq=lambda v: jnp.sum(v) - 3.0,
+        ineq=lambda v: v[0] - 1.5,
+    )
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), [1.5, 0.75, 0.75],
+                               atol=1e-6)
+    assert float(r.mu[0]) > 0.0  # active bound carries a positive price
+
+
+def test_vector_constraints_and_scalar_promotion():
+    # rank-0 constraint returns are promoted to (1,)
+    r = qnm.optimize_auglag(lambda z: -jnp.sum(z * z), jnp.ones(2),
+                            eq=lambda z: z[0] - 0.3)
+    assert r.lam.shape == (1,)
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), [0.3, 0.0], atol=1e-7)
+    # (2,) vector equality pins both coordinates
+    r2 = qnm.optimize_auglag(
+        lambda z: -jnp.sum((z - 5.0) ** 2), jnp.zeros(2),
+        eq=lambda z: jnp.asarray([z[0] - 1.0, z[1] + 2.0]),
+    )
+    assert bool(r2.converged)
+    np.testing.assert_allclose(np.asarray(r2.x), [1.0, -2.0], atol=1e-7)
+
+
+def test_infeasible_reports_in_band():
+    """x = 1 and x = 2 simultaneously: no feasible point exists — the
+    outer budget exhausts with fun NaN in-band and a nonzero viol."""
+    r = qnm.optimize_auglag(
+        lambda z: -jnp.sum(z * z), jnp.zeros(1),
+        eq=lambda z: jnp.asarray([z[0] - 1.0, z[0] - 2.0]),
+        max_outer=6,
+    )
+    assert not bool(r.converged)
+    assert int(r.status) == int(Status.MAX_ITERATIONS)
+    assert np.isnan(float(r.fun))
+    assert float(r.viol) > 0.1
+    assert int(r.n_outer) == 6
+
+
+def test_hard_inner_failure_propagates():
+    """Objective non-finite at x0: the inner engine reports
+    NONFINITE_VALUE; the outer loop must stop immediately (not burn
+    max_outer rounds) and surface that status, fun NaN."""
+
+    def bad(z):
+        return jnp.where(jnp.any(z > -jnp.inf), jnp.nan, 0.0)
+
+    r = qnm.optimize_auglag(bad, jnp.zeros(2), eq=lambda z: z[0] - 1.0,
+                            max_outer=9)
+    assert not bool(r.converged)
+    assert int(r.status) == int(Status.NONFINITE_VALUE)
+    assert int(r.inner_status) == int(Status.NONFINITE_VALUE)
+    assert np.isnan(float(r.fun))
+    assert int(r.n_outer) == 1
+
+
+def test_analytic_value_and_grad_path():
+    def f(z):
+        return -jnp.sum((z - 1.0) ** 2)
+
+    def vag(z):
+        return -jnp.sum((z - 1.0) ** 2), -2.0 * (z - 1.0)
+
+    r_ad = qnm.optimize_auglag(f, jnp.zeros(3), eq=lambda z: jnp.sum(z))
+    r_an = qnm.optimize_auglag(f, jnp.zeros(3), eq=lambda z: jnp.sum(z),
+                               value_and_grad_fn=vag)
+    assert bool(r_ad.converged) and bool(r_an.converged)
+    np.testing.assert_allclose(np.asarray(r_ad.x), np.asarray(r_an.x),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r_ad.x), np.zeros(3), atol=1e-7)
+
+
+def test_warm_start_multipliers():
+    """Starting lam at the true multiplier solves in fewer outer rounds
+    than cold (the first round is already the exact Lagrangian)."""
+    cold = qnm.optimize_auglag(_quad, jnp.zeros(2), eq=_h)
+    warm = qnm.optimize_auglag(_quad, jnp.zeros(2), eq=_h,
+                               lam0=jnp.asarray([2.0]))
+    assert bool(cold.converged) and bool(warm.converged)
+    assert int(warm.n_outer) < int(cold.n_outer)
+    np.testing.assert_allclose(np.asarray(warm.x), [1.0, 0.0], atol=1e-7)
+
+
+def test_f32_stays_f32():
+    r = qnm.optimize_auglag(
+        lambda z: -jnp.sum(z * z), jnp.ones(2, jnp.float32),
+        ineq=lambda z: z[0] + z[1] - 1.0, tol=1e-3, ctol=1e-3,
+    )
+    assert r.x.dtype == jnp.float32
+    assert r.lam.dtype == jnp.float32 and r.mu.dtype == jnp.float32
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), [0.5, 0.5], atol=1e-3)
+
+
+def test_validation_errors():
+    f = lambda z: -jnp.sum(z * z)  # noqa: E731
+    h = lambda z: z[0] - 1.0  # noqa: E731
+    with pytest.raises(ValueError, match="rank-1 x0"):
+        qnm.optimize_auglag(f, jnp.zeros((4, 2)), eq=h)
+    with pytest.raises(ValueError, match="at least one of"):
+        qnm.optimize_auglag(f, jnp.zeros(2))
+    with pytest.raises(ValueError, match="engine must be"):
+        qnm.optimize_auglag(f, jnp.zeros(2), eq=h, engine="newton")
+    with pytest.raises(TypeError, match="eq must be callable"):
+        qnm.optimize_auglag(f, jnp.zeros(2), eq=3.0)
+    with pytest.raises(ValueError, match="lam0 given without"):
+        qnm.optimize_auglag(f, jnp.zeros(2), ineq=h, lam0=jnp.ones(1))
+    with pytest.raises(ValueError, match="mu0 must be elementwise"):
+        qnm.optimize_auglag(f, jnp.zeros(2), ineq=h,
+                            mu0=jnp.asarray([-1.0]))
+    with pytest.raises(ValueError, match="shape"):
+        qnm.optimize_auglag(f, jnp.zeros(2), eq=h, lam0=jnp.ones(3))
+    with pytest.raises(ValueError, match="rank-0/1"):
+        qnm.optimize_auglag(f, jnp.zeros(2),
+                            eq=lambda z: jnp.outer(z, z))
+    with pytest.raises(ValueError, match="max_outer"):
+        qnm.optimize_auglag(f, jnp.zeros(2), eq=h, max_outer=0)
+    with pytest.raises(ValueError, match="rho0"):
+        qnm.optimize_auglag(f, jnp.zeros(2), eq=h, rho0=-1.0)
+
+
+def test_rosenbrock_on_a_disk():
+    """The scipy-docs classic, in maximization form: maximize
+    -rosenbrock(x, y) s.t. x² + y² <= 2. The unconstrained optimum
+    (1, 1) sits exactly ON the boundary and remains the solution."""
+
+    def f(z):
+        return -(100.0 * (z[1] - z[0] ** 2) ** 2 + (1.0 - z[0]) ** 2)
+
+    r = qnm.optimize_auglag(
+        f, jnp.zeros(2), ineq=lambda z: 2.0 - jnp.sum(z * z),
+        engine="tr",
+    )
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), [1.0, 1.0], atol=1e-5)
