@@ -121,6 +121,18 @@ def main():
         f"iters={int(rcg.iterations)} restarts={int(rcg.n_resets)}")
     assert int(rcg.status) == qnm.Status.CONVERGED
 
+    # -- constrained solve (augmented Lagrangian over the same engines) ------
+    # maximize -(x-2)^2 - (y-1)^2 on the line x + y = 1: KKT gives
+    # x = (1, 0) with shadow price lam = 2
+    rc = qnm.optimize_auglag(
+        lambda z: -((z[0] - 2.0) ** 2) - ((z[1] - 1.0) ** 2),
+        jnp.zeros(2, dtype), eq=lambda z: z[0] + z[1] - 1.0,
+    )
+    say(f"optimize_auglag:     {qnm.Status(int(rc.status)).name:10s} "
+        f"x={np.asarray(rc.x).round(4)} lam={float(rc.lam[0]):.3f} "
+        f"viol={float(rc.viol):.1e} outer={int(rc.n_outer)}")
+    assert int(rc.status) == qnm.Status.CONVERGED
+
     # -- gradient-free ensemble sampling (the emcee algorithm) ---------------
     target_mu = jnp.asarray([1.0, -2.0, 0.5], dtype)
     laplace = lambda x: -jnp.sum(jnp.abs(x - target_mu))  # noqa: E731
@@ -230,6 +242,15 @@ def main():
     say(f"ais_evidence:        logZ {float(ais.logZ):.3f} "
         f"(exact {float(jnp.log(2 * jnp.pi)):.3f}), "
         f"weight ESS {float(ais.ess):.0f}/1024")
+
+    # adaptive tempered SMC: the anneal finds its own ladder (ESS-bisected
+    # increments), spending rungs only where the target changes fastest
+    smc = qnm.ais_evidence(mix.logdensity, jax.random.PRNGKey(15),
+                           (jnp.zeros(2, dtype), jnp.full((2,), 16.0, dtype)),
+                           n_particles=1024, n_steps=48, n_leapfrog=8,
+                           schedule="adaptive", resample=True)
+    say(f"smc adaptive:        logZ {float(smc.logZ):.3f} in "
+        f"{int(smc.n_rungs)}/48 rungs, {int(smc.n_resamples)} resamples")
 
     # bridge sampling: evidence from the PT draws already in hand —
     # no gradients, no annealing run, sees every basin the chains visited

@@ -83,6 +83,9 @@ def minimize(
     value_and_grad_fn: Optional[Callable] = None,
     h0_scale: bool = True,
     stall_limit: int = STALL_LIMIT_DEFAULT,
+    eq: Optional[Callable] = None,
+    ineq: Optional[Callable] = None,
+    ctol: float = 1e-8,
     **kwargs,
 ):
     """Minimize ``fun`` — the scipy-convention entry point.
@@ -102,6 +105,17 @@ def minimize(
     to the underlying driver (e.g. ``kernel=`` / ``fold_eval=`` for
     batched BFGS, ``gram_precision=`` for batched L-BFGS).
 
+    Constraints (the scipy-shaped surface): ``eq``/``ineq`` are
+    jax-differentiable callables with the feasible set eq(x) = 0,
+    ineq(x) ≥ 0 — given either, the solve routes through
+    `optimize_auglag` with ``method`` as the inner engine (rank-1 x0
+    only; ``ctol`` is the feasibility tolerance, and auglag knobs —
+    ``rho0=``, ``max_outer=``, ``lam0=``/``mu0=``, ... — pass through
+    kwargs). The returned `AugLagResult` has ``fun``/``grad`` flipped to
+    the minimization convention; ``lam``/``mu`` need NO flip — they are
+    exactly the multipliers of the minimization Lagrangian
+    L = fun + λᵀ·eq − μᵀ·ineq (μ ≥ 0), KKT-tested both ways.
+
     Returns the native result type with ``fun``, ``last_value`` and
     ``grad`` in the minimization convention: `res.fun` is the minimized
     value on convergence (NaN otherwise, the in-band failure contract) and
@@ -117,6 +131,28 @@ def minimize(
     vag = _NegatedVag(value_and_grad_fn) if value_and_grad_fn else None
     x0 = jnp.asarray(x0)
     batched = x0.ndim == 2
+
+    if eq is not None or ineq is not None:
+        from .constrained import optimize_auglag
+
+        if method not in ("bfgs", "lbfgs", "cg", "tr"):
+            raise ValueError(
+                f"constrained minimize needs method in "
+                f"'bfgs'/'lbfgs'/'cg'/'tr', got {method!r}"
+            )
+        # the signature-default BackTracking() defers to auglag's own
+        # default (HZ approximate Wolfe — the |F*|>0 endgame needs it);
+        # any non-default ls passes through
+        res = optimize_auglag(
+            obj, x0, eq=eq, ineq=ineq, engine=method, tol=tol, ctol=ctol,
+            max_iterations=max_iterations,
+            lam0=kwargs.pop("lam0", None), mu0=kwargs.pop("mu0", None),
+            ls=None if ls == BackTracking() else ls,
+            history=history, value_and_grad_fn=vag, **kwargs,
+        )
+        # lam/mu/viol/eq/ineq are convention-invariant (see docstring);
+        # only the objective-valued fields flip
+        return res._replace(fun=-res.fun, grad=-res.grad)
 
     if method == "bfgs":
         if batched:

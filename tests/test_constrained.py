@@ -218,6 +218,41 @@ def test_validation_errors():
         qnm.optimize_auglag(f, jnp.zeros(2), eq=h, rho0=-1.0)
 
 
+def test_minimize_constrained_route():
+    """The scipy-shaped surface: minimize (x-2)² + (y-1)² s.t. x+y=1.
+    Solution (1, 0), min value 2; the minimization-Lagrangian multiplier
+    of L = g + λ·h is λ = 2 (∇g(1,0) = (-2,-2) = -λ∇h). lam/mu pass
+    through UNCHANGED from the max-form solve (convention-invariant,
+    see minimize docstring); fun/grad flip."""
+
+    def g(z):
+        return (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2
+
+    r = qnm.minimize(g, jnp.zeros(2), eq=lambda z: z[0] + z[1] - 1.0)
+    assert bool(r.converged)
+    np.testing.assert_allclose(np.asarray(r.x), [1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(float(r.fun), 2.0, atol=1e-6)  # minimized
+    np.testing.assert_allclose(float(r.lam[0]), 2.0, atol=1e-5)
+    # r.grad is the gradient of g (the MINIMIZED function) at x
+    np.testing.assert_allclose(np.asarray(r.grad), [-2.0, -2.0],
+                               atol=1e-5)
+
+    # inequality via minimize: min x²+y² s.t. x+y >= 1 -> (.5,.5), mu=1
+    r2 = qnm.minimize(lambda z: jnp.sum(z * z), jnp.zeros(2),
+                      ineq=lambda z: z[0] + z[1] - 1.0, method="cg")
+    assert bool(r2.converged)
+    np.testing.assert_allclose(np.asarray(r2.x), [0.5, 0.5], atol=1e-6)
+    np.testing.assert_allclose(float(r2.mu[0]), 1.0, atol=1e-5)
+
+    # auglag knobs ride kwargs; bad method refuses
+    r3 = qnm.minimize(g, jnp.zeros(2), eq=lambda z: z[0] + z[1] - 1.0,
+                      lam0=jnp.asarray([2.0]), max_outer=4)
+    assert bool(r3.converged) and int(r3.n_outer) <= 4
+    with pytest.raises(ValueError, match="constrained minimize"):
+        qnm.minimize(g, jnp.zeros((2,)), eq=lambda z: z[0],
+                     method="nelder-mead")
+
+
 def test_rosenbrock_on_a_disk():
     """The scipy-docs classic, in maximization form: maximize
     -rosenbrock(x, y) s.t. x² + y² <= 2. The unconstrained optimum
