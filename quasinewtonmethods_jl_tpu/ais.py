@@ -415,16 +415,42 @@ def _smc_adaptive_core(
             dw = db * delta
             return logw + jnp.where(jnp.isfinite(dw), dw, -jnp.inf)
 
+        if resample:
+            # combined-weight ESS: resampling resets logw to zeros, so
+            # the criterion recovers after each resample and keeps
+            # measuring the quantity the resampler acts on
+            def crit_ess(db):
+                return _weight_ess(lw_at(db))
+        else:
+            # no-resample mode: the combined ESS is monotone
+            # NON-INCREASING in t — once it crosses the target every
+            # later rung would take the remaining-budget floor and the
+            # "adaptive" ladder would stop adapting. Bisect instead on
+            # the CONDITIONAL ESS of the increment (Zhou–Johansen–Aston
+            # 2016): CESS = N·(Σ Ŵ·w)²/(Σ Ŵ·w²) with Ŵ the normalized
+            # carried weights and w = exp(db·delta) — a per-rung local
+            # discrepancy that stays in (0, N] for every rung
+            lse_prev = jax.scipy.special.logsumexp(logw)
+            lW = logw - lse_prev  # normalized log carried weights
+
+            def crit_ess(db):
+                dw = db * delta
+                dw = jnp.where(jnp.isfinite(dw), dw, -jnp.inf)
+                return jnp.asarray(N, dtype) * jnp.exp(
+                    2.0 * jax.scipy.special.logsumexp(lW + dw)
+                    - jax.scipy.special.logsumexp(lW + 2.0 * dw)
+                )
+
         rem = one - b
-        # largest db in (0, rem] with ESS(logw + db·delta) >= target:
-        # 30 fixed bisection steps on (N,) sweeps — noise vs the rung's
+        # largest db in (0, rem] with criterion-ESS >= target: 30 fixed
+        # bisection steps on (N,) sweeps — noise vs the rung's
         # n_leapfrog batched model gradients
-        full_ok = _weight_ess(lw_at(rem)) >= ess_target
+        full_ok = crit_ess(rem) >= ess_target
 
         def bis(_, lohi):
             lo, hi = lohi
             mid = 0.5 * (lo + hi)
-            ok = _weight_ess(lw_at(mid)) >= ess_target
+            ok = crit_ess(mid) >= ess_target
             return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
 
         lo, _hi = lax.fori_loop(0, 30, bis, (jnp.zeros((), dtype), rem))
@@ -533,14 +559,19 @@ def ais_evidence(
     b_t = (t/T)^p (p > 1 spends rungs near the base, p = 1 linear), pass
     an explicit (n_steps+1,) array from 0 to 1, or ``'adaptive'`` for
     adaptive tempered SMC — each rung bisects (on device) the LARGEST
-    temperature increment keeping the combined-weight ESS at
+    temperature increment keeping an ESS criterion at
     ``adapt_target · n_particles``, so easy stretches anneal in a few
     jumps and the rung budget concentrates where the target changes
     fastest; ``n_steps`` becomes a CAP (a remaining-budget floor
     guarantees b reaches 1 within it; ``result.n_rungs`` reports rungs
     used and ``result.betas`` the ladder found, padded with 1.0).
     Adaptive mode pairs naturally with ``resample=True`` (the classic
-    SMC sampler); without it, it is AIS on a self-tuned ladder.
+    SMC sampler), where the criterion is the combined-weight ESS the
+    resampler acts on; without resampling that ESS is monotone
+    non-increasing (the ladder would stop adapting once it crossed the
+    target), so the criterion switches to the conditional ESS of each
+    increment (CESS, Zhou–Johansen–Aston 2016) and the run is AIS on a
+    self-tuned ladder.
 
     ``resample=True`` upgrades plain AIS to an SMC sampler: whenever the
     weight ESS drops below ``resample_threshold · n_particles``, the

@@ -31,9 +31,10 @@ formulation would recompile the engine on every multiplier update).
 
 Contracts (the library-wide ones): in-band failure — ``fun`` is NaN
 unless the KKT certificate holds (inner max|∇L| < tol AND violation
-≤ ctol); a hard inner failure (line-search breakdown, non-finite
-objective) stops the outer loop and reports that status; the iterate is
-always the last inner solution.
+≤ ctol); only a NON-FINITE objective is a hard inner failure that stops
+the outer loop and reports that status — a line-search stall is soft
+(the multiplier update re-centers the Lagrangian and the next round
+usually certifies); the iterate is always the last inner solution.
 """
 
 from __future__ import annotations

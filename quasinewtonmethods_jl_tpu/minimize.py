@@ -77,7 +77,7 @@ def minimize(
     *,
     method: str = "bfgs",
     history: int = 10,
-    ls: BackTracking = BackTracking(),
+    ls: Optional[BackTracking] = None,
     tol: float = 1e-8,
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
@@ -97,8 +97,11 @@ def minimize(
     ``h0_scale`` do not apply), or 'cg' (nonlinear conjugate gradients —
     O(n) state for very large n; the β formula is selected with
     ``cg_method='hz'|'pr'|'fr'|'dy'`` since ``method`` itself names the
-    engine here, and the engine's Wolfe(approx=True) search applies
-    unless a non-default ``ls`` is passed). A rank-1 x0
+    engine here). ``ls=None`` (the default) resolves to each engine's own
+    default line search — BackTracking() for bfgs/lbfgs, Wolfe(approx=True)
+    for cg and the constrained route; an explicitly-passed ``ls``
+    (including a default-hyperparameter BackTracking()) always passes
+    through verbatim. A rank-1 x0
     runs a single solve; a rank-2 (batch, n) x0 runs the batched fleet
     engine (`optimize_batched` / `optimize_lbfgs_batched`), with every
     result leaf carrying the batch axis. Extra keyword args pass through
@@ -140,45 +143,63 @@ def minimize(
                 f"constrained minimize needs method in "
                 f"'bfgs'/'lbfgs'/'cg'/'tr', got {method!r}"
             )
-        # the signature-default BackTracking() defers to auglag's own
-        # default (HZ approximate Wolfe — the |F*|>0 endgame needs it);
-        # any non-default ls passes through
+        # these knobs have no auglag counterpart — loud, not silent
+        if h0_scale is not True:
+            raise ValueError(
+                "h0_scale does not apply to the constrained route "
+                "(optimize_auglag's inner engines keep their defaults)"
+            )
+        if stall_limit != STALL_LIMIT_DEFAULT:
+            raise ValueError(
+                "stall_limit does not apply to the constrained route "
+                "(optimize_auglag's inner engines keep their defaults)"
+            )
+        # ls=None defers to auglag's own default (HZ approximate Wolfe —
+        # the |F*|>0 endgame needs it); an explicit ls — including an
+        # explicit default-hyperparameter BackTracking() — passes through
         res = optimize_auglag(
             obj, x0, eq=eq, ineq=ineq, engine=method, tol=tol, ctol=ctol,
             max_iterations=max_iterations,
             lam0=kwargs.pop("lam0", None), mu0=kwargs.pop("mu0", None),
-            ls=None if ls == BackTracking() else ls,
+            ls=ls,
             history=history, value_and_grad_fn=vag, **kwargs,
         )
         # lam/mu/viol/eq/ineq are convention-invariant (see docstring);
         # only the objective-valued fields flip
         return res._replace(fun=-res.fun, grad=-res.grad)
 
+    # ls=None resolves per engine: BackTracking() for the bfgs/lbfgs
+    # family, the engine's own Wolfe(approx=True) for cg, nothing for tr
+    if ls is None:
+        ls_bt = BackTracking()
+    else:
+        ls_bt = ls
+
     if method == "bfgs":
         if batched:
             # the batched router keeps h0_scale at its engine default (on);
             # pass kernel=/fold_eval=/backend= through kwargs
             res = optimize_batched(
-                obj, x0, ls=ls, tol=tol, max_iterations=max_iterations,
+                obj, x0, ls=ls_bt, tol=tol, max_iterations=max_iterations,
                 value_and_grad_fn=vag,
                 stall_limit=stall_limit, **kwargs,
             )
         else:
             res = optimize(
-                obj, x0, ls=ls, tol=tol, max_iterations=max_iterations,
+                obj, x0, ls=ls_bt, tol=tol, max_iterations=max_iterations,
                 value_and_grad_fn=vag, h0_scale=h0_scale,
                 stall_limit=stall_limit, **kwargs,
             )
     elif method == "lbfgs":
         if batched:
             res = optimize_lbfgs_batched(
-                obj, x0, history=history, ls=ls, tol=tol,
+                obj, x0, history=history, ls=ls_bt, tol=tol,
                 max_iterations=max_iterations, value_and_grad_fn=vag,
                 stall_limit=stall_limit, **kwargs,
             )
         else:
             res = optimize_lbfgs(
-                obj, x0, history=history, ls=ls, tol=tol,
+                obj, x0, history=history, ls=ls_bt, tol=tol,
                 max_iterations=max_iterations, value_and_grad_fn=vag,
                 stall_limit=stall_limit, **kwargs,
             )
@@ -188,6 +209,11 @@ def minimize(
         # ls/h0_scale/history are line-search/secant knobs — not
         # applicable; TR knobs (bounds=, max_cg=, cg_tol=, delta0=, ...)
         # pass through kwargs
+        if ls is not None:
+            raise ValueError(
+                "ls does not apply to method='tr' (trust region has no "
+                "line search)"
+            )
         res = optimize_tr(
             obj, x0, tol=tol, max_iterations=max_iterations,
             value_and_grad_fn=vag, **kwargs,
@@ -195,14 +221,10 @@ def minimize(
     elif method == "cg":
         from .cg_solve import optimize_cg
 
-        # the shared BackTracking `ls` default would silently degrade CG
-        # (β quality needs the Wolfe curvature condition) — the engine's
-        # own Wolfe(approx=True) default applies unless the caller passed
-        # a NON-default ls (an explicitly-passed default BackTracking()
-        # is indistinguishable from the signature default and also gets
-        # the engine default; pass BackTracking(iterations=...) or any
-        # non-default field to force backtracking)
-        if ls != BackTracking():
+        # ls=None → the engine's own Wolfe(approx=True) default (CG's β
+        # quality needs the curvature condition); any explicit ls —
+        # including an explicit default BackTracking() — passes through
+        if ls is not None:
             kwargs = {"ls": ls, **kwargs}
         # `method` names the engine in this shim, so the β formula rides
         # the `cg_method` kwarg

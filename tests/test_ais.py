@@ -257,3 +257,40 @@ def test_ais_f32_under_x64():
     )
     assert res.logw.dtype == jnp.float32
     assert np.isfinite(float(res.logZ))
+
+
+def test_smc_adaptive_no_resample_cess_keeps_adapting():
+    """resample=False adaptive mode bisects on the CONDITIONAL ESS of
+    each increment (CESS) — the combined ESS is monotone non-increasing
+    without resampling, so the old criterion degenerated to the linear
+    floor after the first crossing (advisor finding, round 4). CESS keeps
+    the ladder genuinely adaptive: on the displaced target the found
+    ladder must be non-uniform (adaptive rungs concentrate where the
+    target changes fastest) and the estimate still lands."""
+    n = 4
+    logz_true = 0.5 * n * _LOG_2PI
+
+    def ld(x):
+        return -0.5 * jnp.sum((x - 5.0) ** 2)
+
+    res = qnm.ais_evidence(
+        ld, jax.random.PRNGKey(11), (jnp.zeros(n), jnp.ones(n)),
+        n_particles=512, n_steps=64, n_leapfrog=4,
+        schedule="adaptive", resample=False,
+    )
+    t = int(res.n_rungs)
+    # the degenerate (combined-ESS) criterion crosses its target early on
+    # this displaced target and then floor-walks to exactly the 64-rung
+    # cap; a genuinely per-rung criterion finishes far earlier
+    assert 1 < t < 32
+    betas = np.asarray(res.betas)
+    db = np.diff(betas[: t + 1])
+    assert np.all(db > 0)
+    np.testing.assert_allclose(betas[t:], 1.0)
+    # non-uniform ladder = the rung budget concentrates where the target
+    # changes fastest
+    assert db.max() > 2.0 * db.min()
+    # mechanism test, not an accuracy bar: without resampling the weight
+    # degeneracy bias is real — the accuracy bar lives in the
+    # resample=True test above
+    assert abs(float(res.logZ) - logz_true) < 1.0

@@ -112,3 +112,32 @@ def test_documented_api_exists():
             except AttributeError:
                 unresolved.append(sym)
     assert not unresolved, f"api.md documents missing symbols: {unresolved}"
+
+
+def test_readme_headline_matches_bench_json():
+    """Benchmark-truth gate (round-5 rule): the README headline cell must
+    quote the DRIVER-captured absolutes from the newest BENCH_r*.json —
+    script-session absolutes are ratio evidence only (axon absolutes vary
+    ±15-20% between sessions; CLAUDE.md convention)."""
+    import json
+    import re
+
+    root = PKG_DIR.parent
+    benches = sorted(root.glob("BENCH_r*.json"))
+    assert benches, "no BENCH_r*.json present"
+    parsed = json.loads(benches[-1].read_text())["parsed"]
+    readme = (root / "README.md").read_text()
+    headline_row = next(
+        line for line in readme.splitlines() if "(headline)" in line
+    )
+    # thousands-separated integers as they appear in the README cell
+    quoted = {
+        float(m.replace(",", ""))
+        for m in re.findall(r"\d{1,3}(?:,\d{3})+", headline_row)
+    }
+    for key in ("value", "single_call", "bfgs_value", "bfgs_single_call"):
+        v = parsed[key]
+        assert any(abs(q - v) <= 1.0 for q in quoted), (
+            f"README headline row does not quote BENCH {key}={v:,.0f} "
+            f"from {benches[-1].name}"
+        )
