@@ -47,13 +47,18 @@ import jax.numpy as jnp
 from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
-from .cg_solve import optimize_cg
+from .cg_solve import _CGCarry, _cg_loop_batched, optimize_cg
 from .lbfgs_solve import optimize_lbfgs
 from .ops.linesearch import BackTracking
 from .ops.wolfe import Wolfe
-from .solve import MAX_ITERATIONS_DEFAULT, optimize
+from .solve import MAX_ITERATIONS_DEFAULT, STALL_LIMIT_DEFAULT, optimize
 from .state import Status
-from .trust_region import optimize_tr
+from .trust_region import (
+    _init_tr_state,
+    _tr_body,
+    _tr_cond,
+    optimize_tr,
+)
 
 __all__ = ["AugLagResult", "optimize_auglag"]
 
@@ -268,6 +273,8 @@ def optimize_auglag(
     history: int = 10,
     cg_method: str = "hz",
     value_and_grad_fn: Optional[Callable] = None,
+    kernel: str = "auto",
+    block_batch: int = 128,
 ) -> AugLagResult:
     """Maximize f(x) subject to eq(x) = 0 and ineq(x) >= 0.
 
@@ -294,17 +301,28 @@ def optimize_auglag(
     exhausted outer budget reports MAX_ITERATIONS (``viol`` says how
     infeasible it still is).
 
+    Fleets: a rank-2 (batch, n) ``x0`` runs the masked-lockstep
+    constrained fleet — per-lane (λ, μ, ρ, violation) in the outer
+    carry, the library's BATCHED engines as the inner solve, frozen
+    lanes entering each inner fleet with a non-RUNNING placeholder so
+    the inner masking skips them (NOT vmap-of-auglag, which is the
+    documented round-1 trip-count trap). ``lam0``/``mu0`` then accept
+    either the per-constraint shape (m,) (broadcast across lanes) or
+    per-lane (batch, m); every result leaf gains the leading batch
+    axis. ``kernel``/``block_batch`` select the BFGS inner fleet's
+    update kernel exactly as in `optimize_batched` ('auto' = Pallas on
+    TPU when feasible).
+
     f32/TPU guidance as everywhere: tol, ctol ≥ ~1e-3. For constraints
     a smooth bijection can absorb (positivity, boxes, simplexes),
     prefer `transforms.py` — unconstrained geometry samples and solves
     better; this is for the genuinely coupled constraints.
     """
     x0 = jnp.asarray(x0)
-    if x0.ndim != 1:
+    if x0.ndim not in (1, 2):
         raise ValueError(
-            f"optimize_auglag expects a rank-1 x0 (single solve); got "
-            f"shape {x0.shape} — constrained fleets: vmap is correct but "
-            f"lockstep-unmasked; open an issue if you need them fast"
+            f"x0 must be rank 1 (single solve) or rank 2 (batch, n) "
+            f"(constrained fleet); got shape {x0.shape}"
         )
     if eq is None and ineq is None:
         raise ValueError(
@@ -323,23 +341,33 @@ def optimize_auglag(
     dtype = x0.dtype
     eqw = _Flat1D(eq) if eq is not None else None
     inw = _Flat1D(ineq) if ineq is not None else None
+    batched = x0.ndim == 2
+    x_probe = x0[0] if batched else x0
 
     def _mult_init(given, fn, label):
+        """Validated multipliers: (m,) for the scalar path; (batch, m)
+        for the fleet (an (m,) warm start broadcasts across lanes)."""
         if fn is None:
             if given is not None:
                 raise ValueError(f"{label}0 given without {label}=")
-            return jnp.zeros((0,), dtype)
-        shape = jax.eval_shape(fn, x0).shape
+            return jnp.zeros(
+                (x0.shape[0], 0) if batched else (0,), dtype
+            )
+        shape = jax.eval_shape(fn, x_probe).shape
         if len(shape) != 1:
             raise ValueError(
                 f"{label}(x0) must be rank-0/1, got shape {shape}"
             )
+        full = (x0.shape[0],) + shape if batched else shape
         if given is None:
-            return jnp.zeros(shape, dtype)
+            return jnp.zeros(full, dtype)
         given = jnp.asarray(given, dtype)
-        if given.shape != shape:
+        if batched and given.shape == shape:
+            given = jnp.broadcast_to(given, full)
+        if given.shape != full:
             raise ValueError(
-                f"{label}0 shape {given.shape} != constraint shape {shape}"
+                f"{label}0 shape {given.shape} != expected {full} "
+                f"(constraint shape {shape})"
             )
         return given
 
@@ -355,6 +383,24 @@ def optimize_auglag(
         # STATUS round-4); the HZ approximate-Wolfe slope acceptance is
         # the fix, so it is the default for every line-search engine here
         ls = Wolfe(approx=True)
+    if batched:
+        if engine == "bfgs":
+            from .batched_solve import _auto_kernel
+
+            on_tpu = jax.default_backend() == "tpu"
+            if kernel == "auto":
+                kernel = "pallas" if on_tpu else "xla"
+            kernel, block_batch = _auto_kernel(
+                kernel, x0.shape[1], x0.dtype.itemsize, block_batch
+            )
+        return _auglag_fleet_core(
+            obj, x0, eqw, inw, lam, mu,
+            jnp.asarray(rho0, dtype), float(tol), float(ctol),
+            jnp.asarray(rho_growth, dtype),
+            jnp.asarray(viol_decrease, dtype), jnp.asarray(rho_max, dtype),
+            engine, value_and_grad_fn, ls, max_outer, max_iterations,
+            history, cg_method, kernel, int(block_batch),
+        )
     return _auglag_core(
         obj, x0, eqw, inw, lam, mu,
         jnp.asarray(rho0, dtype), float(tol), float(ctol),
@@ -363,3 +409,377 @@ def optimize_auglag(
         engine, value_and_grad_fn, ls, max_outer, max_iterations,
         history, cg_method,
     )
+
+
+# --------------------------------------------------------------------------
+# Batched fleet (round 5): masked-lockstep outer loop over per-lane
+# (λ, μ, ρ, violation) with the library's BATCHED engines as the inner
+# solve. Naive vmap-of-auglag is the documented round-1 trip-count trap
+# (frozen lanes' discarded inner solves set every outer loop's trip
+# count); here frozen lanes enter each inner fleet solve with a
+# non-RUNNING placeholder status, so the inner cores' own lane masking
+# freezes them at zero marginal work, and the outer while_loop runs to
+# the slowest lane's KKT certificate only.
+# --------------------------------------------------------------------------
+
+
+def _fleet_penalty_fns(eq, ineq, vag_f, f_val, dtype):
+    """Per-lane penalty machinery over the lane-minor (n, batch) layout.
+
+    ``pen_one(x, lam_i, mu_i, rho_i)`` is the scalar PHR penalty of one
+    lane; the batched forms close over nothing — multipliers are passed
+    per call so the outer carry's tracers thread through cleanly."""
+
+    def pen_one(x, lam_i, mu_i, rho_i):
+        p = jnp.zeros((), dtype)
+        if eq is not None:
+            h = eq(x)
+            p = p + jnp.dot(lam_i, h) + 0.5 * rho_i * jnp.dot(h, h)
+        if ineq is not None:
+            t = jnp.maximum(0.0, mu_i - rho_i * ineq(x))
+            p = p + (0.5 / rho_i) * (jnp.dot(t, t) - jnp.dot(mu_i, mu_i))
+        return p
+
+    # (n, B), (me, B), (mi, B), (B,) -> ((B,), (n, B))
+    pen_vag_b = jax.vmap(
+        jax.value_and_grad(pen_one), in_axes=(1, 1, 1, 0), out_axes=(0, 1)
+    )
+    vag_b = jax.vmap(vag_f, in_axes=1, out_axes=(0, 1))
+    f_b = jax.vmap(f_val, in_axes=1, out_axes=0)
+    pen_b = jax.vmap(pen_one, in_axes=(1, 1, 1, 0), out_axes=0)
+    return pen_one, pen_vag_b, vag_b, f_b, pen_b
+
+
+def _run_fleet_bfgs(F_vag_b, F_b, X, active, ls, tol, max_iterations,
+                    update_fn, dtype):
+    from .batched_solve import _Carry, _solve_loop_batched
+
+    n, batch = X.shape
+    zero_v = jnp.zeros((n, batch), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    status0 = jnp.where(
+        active, jnp.int32(Status.RUNNING), jnp.int32(Status.MAX_ITERATIONS)
+    )
+    carry0 = _Carry(
+        X=X,
+        G=zero_v,
+        G_old=zero_v,
+        STEP=zero_v,
+        B=jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, batch)),
+        fun=jnp.full((batch,), jnp.nan, dtype),
+        fprev=jnp.full((batch,), jnp.nan, dtype),
+        k=jnp.zeros((), jnp.int32),
+        status=status0,
+        iterations=zero_i,
+        n_fev=zero_i,
+        n_gev=zero_i,
+        n_resets=zero_i,
+        fresh=jnp.ones((batch,), bool),
+        stall=zero_i,
+    )
+    fc = _solve_loop_batched(
+        F_vag_b, F_b, carry0, ls, tol, max_iterations, update_fn,
+        h0_scale=True, stall_limit=STALL_LIMIT_DEFAULT,
+    )
+    return fc.X, fc.status, fc.iterations, fc.n_fev
+
+
+def _run_fleet_lbfgs(F_vag_b, F_b, X, active, ls, tol, max_iterations,
+                     history, dtype):
+    from .lbfgs_batched_solve import (
+        _RING_CIRCULAR_MIN_N,
+        _LCarry,
+        _lbfgs_loop_batched,
+    )
+
+    n, batch = X.shape
+    circular = n >= _RING_CIRCULAR_MIN_N
+    zero_v = jnp.zeros((n, batch), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    status0 = jnp.where(
+        active, jnp.int32(Status.RUNNING), jnp.int32(Status.MAX_ITERATIONS)
+    )
+    carry0 = _LCarry(
+        X=X,
+        G=zero_v,
+        G_old=zero_v,
+        STEP=zero_v,
+        S=jnp.zeros((history, n, batch), dtype),
+        Y=jnp.zeros((history, n, batch), dtype),
+        SY=jnp.zeros((1, 1, 1), dtype),
+        YY=jnp.zeros((1, 1, 1), dtype),
+        rho=jnp.zeros((history, batch), dtype),
+        hist=zero_i,
+        head=zero_i,
+        gamma=jnp.ones((batch,), dtype),
+        fun=jnp.full((batch,), jnp.nan, dtype),
+        k=jnp.zeros((), jnp.int32),
+        status=status0,
+        iterations=zero_i,
+        n_fev=zero_i,
+        n_gev=zero_i,
+        n_resets=zero_i,
+        stall=zero_i,
+    )
+    fc = _lbfgs_loop_batched(
+        F_vag_b, F_b, carry0, ls, tol, max_iterations,
+        STALL_LIMIT_DEFAULT, circular,
+    )
+    return fc.X, fc.status, fc.iterations, fc.n_fev
+
+
+def _run_fleet_cg(F_vag_b, F_b, X, active, ls, tol, max_iterations,
+                  cg_method, dtype):
+    n, batch = X.shape
+    zero_v = jnp.zeros((n, batch), dtype)
+    zero_b = jnp.zeros((batch,), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    status0 = jnp.where(
+        active, jnp.int32(Status.RUNNING), jnp.int32(Status.MAX_ITERATIONS)
+    )
+    carry0 = _CGCarry(
+        X=X,
+        G=zero_v,
+        G_old=zero_v,
+        D=zero_v,
+        m_prev=zero_b,
+        t_prev=zero_b,
+        fun=jnp.full((batch,), jnp.nan, dtype),
+        fprev=jnp.full((batch,), jnp.nan, dtype),
+        k=jnp.zeros((), jnp.int32),
+        status=status0,
+        iterations=zero_i,
+        n_fev=zero_i,
+        n_gev=zero_i,
+        n_resets=zero_i,
+        stall=zero_i,
+    )
+    fc = _cg_loop_batched(
+        F_vag_b, F_b, carry0, cg_method, ls, tol, max_iterations,
+        STALL_LIMIT_DEFAULT, 0.2,
+    )
+    return fc.X, fc.status, fc.iterations, fc.n_fev
+
+
+def _run_fleet_tr(vag_f, pen_one, X, lam, mu, rho, active, tol,
+                  max_iterations, dtype):
+    """TR inner solve: batch-major (B, n) like the TR engine itself; the
+    per-lane augmented value_and_grad/HVP close over THIS round's
+    multipliers (outer-carry tracers thread through the vmaps)."""
+    n = X.shape[0]
+    lamT, muT = lam.T, mu.T  # (B, me), (B, mi)
+
+    def vag_min_one(x, li, mui, ri):
+        fv, fg = vag_f(x)
+        pv, pg = jax.value_and_grad(pen_one)(x, li, mui, ri)
+        return -(fv - pv), -(fg - pg)
+
+    def grad_min_one(x, li, mui, ri):
+        return vag_min_one(x, li, mui, ri)[1]
+
+    def hvp_one(x, v, li, mui, ri):
+        return jax.jvp(
+            lambda xx: grad_min_one(xx, li, mui, ri), (x,), (v,)
+        )[1]
+
+    def vag_fleet(Xb):
+        return jax.vmap(vag_min_one, in_axes=(0, 0, 0, 0))(
+            Xb, lamT, muT, rho
+        )
+
+    def hvp_fleet(Xb, V):
+        return jax.vmap(hvp_one, in_axes=(0, 0, 0, 0, 0))(
+            Xb, V, lamT, muT, rho
+        )
+
+    s0 = _init_tr_state(vag_fleet, X.T, 1.0)
+    crit0 = jnp.max(jnp.abs(s0.g), axis=-1)
+    st0 = jnp.where(
+        s0.status == Status.RUNNING,
+        jnp.where(crit0 < tol, jnp.int32(Status.CONVERGED),
+                  jnp.int32(Status.RUNNING)),
+        s0.status,
+    )
+    st0 = jnp.where(active, st0, jnp.int32(Status.MAX_ITERATIONS))
+    s0 = s0._replace(status=st0.astype(jnp.int32))
+    body = partial(
+        _tr_body, vag_fleet, hvp_fleet, None, tol, max_iterations,
+        min(n, 64), 1.0, 1e6, 1e-4, "none", 2, None,
+    )
+    s = lax.while_loop(_tr_cond(max_iterations), body, s0)
+    return s.x.T, s.status, s.k, s.n_fev
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "obj", "eq", "ineq", "engine", "value_and_grad_fn", "ls",
+        "max_outer", "max_iterations", "history", "cg_method",
+        "tol", "ctol", "kernel", "block_batch",
+    ),
+)
+def _auglag_fleet_core(
+    obj, x0s, eq, ineq, lam0, mu0, rho0, tol, ctol, rho_growth,
+    viol_decrease, rho_max, engine, value_and_grad_fn, ls, max_outer,
+    max_iterations, history, cg_method, kernel, block_batch,
+):
+    vag_f = as_value_and_grad(obj, value_and_grad_fn)
+    f_val = as_value_fn(obj, value_and_grad_fn)
+    user_batch, n = x0s.shape
+    dtype = x0s.dtype
+
+    # Pallas grid padding (BFGS kernels need lane count % block_batch == 0);
+    # padded lanes are born hard-frozen and stripped from the result
+    pad = (
+        (-user_batch) % block_batch
+        if engine == "bfgs" and kernel.startswith("pallas")
+        else 0
+    )
+    batch = user_batch + pad
+    if pad:
+        x0s = jnp.concatenate(
+            [x0s, jnp.broadcast_to(x0s[:1], (pad, n))]
+        )
+        lam0 = jnp.concatenate(
+            [lam0, jnp.broadcast_to(lam0[:1], (pad,) + lam0.shape[1:])]
+        )
+        mu0 = jnp.concatenate(
+            [mu0, jnp.broadcast_to(mu0[:1], (pad,) + mu0.shape[1:])]
+        )
+    pad_mask = jnp.arange(batch) >= user_batch
+
+    me = lam0.shape[1]
+    mi = mu0.shape[1]
+    pen_one, pen_vag_b, vag_b, f_b, pen_b = _fleet_penalty_fns(
+        eq, ineq, vag_f, f_val, dtype
+    )
+    eq_b = jax.vmap(eq, in_axes=1, out_axes=1) if eq is not None else None
+    ineq_b = (
+        jax.vmap(ineq, in_axes=1, out_axes=1) if ineq is not None else None
+    )
+
+    if engine == "bfgs":
+        from .batched_solve import _make_update_fn
+
+        update_fn = _make_update_fn(kernel, block_batch)
+    else:
+        update_fn = None
+
+    def violation(H, C, mu, rho):
+        v = jnp.zeros((batch,), dtype)
+        if eq is not None:
+            v = jnp.maximum(v, jnp.max(jnp.abs(H), axis=0))
+        if ineq is not None:
+            v = jnp.maximum(
+                v, jnp.max(jnp.abs(jnp.minimum(C, mu / rho[None, :])), axis=0)
+            )
+        return v
+
+    def body(carry):
+        (X, lam, mu, rho, vprev, k, n_outer, tot_it, tot_fev, succ, hard,
+         inner_st) = carry
+        active = (~succ) & (~hard) & (~pad_mask)
+
+        def F_b(Xv):
+            return f_b(Xv) - pen_b(Xv, lam, mu, rho)
+
+        def F_vag_b(Xv):
+            fv, fg = vag_b(Xv)
+            pv, pg = pen_vag_b(Xv, lam, mu, rho)
+            return fv - pv, fg - pg
+
+        if engine == "bfgs":
+            X1, st, it, fev = _run_fleet_bfgs(
+                F_vag_b, F_b, X, active, ls, tol, max_iterations,
+                update_fn, dtype,
+            )
+        elif engine == "lbfgs":
+            X1, st, it, fev = _run_fleet_lbfgs(
+                F_vag_b, F_b, X, active, ls, tol, max_iterations,
+                history, dtype,
+            )
+        elif engine == "cg":
+            X1, st, it, fev = _run_fleet_cg(
+                F_vag_b, F_b, X, active, ls, tol, max_iterations,
+                cg_method, dtype,
+            )
+        else:  # tr
+            X1, st, it, fev = _run_fleet_tr(
+                vag_f, pen_one, X, lam, mu, rho, active, tol,
+                max_iterations, dtype,
+            )
+
+        X1 = jnp.where(active[None, :], X1, X)
+        H1 = eq_b(X1) if eq is not None else jnp.zeros((0, batch), dtype)
+        C1 = ineq_b(X1) if ineq is not None else jnp.zeros((0, batch), dtype)
+        v = violation(H1, C1, mu, rho)
+        lam1 = jnp.where(active[None, :], lam + rho[None, :] * H1, lam)
+        mu1 = jnp.where(
+            active[None, :], jnp.maximum(0.0, mu - rho[None, :] * C1), mu
+        )
+        succ_round = active & (st == Status.CONVERGED) & (v <= ctol)
+        hard_round = active & (st == Status.NONFINITE_VALUE)
+        rho1 = jnp.where(
+            active & (v > viol_decrease * vprev),
+            jnp.minimum(rho * rho_growth, rho_max),
+            rho,
+        )
+        return (
+            X1, lam1, mu1, rho1,
+            jnp.where(active, v, vprev),
+            k + 1,
+            n_outer + active.astype(jnp.int32),
+            tot_it + jnp.where(active, it, 0),
+            tot_fev + jnp.where(active, fev, 0),
+            succ | succ_round,
+            hard | hard_round,
+            jnp.where(active, st, inner_st),
+        )
+
+    def cond(carry):
+        _X, _l, _m, _r, _v, k, _no, _ti, _tf, succ, hard, _st = carry
+        return (k < max_outer) & jnp.any((~succ) & (~hard) & (~pad_mask))
+
+    carry0 = (
+        x0s.T, lam0.T, mu0.T,
+        jnp.full((batch,), rho0, dtype),
+        jnp.full((batch,), jnp.inf, dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+        jnp.zeros((batch,), bool),
+        jnp.zeros((batch,), bool),
+        jnp.full((batch,), Status.RUNNING, jnp.int32),
+    )
+    (X, lam, mu, rho, v, _k, n_outer, tot_it, tot_fev, succ, hard,
+     inner_st) = lax.while_loop(cond, body, carry0)
+
+    fv, fg = vag_b(X)
+    nan = jnp.asarray(jnp.nan, dtype)
+    status = jnp.where(
+        succ,
+        jnp.int32(Status.CONVERGED),
+        jnp.where(hard, inner_st, jnp.int32(Status.MAX_ITERATIONS)),
+    )
+    Hf = eq_b(X) if eq is not None else jnp.zeros((0, batch), dtype)
+    Cf = ineq_b(X) if ineq is not None else jnp.zeros((0, batch), dtype)
+    res = AugLagResult(
+        x=X.T,
+        fun=jnp.where(succ, fv, nan),
+        grad=fg.T,
+        status=status,
+        viol=v,
+        eq=Hf.T,
+        ineq=Cf.T,
+        lam=lam.T,
+        mu=mu.T,
+        rho=rho,
+        n_outer=n_outer,
+        iterations=tot_it,
+        n_fev=tot_fev,
+        inner_status=inner_st,
+    )
+    if pad:
+        res = jax.tree_util.tree_map(lambda a: a[:user_batch], res)
+    return res

@@ -111,8 +111,9 @@ def minimize(
     Constraints (the scipy-shaped surface): ``eq``/``ineq`` are
     jax-differentiable callables with the feasible set eq(x) = 0,
     ineq(x) ≥ 0 — given either, the solve routes through
-    `optimize_auglag` with ``method`` as the inner engine (rank-1 x0
-    only; ``ctol`` is the feasibility tolerance, and auglag knobs —
+    `optimize_auglag` with ``method`` as the inner engine (a rank-2
+    (batch, n) x0 runs the masked-lockstep constrained fleet;
+    ``ctol`` is the feasibility tolerance, and auglag knobs —
     ``rho0=``, ``max_outer=``, ``lam0=``/``mu0=``, ... — pass through
     kwargs). The returned `AugLagResult` has ``fun``/``grad`` flipped to
     the minimization convention; ``lam``/``mu`` need NO flip — they are

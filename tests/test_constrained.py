@@ -194,8 +194,8 @@ def test_f32_stays_f32():
 def test_validation_errors():
     f = lambda z: -jnp.sum(z * z)  # noqa: E731
     h = lambda z: z[0] - 1.0  # noqa: E731
-    with pytest.raises(ValueError, match="rank-1 x0"):
-        qnm.optimize_auglag(f, jnp.zeros((4, 2)), eq=h)
+    with pytest.raises(ValueError, match="rank 1 .*or rank 2"):
+        qnm.optimize_auglag(f, jnp.zeros((4, 2, 2)), eq=h)
     with pytest.raises(ValueError, match="at least one of"):
         qnm.optimize_auglag(f, jnp.zeros(2))
     with pytest.raises(ValueError, match="engine must be"):
@@ -267,3 +267,171 @@ def test_rosenbrock_on_a_disk():
     )
     assert bool(r.converged)
     np.testing.assert_allclose(np.asarray(r.x), [1.0, 1.0], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Constrained fleets (round 5): masked-lockstep batched auglag
+# ---------------------------------------------------------------------------
+
+
+def _disk_ineq(z):
+    return 1.5**2 - jnp.sum(z * z)
+
+
+@pytest.mark.parametrize("engine", ["bfgs", "lbfgs", "cg", "tr"])
+def test_fleet_scalar_parity_all_engines(engine):
+    """Every engine's constrained fleet must agree lane-by-lane with the
+    scalar auglag: same status, same KKT point / value / multipliers at
+    certificate resolution, same outer-round count (the masking must not
+    perturb a lane's own trajectory through the multiplier updates)."""
+    from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(rng.standard_normal((5, 6)) * 0.3)
+    fleet = qnm.optimize_auglag(
+        rosenbrock_logdensity, X0, ineq=_disk_ineq, engine=engine
+    )
+    assert fleet.x.shape == X0.shape
+    for i in range(X0.shape[0]):
+        s = qnm.optimize_auglag(
+            rosenbrock_logdensity, X0[i], ineq=_disk_ineq, engine=engine
+        )
+        assert int(fleet.status[i]) == int(s.status)
+        assert int(fleet.n_outer[i]) == int(s.n_outer)
+        if bool(s.converged):
+            np.testing.assert_allclose(
+                np.asarray(fleet.x[i]), np.asarray(s.x), rtol=1e-6,
+                atol=1e-8,
+            )
+            np.testing.assert_allclose(
+                float(fleet.fun[i]), float(s.fun), rtol=1e-8, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(fleet.mu[i]), np.asarray(s.mu), rtol=1e-5,
+                atol=1e-8,
+            )
+
+
+def test_fleet_heterogeneous_outer_counts():
+    """Warm-started lanes certify in fewer outer rounds than cold lanes
+    in the SAME fleet — per-lane (λ, μ, ρ) state and per-lane freezing,
+    not a shared outer schedule. The frozen lane's multipliers must not
+    move after its success round (parity with its own scalar solve)."""
+    X0 = jnp.zeros((2, 2))
+    lam0 = jnp.asarray([[2.0], [0.0]])  # lane 0 starts at the true lam
+    fleet = qnm.optimize_auglag(_quad, X0, eq=_h, lam0=lam0)
+    assert bool(fleet.converged.all())
+    assert int(fleet.n_outer[0]) < int(fleet.n_outer[1])
+    warm = qnm.optimize_auglag(_quad, jnp.zeros(2), eq=_h,
+                               lam0=jnp.asarray([2.0]))
+    cold = qnm.optimize_auglag(_quad, jnp.zeros(2), eq=_h)
+    assert int(fleet.n_outer[0]) == int(warm.n_outer)
+    assert int(fleet.n_outer[1]) == int(cold.n_outer)
+    np.testing.assert_allclose(float(fleet.lam[0, 0]), float(warm.lam[0]),
+                               rtol=1e-8)
+    np.testing.assert_allclose(float(fleet.lam[1, 0]), float(cold.lam[0]),
+                               rtol=1e-8)
+    for i in (0, 1):
+        np.testing.assert_allclose(np.asarray(fleet.x[i]), [1.0, 0.0],
+                                   atol=1e-6)
+
+
+def test_fleet_mixed_eq_ineq():
+    """Mixed constraints in a fleet: maximize -(x-2)²-(y-1)² s.t.
+    x+y = 1 (eq) and x >= 0.8 / x >= 0 per the shared ineq; lanes from
+    different starts land on the same KKT point."""
+
+    def ineq(z):
+        return z[0]  # x >= 0 (inactive at the solution x=1)
+
+    X0 = jnp.asarray([[0.0, 0.0], [3.0, -2.0], [-1.0, 2.0]])
+    r = qnm.optimize_auglag(_quad, X0, eq=_h, ineq=ineq)
+    assert bool(r.converged.all())
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(r.x[i]), [1.0, 0.0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(r.lam[i, 0]), 2.0, atol=1e-5)
+        # inactive inequality: mu = 0
+        np.testing.assert_allclose(float(r.mu[i, 0]), 0.0, atol=1e-8)
+    assert r.eq.shape == (3, 1) and r.ineq.shape == (3, 1)
+
+
+def test_fleet_per_lane_failure_isolation():
+    """One lane's objective is non-finite from its start (log of a
+    negative coordinate); the other lanes must certify untouched, the bad
+    lane reports NONFINITE_VALUE with fun NaN, and NO NaN leaks across
+    lanes (the round-1 masking lesson, constrained edition)."""
+
+    def f(z):
+        return jnp.log(z[0]) - jnp.sum((z - 1.0) ** 2)
+
+    def ineq(z):
+        return 3.0 - jnp.sum(z * z)
+
+    X0 = jnp.asarray([[1.0, 0.5], [-1.0, 0.5], [0.7, 1.2]])
+    r = qnm.optimize_auglag(f, X0, ineq=ineq, max_outer=8)
+    assert bool(r.converged[0]) and bool(r.converged[2])
+    assert int(r.status[1]) == int(Status.NONFINITE_VALUE)
+    assert np.isnan(float(r.fun[1]))
+    assert int(r.n_outer[1]) == 1  # hard failure freezes immediately
+    assert np.isfinite(np.asarray(r.x[0])).all()
+    assert np.isfinite(float(r.fun[0])) and np.isfinite(float(r.fun[2]))
+    # the failed lane's iterate stays at its start (never took a step)
+    np.testing.assert_allclose(np.asarray(r.x[1]), X0[1])
+
+
+def test_fleet_multiplier_broadcast_and_validation():
+    """(m,) warm starts broadcast across lanes; (batch, m) passes
+    through; wrong shapes raise."""
+    X0 = jnp.zeros((3, 2))
+    r_b = qnm.optimize_auglag(_quad, X0, eq=_h, lam0=jnp.asarray([2.0]))
+    assert bool(r_b.converged.all())
+    assert r_b.lam.shape == (3, 1)
+    with pytest.raises(ValueError, match="shape"):
+        qnm.optimize_auglag(_quad, X0, eq=_h, lam0=jnp.ones((2, 1)))
+    r32 = qnm.optimize_auglag(
+        lambda z: -jnp.sum(z * z), jnp.ones((4, 2), jnp.float32),
+        ineq=lambda z: z[0] + z[1] - 1.0, tol=1e-3, ctol=1e-3,
+    )
+    assert r32.x.dtype == jnp.float32 and r32.mu.dtype == jnp.float32
+    assert bool(r32.converged.all())
+    np.testing.assert_allclose(
+        np.asarray(r32.x), np.full((4, 2), 0.5), atol=1e-3
+    )
+
+
+def test_fleet_minimize_routing():
+    """minimize with eq/ineq and a rank-2 x0 routes through the
+    constrained fleet; fun/grad flip to the minimization convention
+    per lane."""
+
+    def g(z):
+        return (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2
+
+    X0 = jnp.asarray([[0.0, 0.0], [2.0, 2.0]])
+    r = qnm.minimize(g, X0, eq=lambda z: z[0] + z[1] - 1.0)
+    assert bool(r.converged.all())
+    np.testing.assert_allclose(np.asarray(r.x),
+                               [[1.0, 0.0], [1.0, 0.0]], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.fun), [2.0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.lam[:, 0]), [2.0, 2.0],
+                               atol=1e-5)
+
+
+def test_fleet_infeasible_lane_in_band():
+    """A fleet mixing a feasible problem with a lane that CANNOT reach
+    feasibility... constraints are shared across the fleet, so
+    heterogeneous feasibility comes from heterogeneous STARTS on a
+    nonconvex feasible set; here every lane shares the infeasible eq
+    pair and the whole fleet must exhaust in-band (MAX_ITERATIONS,
+    fun NaN, viol > 0) without wedging the while loop."""
+    r = qnm.optimize_auglag(
+        lambda z: -jnp.sum(z * z), jnp.zeros((3, 1)),
+        eq=lambda z: jnp.asarray([z[0] - 1.0, z[0] - 2.0]),
+        max_outer=6,
+    )
+    assert not bool(r.converged.any())
+    assert np.all(np.asarray(r.status) == int(Status.MAX_ITERATIONS))
+    assert np.isnan(np.asarray(r.fun)).all()
+    assert np.all(np.asarray(r.viol) > 0.1)
+    assert np.all(np.asarray(r.n_outer) == 6)
