@@ -139,15 +139,28 @@ class _CGCarry(NamedTuple):
     stall: jax.Array
 
 
-def _cg_beta(method: str, g, G_old, D, restart_nu: float):
+def _cg_beta(method: str, g, G_old, D, restart_nu: float, P=None):
     """(β, forced-restart mask) for the configured formula — all reductions
     are (batch,)-shaped axis-0 sums over the lane-minor (n, batch) layout.
     Division guards are by construction: a zero/NaN denominator produces a
     non-finite β, the resulting direction fails the ascent test, and the
-    in-band steepest reset catches it — no special-casing in the body."""
-    gg = jnp.sum(g * g, axis=0)
-    gg_old = jnp.sum(G_old * G_old, axis=0)
-    gdotgold = jnp.sum(g * G_old, axis=0)
+    in-band steepest reset catches it — no special-casing in the body.
+
+    ``P`` (optional, (n, batch) positive) is the diagonal PRECONDITIONER
+    applied to gradients (P ≈ 1/|diag H|). Preconditioned CG is plain CG
+    on the rescaled variables x̃ = P^{-1/2}x, so each formula below is the
+    textbook one with the x̃-space inner products substituted: gradient
+    products pick up a P (g̃·g̃ = g·Pg), the direction-gradient and
+    direction-y products are INVARIANT (d̃·g̃ = d·g, d̃·ỹ = d·y), and
+    HZ's ‖d̃‖ = √(d·d/P)."""
+    if P is None:
+        gg = jnp.sum(g * g, axis=0)
+        gg_old = jnp.sum(G_old * G_old, axis=0)
+        gdotgold = jnp.sum(g * G_old, axis=0)
+    else:
+        gg = jnp.sum(g * P * g, axis=0)
+        gg_old = jnp.sum(G_old * P * G_old, axis=0)
+        gdotgold = jnp.sum(g * P * G_old, axis=0)
     if method == "fr":
         beta = gg / gg_old
     elif method == "pr":
@@ -159,10 +172,15 @@ def _cg_beta(method: str, g, G_old, D, restart_nu: float):
         y = G_old - g
         dy = jnp.sum(D * y, axis=0)
         dg = jnp.sum(D * g, axis=0)
-        yy = jnp.sum(y * y, axis=0)
-        yg = jnp.sum(y * g, axis=0)
+        if P is None:
+            yy = jnp.sum(y * y, axis=0)
+            yg = jnp.sum(y * g, axis=0)
+            dnorm = jnp.sqrt(jnp.sum(D * D, axis=0))
+        else:
+            yy = jnp.sum(y * P * y, axis=0)
+            yg = jnp.sum(y * P * g, axis=0)
+            dnorm = jnp.sqrt(jnp.sum(D * D / P, axis=0))
         beta = (2.0 * dg * yy / dy - yg) / dy
-        dnorm = jnp.sqrt(jnp.sum(D * D, axis=0))
         eta_k = -1.0 / (dnorm * jnp.minimum(0.01, jnp.sqrt(gg_old)))
         beta = jnp.maximum(beta, eta_k)
     else:  # pragma: no cover - validated at the public entry
@@ -174,13 +192,39 @@ def _cg_beta(method: str, g, G_old, D, restart_nu: float):
     else:
         # HZ's lower truncation / DY's self-restart property play that role
         powell = jnp.zeros(gg.shape, bool)
-    return beta, powell
+    return beta, powell, gg
+
+
+_HUTCHINSON_SEED_CG = 0x7453  # distinct from TR's stream
+
+
+def _jacobi_precond_cg(hvp_b, X, k, probes):
+    """(n, batch) positive diagonal preconditioner P ≈ 1/|diag H| at X by
+    Hutchinson probes (same estimator/flooring as the TR engine's
+    `_jacobi_diag`, transposed to the CG engine's lane-minor layout).
+    Probes are (n,) broadcast across lanes — a fleet lane sees the same
+    probe sequence as a solo solve — and keyed off the global iteration
+    counter so chunked resume replays the uninterrupted stream."""
+    dtype = X.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    key = jax.random.fold_in(jax.random.PRNGKey(_HUTCHINSON_SEED_CG), k)
+    est = jnp.zeros_like(X)
+    for jp in range(probes):
+        v1 = jax.random.rademacher(
+            jax.random.fold_in(key, jp), (X.shape[0],), dtype
+        )
+        v = jnp.broadcast_to(v1[:, None], X.shape)
+        est = est + v * hvp_b(X, v)
+    d_abs = jnp.abs(est) / probes
+    floor = jnp.maximum(1e-6 * jnp.max(d_abs, axis=0, keepdims=True), tiny)
+    return 1.0 / jnp.maximum(d_abs, floor)
 
 
 def _cg_loop_batched(
     vag_b, f_b, carry0: _CGCarry, method: str, ls, tol,
     max_iterations: int, stall_limit: int, restart_nu: float,
-    fold_eval: bool = False,
+    fold_eval: bool = False, precond_mode: str = "none",
+    precond_P=None, hvp_b=None, precond_probes: int = 2,
 ) -> _CGCarry:
     dtype = carry0.X.dtype
     tol = jnp.asarray(tol, dtype)
@@ -236,16 +280,35 @@ def _cg_loop_batched(
         )
         active = (status_pre == Status.RUNNING) & was_active
 
-        gg = jnp.sum(g * g, axis=0)
-        beta, powell = _cg_beta(method, g, c.G_old, c.D, restart_nu)
+        if precond_mode == "none":
+            P = None
+            Pg = g
+            probe_gev = 0
+        elif precond_mode == "fixed":
+            P = precond_P
+            Pg = P * g
+            probe_gev = 0
+        else:  # jacobi: re-estimate at the current fleet iterate; the
+            # probe key folds the fleet's max LIFETIME iteration count
+            # (not the leg-local c.k) so chunked resume replays the
+            # exact probe stream of an uninterrupted run (TR's scheme)
+            P = _jacobi_precond_cg(
+                hvp_b, c.X, jnp.max(c.iterations), precond_probes
+            )
+            Pg = P * g
+            probe_gev = precond_probes
+        beta, powell, gg = _cg_beta(method, g, c.G_old, c.D, restart_nu, P)
         fresh = c.m_prev == 0.0  # never stepped (init or resume of same)
-        d = g + beta[None, :] * c.D
+        # preconditioned direction: d = Pg + β d_prev (x̃-space steepest
+        # ascent is P·g back in x space); gg is the x̃-space ‖g̃‖² from
+        # _cg_beta, which is exactly (Pg)·g — the reset-direction slope
+        d = Pg + beta[None, :] * c.D
         m = jnp.sum(d * g, axis=0)
         # in-band steepest reset: non-ascent (covers NaN β/m via the
         # ~finite test — NaN comparisons are False so test explicitly),
         # first iteration, lost conjugacy
         reset = (~jnp.isfinite(m)) | (m <= 0.0) | fresh | powell
-        d = jnp.where(active[None, :], jnp.where(reset[None, :], g, d), 0.0)
+        d = jnp.where(active[None, :], jnp.where(reset[None, :], Pg, d), 0.0)
         m = jnp.where(active, jnp.where(reset, gg, m), jnp.ones_like(m))
 
         # warm-start scale (first-order match with the previous step);
@@ -318,7 +381,7 @@ def _cg_loop_batched(
             n_gev=c.n_gev + ls_gev + (
                 jnp.zeros_like(ls_fev) if fold
                 else was_active.astype(jnp.int32)
-            ),
+            ) + probe_gev * active.astype(jnp.int32),
             n_resets=c.n_resets + (reset & active).astype(jnp.int32),
             stall=stall,
         )
@@ -368,16 +431,43 @@ def _result_from_cg_carry(fc: _CGCarry, squeeze: bool) -> CGResult:
     return res
 
 
+def _cg_precond_pieces(vag, precond_mode, precond_diag, n, batch, dtype):
+    """(hvp_b, P) for the configured preconditioning mode. 'fixed' turns
+    the user's Hessian-diagonal estimate into the lane-minor inverse
+    P = 1/diag; 'jacobi' builds the fleet HVP (one jvp through the
+    gradient per probe — works through analytic value_and_grad_fn too,
+    same requirement as the TR engine: it must be jax-traceable)."""
+    hvp_b = None
+    P = None
+    if precond_mode == "jacobi":
+
+        def grad_one(x):
+            return vag(x)[1]
+
+        def hvp_one(x, v):
+            return jax.jvp(grad_one, (x,), (v,))[1]
+
+        hvp_b = jax.vmap(hvp_one, in_axes=(1, 1), out_axes=1)
+    elif precond_mode == "fixed":
+        diag = jnp.broadcast_to(
+            jnp.asarray(precond_diag, dtype), (batch, n)
+        )
+        P = (1.0 / diag).T
+    return hvp_b, P
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "obj", "method", "ls", "max_iterations", "value_and_grad_fn",
         "stall_limit", "restart_nu", "fold_eval", "_squeeze",
+        "precond_mode", "precond_probes",
     ),
 )
 def _optimize_cg_jit(
     obj, x0s, method, ls, tol, max_iterations, value_and_grad_fn,
     stall_limit, restart_nu, fold_eval, _squeeze,
+    precond_mode="none", precond_diag=None, precond_probes=2,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -415,9 +505,13 @@ def _optimize_cg_jit(
         n_resets=zero_i,
         stall=zero_i,
     )
+    hvp_b, P = _cg_precond_pieces(
+        vag, precond_mode, precond_diag, n, batch, dtype
+    )
     fc = _cg_loop_batched(
         vag_b, f_b, carry0, method, ls, tol, max_iterations,
         stall_limit, restart_nu, fold_eval,
+        precond_mode, P, hvp_b, precond_probes,
     )
     return _result_from_cg_carry(fc, _squeeze)
 
@@ -434,6 +528,8 @@ def optimize_cg(
     stall_limit: int = STALL_LIMIT_DEFAULT,
     restart_nu: float = 0.2,
     fold_eval: bool = False,
+    precondition=None,
+    precond_probes: int = 2,
 ) -> CGResult:
     """Maximize a logdensity by nonlinear conjugate gradients.
 
@@ -465,12 +561,25 @@ def optimize_cg(
     large datasets). Trajectories agree at certificate resolution, not
     bitwise.
 
+    Preconditioning (``precondition``, default None = plain CG): CG's
+    known weakness is conditioning — it pays O(√cond) iterations where
+    curvature-carrying engines pay O(1) extra memory. 'jacobi' runs the
+    PRECONDITIONED iteration with a per-iteration Hutchinson estimate of
+    1/|diag(H)| (``precond_probes`` HVPs per outer iteration, counted in
+    ``n_gev``; one jvp through the gradient each — analytic
+    ``value_and_grad_fn`` must be jax-traceable); a positive array
+    (broadcastable to (n,) or the fleet's (batch, n)) uses that FIXED
+    Hessian-diagonal estimate at zero probe cost. Mathematically this is
+    plain CG on the rescaled variables x̃ = diag^{1/2}x — the analog of
+    the BFGS engine's H0/BB scaling and the TR engine's Jacobi-CG knob.
+    Same-process A/Bs on stiff diagonal quadratics: see STATUS.md round 5.
+
     Same contracts as every engine: convergence certificate
     max|∇obj| < ``tol``; ``fun`` NaN unless converged; α = 0 line-search
     sentinel → Status.LINESEARCH_FAILURE with the iterate at the last
     good point; ``stall_limit`` consecutive non-improving iterations
-    fail in-band; resumable via `optimize_cg_from_state`. f32/TPU
-    guidance: tol >= ~1e-3, as usual.
+    fail in-band; resumable via `optimize_cg_from_state` (pass the same
+    ``precondition``). f32/TPU guidance: tol >= ~1e-3, as usual.
     """
     X0 = jnp.asarray(x0)
     if X0.ndim not in (1, 2):
@@ -484,9 +593,18 @@ def optimize_cg(
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     if not 0.0 < restart_nu:
         raise ValueError(f"restart_nu must be > 0, got {restart_nu}")
+    if precond_probes < 1:
+        raise ValueError(f"precond_probes must be >= 1, got {precond_probes}")
+    from .trust_region import _resolve_precondition
+
+    precond_mode, precond_diag = _resolve_precondition(
+        precondition, X0.shape[-1]
+    )
     return _optimize_cg_jit(
         obj, X0, method, ls, tol, max_iterations, value_and_grad_fn,
         stall_limit, float(restart_nu), bool(fold_eval), squeeze,
+        precond_mode=precond_mode, precond_diag=precond_diag,
+        precond_probes=int(precond_probes),
     )
 
 
@@ -495,11 +613,13 @@ def optimize_cg(
     static_argnames=(
         "obj", "method", "ls", "max_iterations", "value_and_grad_fn",
         "stall_limit", "restart_nu", "fold_eval", "_squeeze",
+        "precond_mode", "precond_probes",
     ),
 )
 def _optimize_cg_resume_jit(
     obj, state, method, ls, tol, max_iterations, value_and_grad_fn,
     stall_limit, restart_nu, fold_eval, _squeeze,
+    precond_mode="none", precond_diag=None, precond_probes=2,
 ):
     vag = as_value_and_grad(obj, value_and_grad_fn)
     f = as_value_fn(obj, value_and_grad_fn)
@@ -528,9 +648,14 @@ def _optimize_cg_resume_jit(
         # fresh stall budget per leg (same rationale as the other fleets)
         stall=jnp.zeros_like(state.stall),
     )
+    batch_r, n_r = state.x.shape
+    hvp_b, P = _cg_precond_pieces(
+        vag, precond_mode, precond_diag, n_r, batch_r, state.x.dtype
+    )
     fc = _cg_loop_batched(
         vag_b, f_b, carry0, method, ls, tol, max_iterations,
         stall_limit, restart_nu, fold_eval,
+        precond_mode, P, hvp_b, precond_probes,
     )
     return _result_from_cg_carry(fc, _squeeze)
 
@@ -547,6 +672,8 @@ def optimize_cg_from_state(
     stall_limit: int = STALL_LIMIT_DEFAULT,
     restart_nu: float = 0.2,
     fold_eval: bool = False,
+    precondition=None,
+    precond_probes: int = 2,
 ) -> CGResult:
     """Resume a nonlinear-CG solve/fleet from a (checkpointed) CGState.
 
@@ -557,9 +684,11 @@ def optimize_cg_from_state(
     β and warm start exactly as the uninterrupted run would (chunked ==
     one long run, regression-tested); lanes that never stepped
     (m_prev == 0) take the steepest first step naturally. Pass the SAME
-    ``method``/``ls``/``restart_nu``/``fold_eval`` as the original run
-    for trajectory continuation (the fold invariant trusts the saved
-    (fun, grad) to be the evaluation at x)."""
+    ``method``/``ls``/``restart_nu``/``fold_eval``/``precondition`` as
+    the original run for trajectory continuation (the fold invariant
+    trusts the saved (fun, grad) to be the evaluation at x; the jacobi
+    probe stream is keyed off the saved lifetime iteration count, so a
+    resumed leg replays the exact probes of an uninterrupted run)."""
     if method not in _CG_METHODS:
         raise ValueError(f"method must be one of {_CG_METHODS}, got {method!r}")
     # a rank-1 (single-solve) result's state was squeezed: re-batch it
@@ -573,7 +702,16 @@ def optimize_cg_from_state(
         raise ValueError(
             f"expected a rank-1 or rank-2 CGState, got x shape {state.x.shape}"
         )
+    if precond_probes < 1:
+        raise ValueError(f"precond_probes must be >= 1, got {precond_probes}")
+    from .trust_region import _resolve_precondition
+
+    precond_mode, precond_diag = _resolve_precondition(
+        precondition, state.x.shape[-1]
+    )
     return _optimize_cg_resume_jit(
         obj, state, method, ls, tol, max_iterations, value_and_grad_fn,
         stall_limit, float(restart_nu), bool(fold_eval), squeeze,
+        precond_mode=precond_mode, precond_diag=precond_diag,
+        precond_probes=int(precond_probes),
     )

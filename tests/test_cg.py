@@ -251,3 +251,118 @@ def test_cg_fold_eval_off_agrees():
                                rtol=0, atol=1e-6)
     # fold saves the top-of-iteration evaluation: strictly fewer evals
     assert int(on.n_fev) < int(off.n_fev)
+
+
+# ---------------------------------------------------------------------------
+# Preconditioned nonlinear CG (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_cg_precondition_stiff_quadratic_win():
+    """The motivating case: a cond-1e4 diagonal quadratic. Plain CG pays
+    O(sqrt(cond)) iterations; Jacobi preconditioning (per-iteration
+    Hutchinson 1/|diag H|) and a FIXED exact diagonal both collapse it to
+    O(1) — the CG analog of the BFGS engine's H0/BB scaling and the TR
+    engine's Jacobi-CG (which measured 25-37x fewer HVPs on the same
+    fixture family)."""
+    n, B = 64, 16
+    d = jnp.logspace(0, 4, n)
+
+    def f(x):
+        return -0.5 * jnp.sum(d * x * x)
+
+    rng = np.random.default_rng(1)
+    X0 = jnp.asarray(rng.standard_normal((B, n)))
+    plain = optimize_cg(f, X0, tol=1e-8, max_iterations=5000)
+    jac = optimize_cg(f, X0, tol=1e-8, max_iterations=5000,
+                      precondition="jacobi")
+    fix = optimize_cg(f, X0, tol=1e-8, max_iterations=5000, precondition=d)
+    assert bool(plain.converged.all())
+    assert bool(jac.converged.all())
+    assert bool(fix.converged.all())
+    # the measured gap is ~500x (3157 -> 6 median); pin an order of
+    # magnitude with slack
+    assert int(np.median(np.asarray(jac.iterations))) * 20 < int(
+        np.median(np.asarray(plain.iterations))
+    )
+    assert int(np.asarray(fix.iterations).max()) <= 15
+    np.testing.assert_allclose(np.asarray(jac.x), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(fix.x), 0.0, atol=1e-8)
+    # probes are accounted: jacobi pays precond_probes extra gev per iter
+    assert int(jac.n_gev.max()) > 2 * int(jac.iterations.max())
+
+
+def test_cg_precondition_identity_is_noop():
+    """precondition=ones must reproduce the plain trajectory bitwise —
+    the preconditioned algebra with P = 1 IS the plain algebra."""
+    n = 12
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.standard_normal(n) * 0.5)
+    obj = Rosenbrock(n)
+    plain = optimize_cg(obj, x0, tol=1e-8)
+    unit = optimize_cg(obj, x0, tol=1e-8, precondition=jnp.ones(n))
+    assert int(plain.iterations) == int(unit.iterations)
+    np.testing.assert_array_equal(np.asarray(plain.x), np.asarray(unit.x))
+
+
+def test_cg_precondition_chunked_resume_parity():
+    """Chunked == one long run under precondition='jacobi': the probe
+    stream keys off the saved lifetime iteration count."""
+    n = 16
+    d = jnp.logspace(0, 3, n)
+
+    def f(x):
+        return -0.5 * jnp.sum(d * x * x)
+
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.standard_normal(n))
+    full = optimize_cg(f, x0, tol=1e-10, precondition="jacobi")
+    leg1 = optimize_cg(f, x0, tol=1e-10, max_iterations=3,
+                       precondition="jacobi")
+    leg2 = optimize_cg_from_state(f, leg1.state, tol=1e-10,
+                                  precondition="jacobi")
+    assert int(leg2.iterations) == int(full.iterations)
+    np.testing.assert_allclose(np.asarray(leg2.x), np.asarray(full.x),
+                               atol=1e-12)
+
+
+def test_cg_precondition_nonquadratic_safe_and_validated():
+    """On coupled-curvature objectives (Rosenbrock) jacobi measured
+    SLOWER (580 vs 199 median iterations — the diagonal is a poor model
+    and the per-iteration re-estimate churns the metric), which is why
+    the knob defaults OFF; it must still CONVERGE. Bad diagonals raise
+    eagerly (shared validation with the TR engine)."""
+    rng = np.random.default_rng(4)
+    X0 = jnp.asarray(rng.standard_normal((4, 8)) * 0.5)
+    obj = Rosenbrock(8)
+    r = optimize_cg(obj, X0, tol=1e-8, max_iterations=5000,
+                    precondition="jacobi")
+    assert bool(r.converged.all())
+    np.testing.assert_allclose(np.asarray(r.x), 1.0, atol=1e-6)
+    with pytest.raises(ValueError, match="precondition"):
+        optimize_cg(obj, X0, precondition="ssor")
+    with pytest.raises(ValueError, match="finite and > 0"):
+        optimize_cg(obj, X0, precondition=-jnp.ones(8))
+    with pytest.raises(ValueError, match="last axis"):
+        optimize_cg(obj, X0, precondition=jnp.ones(5))
+    with pytest.raises(ValueError, match="precond_probes"):
+        optimize_cg(obj, X0, precondition="jacobi", precond_probes=0)
+
+
+def test_cg_precondition_per_lane_fixed_diag():
+    """A (batch, n) fixed diagonal preconditions each lane with its own
+    scaling — lanes with the RIGHT diagonal converge in O(1) iterations,
+    the identity-scaled lane pays the full stiff count."""
+    n = 48
+    d = jnp.logspace(0, 3, n)
+
+    def f(x):
+        return -0.5 * jnp.sum(d * x * x)
+
+    rng = np.random.default_rng(5)
+    X0 = jnp.asarray(rng.standard_normal((2, n)))
+    diags = jnp.stack([d, jnp.ones(n)])  # lane 0 exact, lane 1 unscaled
+    r = optimize_cg(f, X0, tol=1e-8, max_iterations=5000,
+                    precondition=diags)
+    assert bool(r.converged.all())
+    assert int(r.iterations[0]) * 10 < int(r.iterations[1])
