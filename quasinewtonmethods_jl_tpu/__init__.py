@@ -81,6 +81,11 @@ from .multistart import MultistartResult, optimize_multistart
 from .parallel.batch import optimize_batched, optimize_lbfgs_batched
 from .polish import PolishResult, polish_newton
 from .pytree import (
+    least_squares_pytree,
+    minimize_pytree,
+    optimize_auglag_pytree,
+    optimize_cg_pytree,
+    optimize_tr_pytree,
     PytreeSampleResult,
     map_then_sample_pytree,
     optimize_batched_pytree,
@@ -272,6 +277,11 @@ __all__ = [
     "svgd_sample_from_state",
     "optimize_batched_pytree",
     "optimize_lbfgs_pytree",
+    "optimize_cg_pytree",
+    "optimize_tr_pytree",
+    "optimize_auglag_pytree",
+    "least_squares_pytree",
+    "minimize_pytree",
     "map_then_sample_pytree",
     "pytree_names",
     "PytreeSampleResult",
