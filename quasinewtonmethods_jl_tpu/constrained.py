@@ -373,8 +373,17 @@ def optimize_auglag(
 
     lam = _mult_init(lam0, eqw, "lam")
     mu = _mult_init(mu0, inw, "mu")
-    if mu.size and bool(jnp.any(mu < 0)):
-        raise ValueError("mu0 must be elementwise >= 0")
+    if mu0 is not None:
+        # validate the USER's array (not the broadcast product) and only
+        # when it is concrete — the public entry must stay wrappable in
+        # an outer jax.jit (a traced mu0 defers to the in-band μ >= 0
+        # projection of the multiplier updates)
+        try:
+            negative = bool(jnp.any(jnp.asarray(mu0) < 0))
+        except jax.errors.TracerBoolConversionError:
+            negative = False
+        if negative:
+            raise ValueError("mu0 must be elementwise >= 0")
     if ls is None:
         # the augmented objective has |F*| > 0 whenever a constraint is
         # active and grows ill-conditioned with rho — exactly the regime

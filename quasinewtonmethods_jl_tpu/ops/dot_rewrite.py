@@ -254,10 +254,14 @@ def eval_jaxpr_no_dots(jaxpr, consts: Sequence[Any], *args):
     """Evaluate ``jaxpr`` with every ``dot_general`` routed through
     `dot_general_mosaic` (native 2D dots kept, the rest rewritten to
     mul+reduce), recursing through call-like primitives
-    (pjit / custom_jvp / custom_vjp / remat). Control-flow primitives
-    (scan/while/cond) are bound unchanged — allowed only when their bodies
-    are dot-free, since the rewrite cannot reach inside them; a dot there
-    raises with a pointer to the per-iteration engine."""
+    (pjit / custom_jvp / custom_vjp / remat) AND through control flow:
+    a scan/while/cond whose body carries dots is re-bound through the
+    public `lax.scan`/`lax.while_loop`/`lax.switch` with the body
+    jaxpr evaluated by THIS evaluator (round-5: scan-shaped
+    log-densities — state-space/AR likelihoods — were locked out of the
+    resident engine before). Dot-free control flow binds unchanged
+    (zero-risk path); a dot under any OTHER subjaxpr-bearing primitive
+    still raises with a pointer to the per-iteration engine."""
     env = {}
 
     def read(v):
@@ -301,13 +305,81 @@ def eval_jaxpr_no_dots(jaxpr, consts: Sequence[Any], *args):
             # custom_* calls may prepend rule constants to invars
             call_args = invals[len(invals) - n_expected:]
             outvals = eval_jaxpr_no_dots(sub_jaxpr, sub_consts, *call_args)
+        elif name == "scan" and any(
+            jaxpr_has_dots(s) for s in _subjaxprs(eqn.params)
+        ):
+            # re-bind through the public lax.scan with the body routed
+            # through this evaluator (the rewrite reaches the dots; the
+            # loop structure is rebuilt identically — length/reverse/
+            # unroll preserved, closure consts re-hoisted by the trace)
+            closed = eqn.params["jaxpr"]
+            n_c = eqn.params["num_consts"]
+            n_k = eqn.params["num_carry"]
+            scan_consts = invals[:n_c]
+            carry_in = invals[n_c:n_c + n_k]
+            xs_in = invals[n_c + n_k:]
+
+            def scan_body(carry, xs):
+                out = eval_jaxpr_no_dots(
+                    closed.jaxpr, closed.consts,
+                    *scan_consts, *carry, *xs,
+                )
+                return tuple(out[:n_k]), tuple(out[n_k:])
+
+            carry_out, ys = jax.lax.scan(
+                scan_body, tuple(carry_in), tuple(xs_in),
+                length=eqn.params["length"],
+                reverse=eqn.params["reverse"],
+                unroll=eqn.params["unroll"],
+            )
+            outvals = list(carry_out) + list(ys)
+        elif name == "while" and any(
+            jaxpr_has_dots(s) for s in _subjaxprs(eqn.params)
+        ):
+            cond_cj = eqn.params["cond_jaxpr"]
+            body_cj = eqn.params["body_jaxpr"]
+            cn = eqn.params["cond_nconsts"]
+            bn = eqn.params["body_nconsts"]
+            c_consts = invals[:cn]
+            b_consts = invals[cn:cn + bn]
+            init = invals[cn + bn:]
+
+            def while_cond(carry):
+                return eval_jaxpr_no_dots(
+                    cond_cj.jaxpr, cond_cj.consts, *c_consts, *carry
+                )[0]
+
+            def while_body(carry):
+                return tuple(eval_jaxpr_no_dots(
+                    body_cj.jaxpr, body_cj.consts, *b_consts, *carry
+                ))
+
+            outvals = list(
+                jax.lax.while_loop(while_cond, while_body, tuple(init))
+            )
+        elif name == "cond" and any(
+            jaxpr_has_dots(s) for s in _subjaxprs(eqn.params)
+        ):
+            branches = eqn.params["branches"]
+
+            def _branch_fn(b):
+                def fn(*ops):
+                    return tuple(eval_jaxpr_no_dots(
+                        b.jaxpr, b.consts, *ops
+                    ))
+
+                return fn
+
+            outvals = list(jax.lax.switch(
+                invals[0], [_branch_fn(b) for b in branches], *invals[1:]
+            ))
         else:
             for sub in _subjaxprs(eqn.params):
                 if jaxpr_has_dots(sub):
                     raise NotImplementedError(
                         f"objective contains a dot_general inside a "
                         f"'{name}' sub-jaxpr; the Mosaic dot rewrite cannot "
-                        f"reach through control flow — use "
+                        f"reach through this primitive — use "
                         f"optimize_batched_fused for this objective"
                     )
             outvals = prim.bind(*invals, **eqn.params)

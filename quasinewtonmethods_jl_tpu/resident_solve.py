@@ -24,9 +24,11 @@ Constraints (checked at dispatch):
     rounds 2-3: `#tpu.dot_dimension_numbers` parse error) — since round
     4 these are REWRITTEN to broadcast-multiply + reduce_sum
     (`ops.dot_rewrite`, on by default via ``rewrite_dots``), the same
-    form the kernel uses for its own B·y, and lower on real TPUs. Dots
-    inside control-flow sub-jaxprs (scan/while/cond bodies) remain out of
-    reach and raise. Closed-over data arrays are supported: constants are
+    form the kernel uses for its own B·y, and lower on real TPUs. Since
+    round 5 the rewrite also reaches through control flow: a
+    scan/while/cond body carrying dots is re-bound with the body routed
+    through the evaluator (state-space/AR scan-shaped log-densities run
+    here now). Closed-over data arrays are supported: constants are
     hoisted to explicit kernel inputs (`_hoist_consts`) and must fit
     VMEM;
   * the (n, n, block) tile plus expression temporaries must fit VMEM —

@@ -56,13 +56,13 @@ def readback(*xs):
 
 
 def run(engine, tol, ctol, rho_max, label, max_outer=20, max_it=2000):
-    fn = jax.jit(
-        lambda X: qnm.optimize_auglag(
+    def fn(X):
+        # no outer jit needed: the fleet core is jitted internally
+        return qnm.optimize_auglag(
             rosenbrock_logdensity, X, ineq=disk, engine=engine,
             tol=tol, ctol=ctol, rho_max=rho_max, max_outer=max_outer,
             max_iterations=max_it,
         )
-    )
     r = fn(X0)
     readback(r.x, r.status.astype(jnp.float32))  # warmup + compile
     t0 = time.perf_counter()
@@ -118,12 +118,11 @@ def ineq_first(z):
 
 
 X0s = jnp.asarray(rng.standard_normal((B, 8)), jnp.float32) * 0.3
-fn3 = jax.jit(
-    lambda X: qnm.optimize_auglag(
+def fn3(X):
+    return qnm.optimize_auglag(
         fsm, X, eq=eq_sum, ineq=ineq_first, engine="bfgs",
         tol=1e-3, ctol=1e-3,
     )
-)
 r3 = fn3(X0s)
 readback(r3.x)
 t0 = time.perf_counter()

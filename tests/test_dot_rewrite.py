@@ -210,20 +210,36 @@ def test_reaches_dots_through_pjit_wrapper():
     assert not jaxpr_has_dots(jax.make_jaxpr(rewritten)(x).jaxpr)
 
 
-def test_control_flow_dot_raises():
-    Q = jnp.eye(3)
+def test_control_flow_dot_rewrites_through_scan():
+    """Round-5: a dot inside a scan body is rewritten (the evaluator
+    re-binds the scan with its body routed through itself) — value
+    parity with the unrewritten program, scan preserved in the output
+    jaxpr (the loop is NOT unrolled)."""
+    Q = 0.5 * jnp.eye(3) + 0.1
 
     def obj(x):
         def body(c, _):
             return Q @ c, None
 
-        out, _ = lax.scan(body, x, None, length=2)
+        out, _ = lax.scan(body, x, None, length=3)
         return jnp.sum(out)
 
-    x = jnp.ones((3,))
+    x = jnp.arange(1.0, 4.0)
     closed = jax.make_jaxpr(obj)(x)
-    with pytest.raises(NotImplementedError, match="control flow"):
-        eval_jaxpr_no_dots(closed.jaxpr, closed.consts, x)
+    out = eval_jaxpr_no_dots(closed.jaxpr, closed.consts, x)[0]
+    np.testing.assert_allclose(float(out), float(obj(x)), rtol=1e-12)
+
+    # the rewritten program still contains a scan (not unrolled) and no
+    # non-2D dot; this body's (3,3)x(3,) matvec must be mulsum-rewritten
+    rewritten = jax.make_jaxpr(
+        lambda v: eval_jaxpr_no_dots(closed.jaxpr, closed.consts, v)
+    )(x)
+    names = [e.primitive.name for e in rewritten.jaxpr.eqns]
+    assert "scan" in names
+    body_jaxpr = next(
+        e for e in rewritten.jaxpr.eqns if e.primitive.name == "scan"
+    ).params["jaxpr"].jaxpr
+    assert not jaxpr_has_dots(body_jaxpr)
 
 
 def test_dot_free_control_flow_allowed():

@@ -273,23 +273,25 @@ def test_resident_rewrite_off_matches_on_for_dot_free(rng):
     _assert_result_identical(a, b)
 
 
-def test_dot_rewrite_control_flow_guard():
-    """A dot_general hiding inside a scan body is out of the rewrite's
-    reach and must raise the documented NotImplementedError instead of
-    shipping an unrewritten dot to Mosaic."""
-    Q = jnp.eye(4)
+def test_dot_rewrite_control_flow_reaches_scan():
+    """Round-4 raised NotImplementedError for a dot_general hiding inside
+    a scan body; round-5's recursion re-binds the scan with the body
+    rewritten — the same fixture now SOLVES through the resident engine
+    (interpret), converging where the guard used to raise."""
+    Q = 0.4 * jnp.eye(4)
 
     def scan_obj(x):
         def body(c, _):
             return c @ Q, None
 
         out, _ = jax.lax.scan(body, x, None, length=2)
-        return -jnp.sum(out * out)
+        return -jnp.sum(out * out) - jnp.sum((x - 1.0) ** 2)
 
-    with pytest.raises(NotImplementedError, match="control flow"):
-        optimize_batched_resident(
-            scan_obj, jnp.ones((4, 4)), block_batch=4, interpret=True
-        )
+    res = optimize_batched_resident(
+        scan_obj, jnp.zeros((4, 4)), block_batch=4, interpret=True,
+        tol=1e-6,
+    )
+    assert (np.asarray(res.status) == int(qnm.Status.CONVERGED)).all()
 
 
 def test_resident_rejects_64bit_compiled_path():
@@ -300,4 +302,91 @@ def test_resident_rejects_64bit_compiled_path():
     with pytest.raises(ValueError, match="64-bit"):
         qnm.optimize_batched_resident(
             lambda t: -jnp.sum(t * t), x0, tol=1e-6
+        )
+
+
+def test_resident_scan_bodied_objective_via_dot_rewrite(rng):
+    """Round-5 unblocking: scan-SHAPED log-densities (state-space / AR
+    likelihoods with a matvec in the step) were locked out of the
+    resident engine by the control-flow guard; the evaluator now
+    re-binds scan with its body routed through the dot rewrite.
+    Interpret-mode parity vs the fused engine on an AR(1)-with-design
+    likelihood (dot_general inside the scan body + one outside)."""
+    T, n, batch = 10, 6, 8
+    A = jnp.asarray(rng.standard_normal((n, n)) * (0.5 / n))
+    ys = jnp.asarray(rng.standard_normal((T, n)))
+
+    def ar1(w):
+        def step(carry, y):
+            pred = A @ carry + w
+            return pred, -0.5 * jnp.sum((y - pred) ** 2)
+
+        _, lls = jax.lax.scan(step, jnp.zeros(n), ys)
+        return jnp.sum(lls) - 0.5 * (w @ w)
+
+    X0 = jnp.asarray(rng.standard_normal((batch, n)))
+    fused = optimize_batched_fused(ar1, X0, tol=1e-6)
+    res = optimize_batched_resident(
+        ar1, X0, tol=1e-6, block_batch=4, interpret=True
+    )
+    for f in ["status", "iterations", "n_resets"]:
+        assert np.array_equal(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(res, f))
+        ), f
+    assert (np.asarray(res.status) == int(qnm.Status.CONVERGED)).all()
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(fused.x), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_dot_rewrite_while_and_cond_bodies(rng):
+    """The while/cond legs of the control-flow recursion: evaluator
+    parity (values + gradients) against the unrewritten functions."""
+    from quasinewtonmethods_jl_tpu.ops.dot_rewrite import (
+        eval_jaxpr_no_dots,
+        jaxpr_has_dots,
+    )
+
+    n = 5
+    A = jnp.asarray(rng.standard_normal((n, n)) * 0.1)
+    w = jnp.asarray(rng.standard_normal(n))
+
+    def obj_while(v):
+        def body(c):
+            x, k = c
+            return (A @ x + 0.01 * v, k + 1)
+
+        x, _ = jax.lax.while_loop(lambda c: c[1] < 5, body, (v, 0))
+        return jnp.sum(x)
+
+    def obj_cond(v):
+        return jax.lax.cond(
+            jnp.sum(v) > 0.0,
+            lambda u: jnp.dot(u, A @ u),
+            lambda u: jnp.sum(u * u),
+            v,
+        )
+
+    for obj, arg in [
+        (obj_while, w),
+        (obj_cond, w),
+        (obj_cond, -jnp.abs(w)),  # the dot-free branch
+    ]:
+        closed = jax.make_jaxpr(obj)(arg)
+        assert jaxpr_has_dots(closed.jaxpr)
+        out = eval_jaxpr_no_dots(closed.jaxpr, closed.consts, arg)[0]
+        np.testing.assert_allclose(float(out), float(obj(arg)), rtol=1e-12)
+
+    # gradient parity through the rewritten program (cond only: JAX has
+    # no reverse-mode rule for lax.while_loop — the ORIGINAL objective
+    # is equally non-differentiable, so nothing is lost by the rewrite)
+    def rewritten(v):
+        c = jax.make_jaxpr(obj_cond)(v)
+        return eval_jaxpr_no_dots(c.jaxpr, c.consts, v)[0]
+
+    for arg in (w, -jnp.abs(w)):
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(rewritten)(arg)),
+            np.asarray(jax.grad(obj_cond)(arg)),
+            rtol=1e-10,
         )
