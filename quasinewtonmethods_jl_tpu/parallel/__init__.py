@@ -4,6 +4,7 @@
 from .batch import optimize_batched, optimize_lbfgs_batched
 from .mesh import (
     least_squares_sharded,
+    optimize_cg_model_sharded,
     optimize_cg_sharded,
     optimize_tr_sharded,
     optimize_tr_model_sharded,
@@ -18,6 +19,7 @@ __all__ = [
     "optimize_batched",
     "optimize_lbfgs_batched",
     "least_squares_sharded",
+    "optimize_cg_model_sharded",
     "optimize_cg_sharded",
     "optimize_tr_sharded",
     "optimize_tr_model_sharded",

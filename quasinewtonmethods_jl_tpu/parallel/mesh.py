@@ -57,6 +57,7 @@ __all__ = [
     "psum_dot",
     "optimize_batched_sharded",
     "optimize_lbfgs_sharded",
+    "optimize_cg_model_sharded",
     "sample_sharded",
 ]
 
@@ -215,6 +216,50 @@ def optimize_tr_model_sharded(
     x0 = jax.device_put(x0, NamedSharding(mesh, P(axis)))
     with mesh:
         return optimize_tr(obj, x0, **kwargs)
+
+
+def optimize_cg_model_sharded(
+    obj,
+    x0: jax.Array,
+    mesh: Mesh,
+    axis: str = "model",
+    **kwargs,
+):
+    """ONE very-large-n nonlinear-CG solve with the parameter vector
+    sharded over ``axis``.
+
+    CG is the natural n ≫ 10⁴ single-solve engine — O(n) state (one
+    direction vector; no (m, n) ring, no (n, n) matrix) — and the engine
+    is pure jnp (β reductions, elementwise direction updates, Wolfe
+    bracketing on scalars), so GSPMD partitions the whole program from
+    the x0 placement alone: every (batch,)-shaped reduction (g·g, d·y,
+    the Hager–Zhang products) lowers to a local partial + all-reduce
+    over ICI, and the while-loop predicates are the only other
+    collectives. The Newton-Krylov counterpart is
+    `optimize_tr_model_sharded`; the explicit-psum L-BFGS flavor
+    (`optimize_lbfgs_sharded`) exists because its two-loop recursion
+    runs inside shard_map — CG needs none of that. Parity with the
+    unsharded engine is iteration-exact up to fp reassociation of the
+    partitioned reductions (tested on the CPU mesh). kwargs pass
+    through to `qnm.optimize_cg` (method/ls/precondition/...).
+    """
+    from ..cg_solve import optimize_cg
+
+    x0 = jnp.asarray(x0)
+    if x0.ndim != 1:
+        raise ValueError(
+            f"x0 must be rank 1 (one large-n solve), got shape {x0.shape};"
+            " fleets shard over lanes via optimize_cg_sharded"
+        )
+    n_shards = mesh.shape[axis]
+    if x0.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"n ({x0.shape[0]}) must divide evenly over mesh axis "
+            f"{axis!r} ({n_shards} shards)"
+        )
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis)))
+    with mesh:
+        return optimize_cg(obj, x0, **kwargs)
 
 
 def least_squares_sharded(

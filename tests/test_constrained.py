@@ -435,3 +435,33 @@ def test_fleet_infeasible_lane_in_band():
     assert np.isnan(np.asarray(r.fun)).all()
     assert np.all(np.asarray(r.viol) > 0.1)
     assert np.all(np.asarray(r.n_outer) == 6)
+
+
+def test_fleet_f32_chip_contract_shape():
+    """The f32 constrained contract, CPU-pinned at the chip-validated
+    operating point (v5e session r5a: 4096/4096 lanes certified at
+    tol=ctol=1e-3 on the n=60 disk-constrained Rosenbrock, both
+    engines): a smaller fleet of the same problem must certify at f32
+    with the violation within ctol and every converged lane ON the
+    active sphere (‖x‖² = 30 < 60 makes the unconstrained optimum
+    infeasible)."""
+    from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity
+
+    R2 = 30.0
+
+    def disk(z):
+        return R2 - jnp.sum(z * z)
+
+    rng = np.random.default_rng(7)
+    X0 = jnp.asarray(rng.standard_normal((32, 60)), jnp.float32) * 0.5
+    for engine in ("bfgs", "cg"):
+        r = qnm.optimize_auglag(
+            rosenbrock_logdensity, X0, ineq=disk, engine=engine,
+            tol=1e-3, ctol=1e-3, max_iterations=2000,
+        )
+        assert r.x.dtype == jnp.float32
+        assert bool(r.converged.all()), engine
+        assert float(jnp.max(r.viol)) <= 1e-3
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(r.x**2, -1)), R2, atol=1e-2
+        )
