@@ -20,6 +20,7 @@
 // C ABI only (ctypes-friendly); no global state; one workspace per solve
 // call, reusable across calls from the owning thread.
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -28,6 +29,7 @@
 #include <limits>
 #include <new>
 #include <thread>
+#include <vector>
 #include <vector>
 
 namespace {
@@ -1028,6 +1030,202 @@ int32_t qnm_lbfgs_optimize_batch(
     for (auto& th : pool) th.join();
   }
   return converged.load();
+}
+
+// ---------------------------------------------------------------------
+// Constrained optimization: PHR augmented Lagrangian over the native
+// engines (the host counterpart of constrained.py's scalar driver —
+// maximize f s.t. eq(x) = 0, ineq(x) >= 0; same multiplier updates,
+// violation measure, rho schedule, and in-band contracts).
+//
+// Constraint callbacks: `constraint_fn` writes the m constraint values;
+// `constraint_vjp_fn` ACCUMULATES J(x)^T w into accum (length n) — the
+// caller supplies the weighted-Jacobian-transpose product (trivial for
+// linear constraints; exactly the VJP an AD system would produce).
+// ---------------------------------------------------------------------
+
+typedef void (*constraint_fn)(double* out, const double* x, int32_t n,
+                              void* user);
+typedef void (*constraint_vjp_fn)(double* accum, const double* x,
+                                  const double* w, int32_t n, void* user);
+
+namespace {
+
+struct AugCtx {
+  value_grad_fn fg;
+  value_fn f;
+  void* user;
+  constraint_fn eq;
+  constraint_vjp_fn eq_vjp;
+  int32_t m_eq;
+  constraint_fn ineq;
+  constraint_vjp_fn in_vjp;
+  int32_t m_in;
+  const double* lam;
+  const double* mu;
+  double rho;
+  double* hbuf;  // m_eq scratch
+  double* cbuf;  // m_in scratch
+  double* wbuf;  // max(m_eq, m_in) scratch for vjp weights
+};
+
+// F(x) = f(x) - lam'h - (rho/2)||h||^2 - (1/2rho)(||max(0,mu-rho c)||^2
+//        - ||mu||^2)   (constrained.py's penalty, maximization form)
+double aug_penalty(AugCtx* c, const double* x, int32_t n) {
+  double p = 0.0;
+  if (c->m_eq) {
+    c->eq(c->hbuf, x, n, c->user);
+    for (int32_t j = 0; j < c->m_eq; ++j) {
+      p += c->lam[j] * c->hbuf[j] + 0.5 * c->rho * c->hbuf[j] * c->hbuf[j];
+    }
+  }
+  if (c->m_in) {
+    c->ineq(c->cbuf, x, n, c->user);
+    for (int32_t j = 0; j < c->m_in; ++j) {
+      const double t = std::max(0.0, c->mu[j] - c->rho * c->cbuf[j]);
+      p += (0.5 / c->rho) * (t * t - c->mu[j] * c->mu[j]);
+    }
+  }
+  return p;
+}
+
+double aug_value(const double* x, int32_t n, void* vctx) {
+  AugCtx* c = static_cast<AugCtx*>(vctx);
+  return c->f(x, n, c->user) - aug_penalty(c, x, n);
+}
+
+// grad F = grad f - Jh'(lam + rho h) + Jc' max(0, mu - rho c)
+double aug_value_grad(double* g, const double* x, int32_t n, void* vctx) {
+  AugCtx* c = static_cast<AugCtx*>(vctx);
+  double fv = c->fg(g, x, n, c->user);
+  double p = 0.0;
+  if (c->m_eq) {
+    c->eq(c->hbuf, x, n, c->user);
+    for (int32_t j = 0; j < c->m_eq; ++j) {
+      p += c->lam[j] * c->hbuf[j] + 0.5 * c->rho * c->hbuf[j] * c->hbuf[j];
+      c->wbuf[j] = -(c->lam[j] + c->rho * c->hbuf[j]);
+    }
+    c->eq_vjp(g, x, c->wbuf, n, c->user);
+  }
+  if (c->m_in) {
+    c->ineq(c->cbuf, x, n, c->user);
+    for (int32_t j = 0; j < c->m_in; ++j) {
+      const double t = std::max(0.0, c->mu[j] - c->rho * c->cbuf[j]);
+      p += (0.5 / c->rho) * (t * t - c->mu[j] * c->mu[j]);
+      c->wbuf[j] = t;
+    }
+    c->in_vjp(g, x, c->wbuf, n, c->user);
+  }
+  return fv - p;
+}
+
+}  // namespace
+
+// Constrained solve. Engines: 0 = BFGS (backtracking), 1 = L-BFGS,
+// 2 = nonlinear CG with the Hager-Zhang approximate Wolfe (the JAX
+// auglag's default rationale: an active constraint makes |F*| > 0 and
+// growing rho ill-conditions F — the regime where the Armijo VALUE test
+// dies at the fp floor). Returns f(x) on the KKT certificate (inner
+// CONVERGED and violation <= ctol), NaN in-band otherwise; out_status
+// mirrors constrained.py (hard = non-finite only; soft inner outcomes
+// continue the outer loop).
+double qnm_auglag_optimize(
+    value_grad_fn fg, value_fn f, void* user, int32_t n,
+    constraint_fn eq, constraint_vjp_fn eq_vjp, int32_t m_eq,
+    constraint_fn ineq, constraint_vjp_fn in_vjp, int32_t m_in,
+    const double* x0, const double* lam0, const double* mu0, double rho0,
+    double rho_growth, double rho_max, double viol_decrease, double tol,
+    double ctol, int32_t max_outer, int32_t engine, int32_t history,
+    int32_t order, double ls_c1, double rho_hi, double rho_lo,
+    int32_t ls_iterations, int32_t max_iterations, double* out_x,
+    double* out_grad, double* out_lam, double* out_mu, double* out_viol,
+    double* out_rho, int32_t* out_status, int32_t* out_nouter,
+    int32_t* out_iterations, int64_t* out_nfev, int64_t* out_ngev) {
+  const double NaN = std::numeric_limits<double>::quiet_NaN();
+  *out_status = kMaxIterations;
+  *out_nouter = 0;
+  *out_iterations = 0;
+  *out_nfev = 0;
+  *out_ngev = 0;
+  *out_viol = NaN;
+  *out_rho = rho0;
+  if ((m_eq <= 0 && m_in <= 0) || m_eq < 0 || m_in < 0 || max_outer < 1 ||
+      !(rho0 > 0.0) || rho_growth < 1.0 || rho_max < rho0 || engine < 0 ||
+      engine > 2) {
+    *out_status = kNonfiniteValue;
+    return NaN;
+  }
+
+  std::vector<double> x(x0, x0 + n);
+  std::vector<double> lam(m_eq, 0.0), mu(m_in, 0.0);
+  if (lam0) std::copy(lam0, lam0 + m_eq, lam.begin());
+  if (mu0) std::copy(mu0, mu0 + m_in, mu.begin());
+  std::vector<double> hbuf(std::max<int32_t>(m_eq, 1)),
+      cbuf(std::max<int32_t>(m_in, 1)),
+      wbuf(std::max<int32_t>(std::max(m_eq, m_in), 1));
+
+  double rho = rho0, vprev = std::numeric_limits<double>::infinity();
+  bool success = false, hard = false;
+  int32_t inner_st = kRunning;
+
+  for (int32_t k = 0; k < max_outer; ++k) {
+    AugCtx ctx{fg,   f,     user, eq,          eq_vjp, m_eq,
+               ineq, in_vjp, m_in, lam.data(), mu.data(), rho,
+               hbuf.data(), cbuf.data(), wbuf.data()};
+    int32_t st = kRunning, it = 0;
+    int64_t nf = 0, ng = 0;
+    if (engine == 2) {
+      qnm_cg_optimize(&aug_value_grad, &ctx, n, x.data(), /*hz*/ 0, ls_c1,
+                      /*c2*/ 0.9, ls_iterations, /*approx*/ 1,
+                      /*approx_eps*/ 1e-6, /*restart_nu*/ 0.2, tol,
+                      max_iterations, out_x, out_grad, &st, &it, &nf, &ng);
+    } else if (engine == 1) {
+      qnm_lbfgs_optimize(&aug_value_grad, &aug_value, &ctx, n, x.data(),
+                         history, order, ls_c1, rho_hi, rho_lo,
+                         ls_iterations, tol, max_iterations, out_x,
+                         out_grad, &st, &it, &nf, &ng);
+    } else {
+      qnm_bfgs_optimize(&aug_value_grad, &aug_value, &ctx, n, x.data(),
+                        order, ls_c1, rho_hi, rho_lo, ls_iterations, tol,
+                        max_iterations, /*h0_scale*/ 1, out_x, out_grad,
+                        &st, &it, &nf, &ng);
+    }
+    std::copy(out_x, out_x + n, x.begin());
+    *out_iterations += it;
+    *out_nfev += nf;
+    *out_ngev += ng;
+    *out_nouter = k + 1;
+    inner_st = st;
+
+    double v = 0.0;
+    if (m_eq) {
+      eq(hbuf.data(), x.data(), n, user);
+      for (int32_t j = 0; j < m_eq; ++j)
+        v = std::max(v, std::abs(hbuf[j]));
+    }
+    if (m_in) {
+      ineq(cbuf.data(), x.data(), n, user);
+      for (int32_t j = 0; j < m_in; ++j)
+        v = std::max(v, std::abs(std::min(cbuf[j], mu[j] / rho)));
+    }
+    for (int32_t j = 0; j < m_eq; ++j) lam[j] += rho * hbuf[j];
+    for (int32_t j = 0; j < m_in; ++j)
+      mu[j] = std::max(0.0, mu[j] - rho * cbuf[j]);
+    *out_viol = v;
+    success = (st == kConverged) && (v <= ctol);
+    hard = (st == kNonfiniteValue);
+    if (v > viol_decrease * vprev) rho = std::min(rho * rho_growth, rho_max);
+    vprev = v;
+    if (success || hard) break;
+  }
+
+  std::copy(lam.begin(), lam.end(), out_lam);
+  std::copy(mu.begin(), mu.end(), out_mu);
+  *out_rho = rho;
+  const double fv = fg(out_grad, x.data(), n, user);  // true f and grad f
+  std::copy(x.begin(), x.end(), out_x);
+  *out_status = success ? kConverged : (hard ? inner_st : kMaxIterations);
+  return success ? fv : NaN;
 }
 
 // Benchmark convenience: the threaded fleet on the built-in Rosenbrock —

@@ -313,10 +313,16 @@ def optimize_auglag(
     update kernel exactly as in `optimize_batched` ('auto' = Pallas on
     TPU when feasible).
 
-    f32/TPU guidance as everywhere: tol, ctol ≥ ~1e-3. For constraints
-    a smooth bijection can absorb (positivity, boxes, simplexes),
-    prefer `transforms.py` — unconstrained geometry samples and solves
-    better; this is for the genuinely coupled constraints.
+    f32/TPU guidance — CHIP-MEASURED (v5e, 4096-lane n=60 fleets,
+    session r5b; STATUS.md has the table): tol = ctol = 1e-3 certifies
+    every lane; 1e-4 is the marginal edge (rare stragglers exhaust the
+    outer budget); 1e-5 is beyond the f32 mantissa once ρ ladders (the
+    augmented value's resolution drops below eps·|F| and the line
+    search reports the in-band stall). ``rho_max`` has no effect until
+    the certificate demands violations f32 cannot express. For
+    constraints a smooth bijection can absorb (positivity, boxes,
+    simplexes), prefer `transforms.py` — unconstrained geometry samples
+    and solves better; this is for the genuinely coupled constraints.
     """
     x0 = jnp.asarray(x0)
     if x0.ndim not in (1, 2):
@@ -429,6 +435,11 @@ def optimize_auglag(
 # non-RUNNING placeholder status, so the inner cores' own lane masking
 # freezes them at zero marginal work, and the outer while_loop runs to
 # the slowest lane's KKT certificate only.
+#
+# Reference design brief: many side-by-side solver states carved out of
+# one buffer (`PtrBFGSState`, src/QuasiNewtonMethods.jl:117-121; the
+# multi-chain init workload, reference README.md:14) — the constrained
+# fleet is that idea with per-lane multiplier state riding alongside.
 # --------------------------------------------------------------------------
 
 

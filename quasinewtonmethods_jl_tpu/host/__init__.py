@@ -634,3 +634,219 @@ def optimize_cg_host(
     )
     return HostResult(out_x, fun, out_g, status.value, iters.value,
                       nfev.value, ngev.value)
+
+
+# ---------------------------------------------------------------------------
+# Constrained optimization (round 5): the native PHR augmented Lagrangian
+# ---------------------------------------------------------------------------
+
+_CONSTRAINT_FN = ctypes.CFUNCTYPE(
+    None, ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.c_int32, ctypes.c_void_p,
+)
+_CONSTRAINT_VJP_FN = _CONSTRAINT_FN  # (accum, x|w packed: see wrapper)
+
+
+class HostAugLagResult(NamedTuple):
+    """Native constrained result — the in-band contract of `AugLagResult`:
+    ``fun`` is f(x) on the KKT certificate and NaN otherwise."""
+
+    x: np.ndarray
+    fun: float
+    grad: np.ndarray
+    lam: np.ndarray
+    mu: np.ndarray
+    viol: float
+    rho: float
+    status: int
+    n_outer: int
+    iterations: int
+    n_fev: int
+    n_gev: int
+
+
+def _bind_auglag(lib):
+    if getattr(lib, "_auglag_bound", False):
+        return
+    D = ctypes.POINTER(ctypes.c_double)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    VJP = ctypes.CFUNCTYPE(
+        None, D, D, D, ctypes.c_int32, ctypes.c_void_p
+    )
+    CON = ctypes.CFUNCTYPE(None, D, D, ctypes.c_int32, ctypes.c_void_p)
+    lib._AUGLAG_CON = CON
+    lib._AUGLAG_VJP = VJP
+    lib.qnm_auglag_optimize.restype = ctypes.c_double
+    lib.qnm_auglag_optimize.argtypes = [
+        _VALUE_GRAD_FN, _VALUE_FN, ctypes.c_void_p, ctypes.c_int32,
+        CON, VJP, ctypes.c_int32,
+        CON, VJP, ctypes.c_int32,
+        D, D, D,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        D, D, D, D, D, D, I32, I32, I32, I64, I64,
+    ]
+    lib._auglag_bound = True
+
+
+_AUGLAG_ENGINES = {"bfgs": 0, "lbfgs": 1, "cg": 2}
+
+
+def optimize_auglag_host(
+    value_and_grad: Callable[[np.ndarray], tuple],
+    x0: np.ndarray,
+    eq: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    eq_vjp: Optional[Callable[[np.ndarray, np.ndarray], np.ndarray]] = None,
+    ineq: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    ineq_vjp: Optional[Callable[[np.ndarray, np.ndarray], np.ndarray]] = None,
+    value: Optional[Callable[[np.ndarray], float]] = None,
+    engine: str = "cg",
+    tol: float = 1e-8,
+    ctol: float = 1e-8,
+    rho0: float = 10.0,
+    rho_growth: float = 10.0,
+    rho_max: float = 1e8,
+    viol_decrease: float = 0.25,
+    max_outer: int = 20,
+    max_iterations: int = 10_000,
+    lam0: Optional[np.ndarray] = None,
+    mu0: Optional[np.ndarray] = None,
+    history: int = 10,
+    order: int = 2,
+) -> HostAugLagResult:
+    """Native constrained maximize: f(x) s.t. eq(x) = 0, ineq(x) >= 0 —
+    the C++ counterpart of `qnm.optimize_auglag` (same PHR multiplier
+    updates, violation measure, rho schedule, in-band contracts), for the
+    low-latency single-solve regime the native runtime serves.
+
+    Constraint callbacks: ``eq(x) -> (m,)`` values and
+    ``eq_vjp(x, w) -> (n,)`` returning J(x)^T w (the VJP an AD system
+    would produce — for linear constraints a constant matrix-vector
+    product). Each given constraint requires its vjp. ``engine``:
+    'cg' (default — HZ approximate Wolfe, the |F*|>0 endgame rationale
+    of the JAX auglag), 'bfgs', or 'lbfgs' (backtracking line search,
+    ``order``/``history`` apply).
+    """
+    lib = load()
+    _bind_auglag(lib)
+    x0 = np.ascontiguousarray(x0, np.float64)
+    n = x0.shape[0]
+    if engine not in _AUGLAG_ENGINES:
+        raise ValueError(f"engine must be one of {sorted(_AUGLAG_ENGINES)}")
+    if eq is None and ineq is None:
+        raise ValueError("at least one of eq=/ineq= is required")
+    if (eq is None) != (eq_vjp is None) or (ineq is None) != (
+        ineq_vjp is None
+    ):
+        raise ValueError("each constraint needs its matching *_vjp")
+    if value is None:
+        value = lambda x: value_and_grad(x)[0]  # noqa: E731
+
+    m_eq = int(np.atleast_1d(eq(x0)).shape[0]) if eq is not None else 0
+    m_in = int(np.atleast_1d(ineq(x0)).shape[0]) if ineq is not None else 0
+
+    nan = float("nan")
+
+    def _ro_view(ptr, n_):
+        arr = np.ctypeslib.as_array(ptr, (n_,))
+        arr.flags.writeable = False
+        return arr
+
+    @_VALUE_GRAD_FN
+    def fg_cb(grad_ptr, x_ptr, n_, _user):
+        try:
+            v, g = value_and_grad(_ro_view(x_ptr, n_))
+            np.ctypeslib.as_array(grad_ptr, (n_,))[:] = g
+            return float(v)
+        except Exception:
+            return nan
+
+    @_VALUE_FN
+    def f_cb(x_ptr, n_, _user):
+        try:
+            return float(value(_ro_view(x_ptr, n_)))
+        except Exception:
+            return nan
+
+    CON, VJP = lib._AUGLAG_CON, lib._AUGLAG_VJP
+
+    def _con_cb(fn, m):
+        @CON
+        def cb(out_ptr, x_ptr, n_, _user):
+            try:
+                np.ctypeslib.as_array(out_ptr, (m,))[:] = np.atleast_1d(
+                    fn(_ro_view(x_ptr, n_))
+                )
+            except Exception:
+                np.ctypeslib.as_array(out_ptr, (m,))[:] = nan
+
+        return cb
+
+    def _vjp_cb(fn, m):
+        @VJP
+        def cb(accum_ptr, x_ptr, w_ptr, n_, _user):
+            try:
+                jtw = np.asarray(
+                    fn(_ro_view(x_ptr, n_), _ro_view(w_ptr, m)), np.float64
+                )
+                np.ctypeslib.as_array(accum_ptr, (n_,))[:] += jtw
+            except Exception:
+                np.ctypeslib.as_array(accum_ptr, (n_,))[:] = nan
+
+        return cb
+
+    null_con = ctypes.cast(None, CON)
+    null_vjp = ctypes.cast(None, VJP)
+    eq_cb = _con_cb(eq, m_eq) if eq is not None else null_con
+    eq_vjp_cb = _vjp_cb(eq_vjp, m_eq) if eq_vjp is not None else null_vjp
+    in_cb = _con_cb(ineq, m_in) if ineq is not None else null_con
+    in_vjp_cb = _vjp_cb(ineq_vjp, m_in) if ineq_vjp is not None else null_vjp
+
+    lam0_a = np.ascontiguousarray(
+        lam0 if lam0 is not None else np.zeros(m_eq), np.float64
+    )
+    mu0_a = np.ascontiguousarray(
+        mu0 if mu0 is not None else np.zeros(m_in), np.float64
+    )
+    if lam0_a.shape != (m_eq,):
+        raise ValueError(f"lam0 shape {lam0_a.shape} != ({m_eq},)")
+    if mu0_a.shape != (m_in,):
+        raise ValueError(f"mu0 shape {mu0_a.shape} != ({m_in},)")
+    if m_in and bool((mu0_a < 0).any()):
+        raise ValueError("mu0 must be elementwise >= 0")
+
+    out_x = np.empty(n, np.float64)
+    out_g = np.empty(n, np.float64)
+    out_lam = np.empty(max(m_eq, 1), np.float64)
+    out_mu = np.empty(max(m_in, 1), np.float64)
+    out_viol = ctypes.c_double()
+    out_rho = ctypes.c_double()
+    status = ctypes.c_int32()
+    n_outer = ctypes.c_int32()
+    iters = ctypes.c_int32()
+    nfev = ctypes.c_int64()
+    ngev = ctypes.c_int64()
+    fun = lib.qnm_auglag_optimize(
+        fg_cb, f_cb, None, n,
+        eq_cb, eq_vjp_cb, m_eq,
+        in_cb, in_vjp_cb, m_in,
+        _as_c(x0), _as_c(lam0_a), _as_c(mu0_a),
+        rho0, rho_growth, rho_max, viol_decrease, tol, ctol,
+        max_outer, _AUGLAG_ENGINES[engine], history, order,
+        1e-4, 0.5, 0.1, 1000, max_iterations,
+        _as_c(out_x), _as_c(out_g), _as_c(out_lam), _as_c(out_mu),
+        ctypes.byref(out_viol), ctypes.byref(out_rho),
+        ctypes.byref(status), ctypes.byref(n_outer), ctypes.byref(iters),
+        ctypes.byref(nfev), ctypes.byref(ngev),
+    )
+    return HostAugLagResult(
+        out_x, fun, out_g, out_lam[:m_eq], out_mu[:m_in],
+        out_viol.value, out_rho.value, status.value, n_outer.value,
+        iters.value, nfev.value, ngev.value,
+    )
+
+
+__all__ += ["optimize_auglag_host", "HostAugLagResult"]

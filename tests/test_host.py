@@ -387,3 +387,100 @@ def test_native_cg_failure_paths(rng):
     assert res.status == 4 and np.isnan(res.fun)  # NONFINITE_VALUE
     with pytest.raises(ValueError, match="method"):
         optimize_cg_host(bad, rng.standard_normal(4), method="newton")
+
+
+def test_auglag_host_kkt_and_jax_parity():
+    """Native PHR augmented Lagrangian (round 5): KKT multiplier
+    recovery on the analytic equality quadratic for all three inner
+    engines, an active-inequality shadow price, and parity with the JAX
+    scalar auglag on the disk-constrained Rosenbrock."""
+    from quasinewtonmethods_jl_tpu.host import optimize_auglag_host
+
+    def vag(z):
+        return (
+            -((z[0] - 2.0) ** 2) - ((z[1] - 1.0) ** 2),
+            np.array([-2 * (z[0] - 2.0), -2 * (z[1] - 1.0)]),
+        )
+
+    def eq(z):
+        return np.array([z[0] + z[1] - 1.0])
+
+    def eq_vjp(z, w):
+        return np.array([w[0], w[0]])
+
+    for engine in ("cg", "bfgs", "lbfgs"):
+        r = optimize_auglag_host(
+            vag, np.zeros(2), eq=eq, eq_vjp=eq_vjp, engine=engine
+        )
+        assert r.status == 1, engine
+        np.testing.assert_allclose(r.x, [1.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(r.fun, -2.0, atol=1e-6)
+        np.testing.assert_allclose(r.lam[0], 2.0, atol=1e-4)
+        assert r.viol <= 1e-8
+
+    # active inequality: max -(x^2+y^2) s.t. x+y >= 1 -> (.5,.5), mu = 1
+    def vag2(z):
+        return -float(z @ z), -2.0 * z
+
+    r2 = optimize_auglag_host(
+        vag2, np.zeros(2),
+        ineq=lambda z: np.array([z[0] + z[1] - 1.0]),
+        ineq_vjp=lambda z, w: np.array([w[0], w[0]]),
+    )
+    assert r2.status == 1
+    np.testing.assert_allclose(r2.x, [0.5, 0.5], atol=1e-6)
+    np.testing.assert_allclose(r2.mu[0], 1.0, atol=1e-4)
+
+    # JAX parity on the disk-constrained Rosenbrock
+    import jax
+    import jax.numpy as jnp
+
+    def f_rosen(z):
+        return -(100.0 * (z[1] - z[0] ** 2) ** 2 + (1.0 - z[0]) ** 2)
+
+    vag_j = jax.value_and_grad(f_rosen)
+
+    def vag_np(z):
+        v, g = vag_j(jnp.asarray(z))
+        return float(v), np.asarray(g)
+
+    rh = optimize_auglag_host(
+        vag_np, np.zeros(2),
+        ineq=lambda z: np.array([2.0 - z @ z]),
+        ineq_vjp=lambda z, w: -2.0 * w[0] * np.asarray(z),
+        engine="cg",
+    )
+    rj = qnm.optimize_auglag(
+        f_rosen, jnp.zeros(2), ineq=lambda z: 2.0 - jnp.sum(z * z),
+        engine="cg",
+    )
+    assert rh.status == 1 and bool(rj.converged)
+    np.testing.assert_allclose(rh.x, np.asarray(rj.x), atol=1e-5)
+
+
+def test_auglag_host_validation_and_failure():
+    from quasinewtonmethods_jl_tpu.host import optimize_auglag_host
+
+    def vag(z):
+        return -float(z @ z), -2.0 * z
+
+    with pytest.raises(ValueError, match="at least one"):
+        optimize_auglag_host(vag, np.zeros(2))
+    with pytest.raises(ValueError, match="matching"):
+        optimize_auglag_host(
+            vag, np.zeros(2), eq=lambda z: np.array([z[0]])
+        )
+    with pytest.raises(ValueError, match="engine"):
+        optimize_auglag_host(
+            vag, np.zeros(2), eq=lambda z: np.array([z[0]]),
+            eq_vjp=lambda z, w: np.array([w[0], 0.0]), engine="tr",
+        )
+    # non-finite objective: in-band NONFINITE status, fun NaN
+    def bad(z):
+        return float("nan"), np.zeros(2)
+
+    r = optimize_auglag_host(
+        bad, np.zeros(2), eq=lambda z: np.array([z[0] - 1.0]),
+        eq_vjp=lambda z, w: np.array([w[0], 0.0]), max_outer=9,
+    )
+    assert r.status == 4 and np.isnan(r.fun) and r.n_outer == 1
