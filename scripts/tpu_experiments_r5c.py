@@ -115,4 +115,38 @@ def run_shape(batch, n):
 for batch, n in ((4096, 60), (1024, 512), (256, 4096)):
     run_shape(batch, n)
 
+# --- scan-rewrite resident lowering probe (r5b failed with an EMPTY
+# NotImplementedError; capture the real traceback) ---
+print("\n--- scan-bodied resident lowering probe ---", flush=True)
+import traceback
+
+T, n_ar = 8, 6
+A = jnp.asarray(np.random.default_rng(0).standard_normal((n_ar, n_ar))
+                * (0.5 / n_ar), jnp.float32)
+ys = jnp.asarray(np.random.default_rng(1).standard_normal((T, n_ar)),
+                 jnp.float32)
+
+
+def ar1(w):
+    def step(carry, y):
+        pred = A @ carry + w
+        return pred, -0.5 * jnp.sum((y - pred) ** 2)
+
+    _, lls = jax.lax.scan(step, jnp.zeros(n_ar, w.dtype), ys)
+    return jnp.sum(lls) - 0.5 * jnp.sum(w * w)
+
+
+from quasinewtonmethods_jl_tpu.resident_solve import optimize_batched_resident
+
+X0a = jnp.asarray(
+    np.random.default_rng(2).standard_normal((128, n_ar)), jnp.float32
+)
+try:
+    res = optimize_batched_resident(ar1, X0a, tol=1e-3, block_batch=128)
+    readback(res.x)
+    print("scan-resident LOWERED:",
+          int(jnp.sum(res.status == qnm.Status.CONVERGED)), "/128",
+          flush=True)
+except Exception:
+    traceback.print_exc()
 print("done", flush=True)
