@@ -293,6 +293,11 @@ def optimize_auglag(
     the multipliers (defaults: zeros, i.e. the first round is a pure
     quadratic-penalty solve at ``rho0``).
 
+    Checkpoint/resume: the outer state IS (x, λ, μ, ρ) — continue a
+    truncated run with ``optimize_auglag(obj, r.x, ..., lam0=r.lam,
+    mu0=r.mu, rho0=float(r.rho))`` (regression-tested: the chunked run
+    reaches the same KKT point and multipliers as the one-shot run).
+
     Success = the KKT certificate: the last inner solve CONVERGED
     (max|∇ₓL| < ``tol``) AND the violation max(|eq|, |min(ineq, μ/ρ)|)
     ≤ ``ctol``; then ``fun`` = f(x) and ``lam``/``mu`` are the

@@ -465,3 +465,27 @@ def test_fleet_f32_chip_contract_shape():
         np.testing.assert_allclose(
             np.asarray(jnp.sum(r.x**2, -1)), R2, atol=1e-2
         )
+
+
+def test_auglag_warm_restart_resume_recipe():
+    """Checkpoint/resume for constrained solves: the outer state IS
+    (x, lam, mu, rho) — feeding a truncated run's result back via
+    x0/lam0/mu0/rho0 continues the multiplier trajectory (the resume
+    recipe documented in the optimize_auglag docstring). The chunked
+    run must reach the same KKT point and multipliers as the one-shot
+    run, in no more TOTAL outer rounds + 1 (the restart re-solves the
+    current inner problem once)."""
+    full = qnm.optimize_auglag(_quad, jnp.zeros(2), eq=_h)
+    assert bool(full.converged)
+    leg1 = qnm.optimize_auglag(_quad, jnp.zeros(2), eq=_h, max_outer=2)
+    assert not bool(leg1.converged)  # truncated
+    leg2 = qnm.optimize_auglag(
+        _quad, leg1.x, eq=_h, lam0=leg1.lam, mu0=None,
+        rho0=float(leg1.rho),
+    )
+    assert bool(leg2.converged)
+    np.testing.assert_allclose(np.asarray(leg2.x), np.asarray(full.x),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(leg2.lam), np.asarray(full.lam),
+                               rtol=1e-6)
+    assert int(leg1.n_outer) + int(leg2.n_outer) <= int(full.n_outer) + 1
