@@ -115,6 +115,21 @@ def run_shape(batch, n):
 for batch, n in ((4096, 60), (1024, 512), (256, 4096)):
     run_shape(batch, n)
 
+# --- constrained-fleet Pallas padding path (B=100 pads to 128 under
+# kernel='pallas'; r5a only ran divisible batches) ---
+print("\n--- auglag fleet pallas-padding probe (B=100) ---", flush=True)
+from quasinewtonmethods_jl_tpu.models import rosenbrock_logdensity as _ros
+
+Xp = jnp.asarray(np.random.default_rng(3).standard_normal((100, 60)),
+                 jnp.float32) * 0.5
+rp = qnm.optimize_auglag(
+    _ros, Xp, ineq=lambda z: 30.0 - jnp.sum(z * z), engine="bfgs",
+    tol=1e-3, ctol=1e-3, max_iterations=2000,
+)
+readback(rp.x)
+print("pad-path: conv", int(jnp.sum(rp.status == qnm.Status.CONVERGED)),
+      "/100  shapes", rp.x.shape, rp.viol.shape, flush=True)
+
 # --- scan-rewrite resident lowering probe (r5b failed with an EMPTY
 # NotImplementedError; capture the real traceback) ---
 print("\n--- scan-bodied resident lowering probe ---", flush=True)
