@@ -47,6 +47,8 @@ def optimize_multistart(
     value_and_grad_fn: Optional[Callable] = None,
     dtype=None,
     engine: str = "bfgs",
+    eq: Optional[Callable] = None,
+    ineq: Optional[Callable] = None,
     **batch_kwargs,
 ) -> MultistartResult:
     """Maximize from ``n_starts`` starting points; return the best mode.
@@ -66,6 +68,15 @@ def optimize_multistart(
     like ``method=``/``restart_nu=`` pass through ``batch_kwargs``). The
     result's ``fleet`` field carries the engine's native result type
     either way.
+
+    Constrained multistart (round 5): given ``eq``/``ineq``, the fleet
+    routes through the constrained auglag fleet with ``engine`` as the
+    INNER solve ('bfgs'/'lbfgs'/'cg'/'tr'; auglag knobs — ``ctol=``,
+    ``rho0=``, ``max_outer=``, ... — pass through ``batch_kwargs``).
+    Constrained problems are often multimodal exactly BECAUSE of the
+    feasible set's boundary (distinct KKT points on different faces) —
+    only KKT-certified lanes compete, and ``fleet`` is the full
+    `AugLagResult` (per-lane multipliers included).
     """
     if x0s is None:
         if dtype is None:
@@ -73,6 +84,29 @@ def optimize_multistart(
         x0s = init_scale * jax.random.normal(key, (n_starts, dim), dtype)
     else:
         x0s = jnp.asarray(x0s)
+
+    if eq is not None or ineq is not None:
+        from .constrained import optimize_auglag
+
+        fleet = optimize_auglag(
+            obj, x0s, eq=eq, ineq=ineq, engine=engine, tol=tol,
+            max_iterations=max_iterations,
+            value_and_grad_fn=value_and_grad_fn,
+            **({} if ls == BackTracking() else {"ls": ls}),
+            **batch_kwargs,
+        )
+        ok = fleet.status == Status.CONVERGED
+        score = jnp.where(ok, fleet.fun, -jnp.inf)
+        best = jnp.argmax(score)
+        n_conv = jnp.sum(ok).astype(jnp.int32)
+        nan = jnp.asarray(jnp.nan, fleet.fun.dtype)
+        return MultistartResult(
+            x=fleet.x[best],
+            fun=jnp.where(n_conv > 0, fleet.fun[best], nan),
+            best_index=best.astype(jnp.int32),
+            n_converged=n_conv,
+            fleet=fleet,
+        )
 
     if engine == "bfgs":
         fleet = optimize_batched(

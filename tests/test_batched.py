@@ -303,3 +303,32 @@ def test_batched_resume_from_state(rng):
     np.testing.assert_allclose(np.asarray(res.x), 1.0, rtol=1e-5)
     # counters continue
     assert np.all(np.asarray(res.iterations) > 4)
+
+
+def test_multistart_constrained_route():
+    """Round 5: eq/ineq route the fleet through the constrained auglag
+    fleet — a two-KKT-point problem (maximize d.x on the unit circle
+    has one max and one min; starts clustered near both) must pick the
+    TRUE constrained max among KKT-certified lanes only."""
+    d = jnp.asarray([1.0, 2.0])
+
+    def f(z):
+        return d @ z  # linear — unbounded without the constraint
+
+    def circle(z):
+        return jnp.asarray([jnp.sum(z * z) - 1.0])
+
+    x_max = np.asarray([1.0, 2.0]) / np.sqrt(5.0)
+    starts = jnp.asarray(np.concatenate([
+        x_max[None] + 0.05 * np.random.default_rng(0).standard_normal((4, 2)),
+        -x_max[None] + 0.05 * np.random.default_rng(1).standard_normal((4, 2)),
+    ]))
+    r = qnm.optimize_multistart(
+        f, jax.random.PRNGKey(0), 8, 2, x0s=starts, eq=circle,
+    )
+    assert bool(r.converged)
+    assert int(r.n_converged) >= 4
+    np.testing.assert_allclose(np.asarray(r.x), x_max, atol=1e-5)
+    np.testing.assert_allclose(float(r.fun), np.sqrt(5.0), atol=1e-6)
+    # fleet is the full AugLagResult: per-lane multipliers available
+    assert r.fleet.lam.shape == (8, 1)
