@@ -233,6 +233,26 @@ def main():
         "energy_var": float(res.energy_var),
         "divergences": int(res.divergences.sum())})
 
+    # 14. Constrained fleet (round 5): disk-constrained Rosenbrock n=60
+    # (active sphere, whole fleet on the boundary) — the auglag fleet
+    # with the CG inner engine at the chip-validated f32 contract
+    def rosen14(x):
+        return rosenbrock_logdensity(x)
+
+    def disk14(x):
+        return 30.0 - jnp.sum(x * x)
+
+    X14 = jnp.asarray(RNG.standard_normal((4096, 60)).astype(np.float32))
+    t, res = timed(
+        lambda X: qnm.optimize_auglag(
+            rosen14, X, ineq=disk14, engine="cg", tol=1e-3, ctol=1e-3,
+            max_iterations=2000,
+        ), X14)
+    conv = int(jnp.sum(res.status == qnm.Status.CONVERGED))
+    emit("auglag_disk_rosenbrock_4096x60", t, {
+        "solves_per_sec": round(4096 / t, 1), "converged": conv,
+        "max_viol": float(jnp.max(res.viol))})
+
 
 if __name__ == "__main__":
     main()

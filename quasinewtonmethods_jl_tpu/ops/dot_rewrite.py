@@ -309,14 +309,15 @@ def eval_jaxpr_no_dots(jaxpr, consts: Sequence[Any], *args):
             jaxpr_has_dots(s) for s in _subjaxprs(eqn.params)
         ):
             # re-bind through the public lax.scan with the body routed
-            # through this evaluator (the rewrite reaches the dots; the
-            # loop structure is rebuilt identically — length/reverse/
-            # unroll preserved, closure consts re-hoisted by the trace).
-            # EXTENSIVE OUTPUTS (per-step stacked ys) are converted to
-            # dynamic_update_slice accumulation in the carry: Mosaic's
-            # scan lowering rejects num_extensive > 0 (chip-verified,
-            # session r5c) while carry-only scans lower — and the dus
-            # form is semantically identical everywhere else.
+            # through this evaluator (the rewrite reaches the dots), in
+            # the FORI form Mosaic's scan lowering accepts (chip-read,
+            # session r5c/d: `_scan_lowering_rule` requires a
+            # "fori_loop-like" scan — no extensive INPUTS, no extensive
+            # OUTPUTS, no reverse). The generated scan is always forward
+            # with an index carry: xs become dynamic_index loads (reverse
+            # is absorbed into the index), per-step ys accumulate via
+            # dynamic_update_slice into carried buffers. Semantically
+            # identical everywhere (value+grad parity pinned in tests).
             closed = eqn.params["jaxpr"]
             n_c = eqn.params["num_consts"]
             n_k = eqn.params["num_carry"]
@@ -324,53 +325,36 @@ def eval_jaxpr_no_dots(jaxpr, consts: Sequence[Any], *args):
             reverse = eqn.params["reverse"]
             scan_consts = invals[:n_c]
             carry_in = invals[n_c:n_c + n_k]
-            xs_in = invals[n_c + n_k:]
+            xs_in = list(invals[n_c + n_k:])
             ys_avals = [v.aval for v in eqn.outvars[n_k:]]
+            bufs0 = tuple(jnp.zeros(a.shape, a.dtype) for a in ys_avals)
 
-            if not ys_avals:
-
-                def scan_body(carry, xs):
-                    out = eval_jaxpr_no_dots(
-                        closed.jaxpr, closed.consts,
-                        *scan_consts, *carry, *xs,
-                    )
-                    return tuple(out[:n_k]), None
-
-                carry_out, _ = jax.lax.scan(
-                    scan_body, tuple(carry_in), tuple(xs_in),
-                    length=length, reverse=reverse,
-                    unroll=eqn.params["unroll"],
+            def scan_body(cp, _):
+                i, carry, bufs = cp
+                idx = (length - 1 - i) if reverse else i
+                x_t = [
+                    jax.lax.dynamic_index_in_dim(x, idx, 0, keepdims=False)
+                    for x in xs_in
+                ]
+                out = eval_jaxpr_no_dots(
+                    closed.jaxpr, closed.consts,
+                    *scan_consts, *carry, *x_t,
                 )
-                outvals = list(carry_out)
-            else:
-                bufs0 = tuple(
-                    jnp.zeros(a.shape, a.dtype) for a in ys_avals
+                new_c, ys_t = out[:n_k], out[n_k:]
+                bufs = tuple(
+                    jax.lax.dynamic_update_index_in_dim(b, y, idx, 0)
+                    for b, y in zip(bufs, ys_t)
                 )
+                return (i + 1, tuple(new_c), bufs), None
 
-                def scan_body(cp, xs):
-                    carry, bufs, i = cp
-                    out = eval_jaxpr_no_dots(
-                        closed.jaxpr, closed.consts,
-                        *scan_consts, *carry, *xs,
-                    )
-                    new_c, ys = out[:n_k], out[n_k:]
-                    # under reverse=True the first iteration consumes
-                    # xs[length-1] and its y belongs at ys[length-1]
-                    store = (length - 1 - i) if reverse else i
-                    bufs = tuple(
-                        jax.lax.dynamic_update_index_in_dim(b, y, store, 0)
-                        for b, y in zip(bufs, ys)
-                    )
-                    return (tuple(new_c), bufs, i + 1), None
-
-                (carry_out, bufs_out, _), _ = jax.lax.scan(
-                    scan_body,
-                    (tuple(carry_in), bufs0, jnp.zeros((), jnp.int32)),
-                    tuple(xs_in),
-                    length=length, reverse=reverse,
-                    unroll=eqn.params["unroll"],
-                )
-                outvals = list(carry_out) + list(bufs_out)
+            (_, carry_out, bufs_out), _ = jax.lax.scan(
+                scan_body,
+                (jnp.zeros((), jnp.int32), tuple(carry_in), bufs0),
+                None,
+                length=length,
+                unroll=eqn.params["unroll"],
+            )
+            outvals = list(carry_out) + list(bufs_out)
         elif name == "while" and any(
             jaxpr_has_dots(s) for s in _subjaxprs(eqn.params)
         ):
