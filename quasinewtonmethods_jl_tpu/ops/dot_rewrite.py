@@ -332,17 +332,37 @@ def eval_jaxpr_no_dots(jaxpr, consts: Sequence[Any], *args):
             def scan_body(cp, _):
                 i, carry, bufs = cp
                 idx = (length - 1 - i) if reverse else i
-                x_t = [
-                    jax.lax.dynamic_index_in_dim(x, idx, 0, keepdims=False)
-                    for x in xs_in
-                ]
+                # dynamic_slice/dus are unimplemented in Mosaic TPU
+                # lowering (chip-verified, session r5d) — index through
+                # ONE-HOT contractions instead, the library's proven
+                # gather replacement (round-2 lesson: per-lane gathers
+                # are poison on TPU; one-hot einsums lower and win)
+
+                def oh_mask(x):
+                    # broadcasted_iota (32-bit) BEFORE the compare:
+                    # reshaping the 1-bit compare result trips Mosaic's
+                    # "minor-dim insertion only for 32-bit types"
+                    # (chip-verified, session r5d)
+                    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                    it = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                    return it == idx
+
+                def oh_index(x):
+                    m = oh_mask(x)
+                    if x.dtype == jnp.bool_:
+                        return (
+                            jnp.sum(m * x.astype(jnp.float32), axis=0) > 0
+                        )
+                    return jnp.sum(m.astype(x.dtype) * x, axis=0)
+
+                x_t = [oh_index(x) for x in xs_in]
                 out = eval_jaxpr_no_dots(
                     closed.jaxpr, closed.consts,
                     *scan_consts, *carry, *x_t,
                 )
                 new_c, ys_t = out[:n_k], out[n_k:]
                 bufs = tuple(
-                    jax.lax.dynamic_update_index_in_dim(b, y, idx, 0)
+                    jnp.where(oh_mask(b), y[None], b)
                     for b, y in zip(bufs, ys_t)
                 )
                 return (i + 1, tuple(new_c), bufs), None
