@@ -489,3 +489,42 @@ def test_auglag_warm_restart_resume_recipe():
     np.testing.assert_allclose(np.asarray(leg2.lam), np.asarray(full.lam),
                                rtol=1e-6)
     assert int(leg1.n_outer) + int(leg2.n_outer) <= int(full.n_outer) + 1
+
+
+def test_fleet_analytic_value_and_grad_path():
+    """The analytic-gradient override threads through the FLEET core
+    (the scalar path already covers it): trajectory parity with AD."""
+
+    def f(z):
+        return -jnp.sum((z - 1.0) ** 2)
+
+    def vag(z):
+        return -jnp.sum((z - 1.0) ** 2), -2.0 * (z - 1.0)
+
+    X0 = jnp.asarray([[0.0, 0.0, 0.0], [0.5, -0.5, 0.2]])
+    r_ad = qnm.optimize_auglag(f, X0, eq=lambda z: jnp.sum(z))
+    r_an = qnm.optimize_auglag(f, X0, eq=lambda z: jnp.sum(z),
+                               value_and_grad_fn=vag)
+    assert bool(r_ad.converged.all()) and bool(r_an.converged.all())
+    np.testing.assert_allclose(np.asarray(r_an.x), np.asarray(r_ad.x),
+                               atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(r_an.n_outer),
+                                  np.asarray(r_ad.n_outer))
+
+
+def test_fleet_warm_restart_resume_recipe():
+    """The (x, lam, mu, rho) warm-restart recipe works at fleet rank too
+    — per-lane multipliers feed back as (batch, m) arrays."""
+    X0 = jnp.zeros((3, 2))
+    full = qnm.optimize_auglag(_quad, X0, eq=_h)
+    leg1 = qnm.optimize_auglag(_quad, X0, eq=_h, max_outer=2)
+    assert not bool(leg1.converged.any())
+    leg2 = qnm.optimize_auglag(
+        _quad, leg1.x, eq=_h, lam0=leg1.lam,
+        rho0=float(leg1.rho[0]),
+    )
+    assert bool(leg2.converged.all())
+    np.testing.assert_allclose(np.asarray(leg2.x), np.asarray(full.x),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(leg2.lam), np.asarray(full.lam),
+                               rtol=1e-6)
