@@ -97,15 +97,16 @@ class AugLagResult(NamedTuple):
 class _Flat1D:
     """Hashable at-least-1d constraint wrapper: jit caches key on the
     callable, so the wrapper must compare/hash by the wrapped function
-    (a fresh lambda per call would defeat the compilation cache)."""
+    (a fresh lambda per call would defeat the compilation cache).
+    Extra positional args (per-lane ``constraint_data``) pass through."""
 
     __slots__ = ("fn", "__weakref__")  # jax.eval_shape weakref-caches fns
 
     def __init__(self, fn: Callable):
         self.fn = fn
 
-    def __call__(self, x):
-        return jnp.atleast_1d(self.fn(x))
+    def __call__(self, x, *args):
+        return jnp.atleast_1d(self.fn(x, *args))
 
     def __hash__(self):
         return hash((_Flat1D, self.fn))
@@ -146,18 +147,21 @@ def _run_engine(engine, F, x, F_vag, tol, max_iterations, ls, history,
 def _auglag_core(
     obj, x0, eq, ineq, lam0, mu0, rho0, tol, ctol, rho_growth,
     viol_decrease, rho_max, engine, value_and_grad_fn, ls, max_outer,
-    max_iterations, history, cg_method,
+    max_iterations, history, cg_method, cdata=None,
 ):
     vag_f = as_value_and_grad(obj, value_and_grad_fn)
     f_val = as_value_fn(obj, value_and_grad_fn)
     dtype = x0.dtype
     zero1 = jnp.zeros((0,), dtype)
+    # constraint_data: constraints are fn(x, cdata) when given (the
+    # `cdata is None` branch is a trace-time constant)
+    ca = () if cdata is None else (cdata,)
 
     def h_of(x):
-        return eq(x) if eq is not None else zero1
+        return eq(x, *ca) if eq is not None else zero1
 
     def c_of(x):
-        return ineq(x) if ineq is not None else zero1
+        return ineq(x, *ca) if ineq is not None else zero1
 
     def violation(h, c, mu, rho):
         v = jnp.zeros((), dtype)
@@ -170,10 +174,10 @@ def _auglag_core(
     def penalty(x, lam, mu, rho):
         p = jnp.zeros((), dtype)
         if eq is not None:
-            h = eq(x)
+            h = eq(x, *ca)
             p = p + jnp.dot(lam, h) + 0.5 * rho * jnp.dot(h, h)
         if ineq is not None:
-            t = jnp.maximum(0.0, mu - rho * ineq(x))
+            t = jnp.maximum(0.0, mu - rho * ineq(x, *ca))
             p = p + (0.5 / rho) * (jnp.dot(t, t) - jnp.dot(mu, mu))
         return p
 
@@ -275,6 +279,7 @@ def optimize_auglag(
     value_and_grad_fn: Optional[Callable] = None,
     kernel: str = "auto",
     block_batch: int = 128,
+    constraint_data=None,
 ) -> AugLagResult:
     """Maximize f(x) subject to eq(x) = 0 and ineq(x) >= 0.
 
@@ -305,6 +310,14 @@ def optimize_auglag(
     ``fun`` is NaN in-band: a hard inner failure reports that status, an
     exhausted outer budget reports MAX_ITERATIONS (``viol`` says how
     infeasible it still is).
+
+    Per-lane constraint data (``constraint_data``, the `least_squares
+    (data=)` analog): when given, ``eq``/``ineq`` are called as
+    ``fn(x, data)`` — for a FLEET, ``constraint_data`` is a pytree whose
+    leaves carry the leading batch axis and each lane sees its own
+    slice, so one compiled program fits 4096 problems with 4096
+    different feasible sets (per-lane budgets, per-lane radii, ...);
+    for a scalar solve the pytree passes through whole.
 
     Fleets: a rank-2 (batch, n) ``x0`` runs the masked-lockstep
     constrained fleet — per-lane (λ, μ, ρ, violation) in the outer
@@ -354,6 +367,26 @@ def optimize_auglag(
     inw = _Flat1D(ineq) if ineq is not None else None
     batched = x0.ndim == 2
     x_probe = x0[0] if batched else x0
+    if constraint_data is not None:
+        constraint_data = jax.tree_util.tree_map(
+            jnp.asarray, constraint_data
+        )
+        if batched:
+            leaves = jax.tree_util.tree_leaves(constraint_data)
+            if not leaves or any(
+                l.ndim < 1 or l.shape[0] != x0.shape[0] for l in leaves
+            ):
+                raise ValueError(
+                    "constraint_data leaves must carry the fleet's "
+                    f"leading batch axis ({x0.shape[0]})"
+                )
+            d_probe = (
+                jax.tree_util.tree_map(lambda l: l[0], constraint_data),
+            )
+        else:
+            d_probe = (constraint_data,)
+    else:
+        d_probe = ()
 
     def _mult_init(given, fn, label):
         """Validated multipliers: (m,) for the scalar path; (batch, m)
@@ -364,7 +397,7 @@ def optimize_auglag(
             return jnp.zeros(
                 (x0.shape[0], 0) if batched else (0,), dtype
             )
-        shape = jax.eval_shape(fn, x_probe).shape
+        shape = jax.eval_shape(fn, x_probe, *d_probe).shape
         if len(shape) != 1:
             raise ValueError(
                 f"{label}(x0) must be rank-0/1, got shape {shape}"
@@ -420,6 +453,7 @@ def optimize_auglag(
             jnp.asarray(viol_decrease, dtype), jnp.asarray(rho_max, dtype),
             engine, value_and_grad_fn, ls, max_outer, max_iterations,
             history, cg_method, kernel, int(block_batch),
+            cdata=constraint_data,
         )
     return _auglag_core(
         obj, x0, eqw, inw, lam, mu,
@@ -427,7 +461,7 @@ def optimize_auglag(
         jnp.asarray(rho_growth, dtype),
         jnp.asarray(viol_decrease, dtype), jnp.asarray(rho_max, dtype),
         engine, value_and_grad_fn, ls, max_outer, max_iterations,
-        history, cg_method,
+        history, cg_method, cdata=constraint_data,
     )
 
 
@@ -448,30 +482,34 @@ def optimize_auglag(
 # --------------------------------------------------------------------------
 
 
-def _fleet_penalty_fns(eq, ineq, vag_f, f_val, dtype):
+def _fleet_penalty_fns(eq, ineq, vag_f, f_val, dtype, has_data=False):
     """Per-lane penalty machinery over the lane-minor (n, batch) layout.
 
-    ``pen_one(x, lam_i, mu_i, rho_i)`` is the scalar PHR penalty of one
-    lane; the batched forms close over nothing — multipliers are passed
-    per call so the outer carry's tracers thread through cleanly."""
+    ``pen_one(x, lam_i, mu_i, rho_i, *d_i)`` is the scalar PHR penalty
+    of one lane (``d_i`` is the lane's constraint-data slice when
+    ``has_data``); the batched forms close over nothing — multipliers
+    (and data) are passed per call so the outer carry's tracers thread
+    through cleanly."""
 
-    def pen_one(x, lam_i, mu_i, rho_i):
+    def pen_one(x, lam_i, mu_i, rho_i, *d_i):
         p = jnp.zeros((), dtype)
         if eq is not None:
-            h = eq(x)
+            h = eq(x, *d_i)
             p = p + jnp.dot(lam_i, h) + 0.5 * rho_i * jnp.dot(h, h)
         if ineq is not None:
-            t = jnp.maximum(0.0, mu_i - rho_i * ineq(x))
+            t = jnp.maximum(0.0, mu_i - rho_i * ineq(x, *d_i))
             p = p + (0.5 / rho_i) * (jnp.dot(t, t) - jnp.dot(mu_i, mu_i))
         return p
 
-    # (n, B), (me, B), (mi, B), (B,) -> ((B,), (n, B))
+    d_ax = (0,) if has_data else ()
+    # (n, B), (me, B), (mi, B), (B,)[, data] -> ((B,), (n, B))
     pen_vag_b = jax.vmap(
-        jax.value_and_grad(pen_one), in_axes=(1, 1, 1, 0), out_axes=(0, 1)
+        jax.value_and_grad(pen_one), in_axes=(1, 1, 1, 0) + d_ax,
+        out_axes=(0, 1),
     )
     vag_b = jax.vmap(vag_f, in_axes=1, out_axes=(0, 1))
     f_b = jax.vmap(f_val, in_axes=1, out_axes=0)
-    pen_b = jax.vmap(pen_one, in_axes=(1, 1, 1, 0), out_axes=0)
+    pen_b = jax.vmap(pen_one, in_axes=(1, 1, 1, 0) + d_ax, out_axes=0)
     return pen_one, pen_vag_b, vag_b, f_b, pen_b
 
 
@@ -587,34 +625,36 @@ def _run_fleet_cg(F_vag_b, F_b, X, active, ls, tol, max_iterations,
 
 
 def _run_fleet_tr(vag_f, pen_one, X, lam, mu, rho, active, tol,
-                  max_iterations, dtype):
+                  max_iterations, dtype, cdata=None):
     """TR inner solve: batch-major (B, n) like the TR engine itself; the
     per-lane augmented value_and_grad/HVP close over THIS round's
     multipliers (outer-carry tracers thread through the vmaps)."""
     n = X.shape[0]
     lamT, muT = lam.T, mu.T  # (B, me), (B, mi)
+    cd = (cdata,) if cdata is not None else ()
+    d_ax = (0,) if cdata is not None else ()
 
-    def vag_min_one(x, li, mui, ri):
+    def vag_min_one(x, li, mui, ri, *d_i):
         fv, fg = vag_f(x)
-        pv, pg = jax.value_and_grad(pen_one)(x, li, mui, ri)
+        pv, pg = jax.value_and_grad(pen_one)(x, li, mui, ri, *d_i)
         return -(fv - pv), -(fg - pg)
 
-    def grad_min_one(x, li, mui, ri):
-        return vag_min_one(x, li, mui, ri)[1]
+    def grad_min_one(x, li, mui, ri, *d_i):
+        return vag_min_one(x, li, mui, ri, *d_i)[1]
 
-    def hvp_one(x, v, li, mui, ri):
+    def hvp_one(x, v, li, mui, ri, *d_i):
         return jax.jvp(
-            lambda xx: grad_min_one(xx, li, mui, ri), (x,), (v,)
+            lambda xx: grad_min_one(xx, li, mui, ri, *d_i), (x,), (v,)
         )[1]
 
     def vag_fleet(Xb):
-        return jax.vmap(vag_min_one, in_axes=(0, 0, 0, 0))(
-            Xb, lamT, muT, rho
+        return jax.vmap(vag_min_one, in_axes=(0, 0, 0, 0) + d_ax)(
+            Xb, lamT, muT, rho, *cd
         )
 
     def hvp_fleet(Xb, V):
-        return jax.vmap(hvp_one, in_axes=(0, 0, 0, 0, 0))(
-            Xb, V, lamT, muT, rho
+        return jax.vmap(hvp_one, in_axes=(0, 0, 0, 0, 0) + d_ax)(
+            Xb, V, lamT, muT, rho, *cd
         )
 
     s0 = _init_tr_state(vag_fleet, X.T, 1.0)
@@ -646,7 +686,7 @@ def _run_fleet_tr(vag_f, pen_one, X, lam, mu, rho, active, tol,
 def _auglag_fleet_core(
     obj, x0s, eq, ineq, lam0, mu0, rho0, tol, ctol, rho_growth,
     viol_decrease, rho_max, engine, value_and_grad_fn, ls, max_outer,
-    max_iterations, history, cg_method, kernel, block_batch,
+    max_iterations, history, cg_method, kernel, block_batch, cdata=None,
 ):
     vag_f = as_value_and_grad(obj, value_and_grad_fn)
     f_val = as_value_fn(obj, value_and_grad_fn)
@@ -671,16 +711,30 @@ def _auglag_fleet_core(
         mu0 = jnp.concatenate(
             [mu0, jnp.broadcast_to(mu0[:1], (pad,) + mu0.shape[1:])]
         )
+        if cdata is not None:
+            cdata = jax.tree_util.tree_map(
+                lambda l: jnp.concatenate(
+                    [l, jnp.broadcast_to(l[:1], (pad,) + l.shape[1:])]
+                ),
+                cdata,
+            )
     pad_mask = jnp.arange(batch) >= user_batch
 
     me = lam0.shape[1]
     mi = mu0.shape[1]
+    has_data = cdata is not None
+    cd = (cdata,) if has_data else ()
     pen_one, pen_vag_b, vag_b, f_b, pen_b = _fleet_penalty_fns(
-        eq, ineq, vag_f, f_val, dtype
+        eq, ineq, vag_f, f_val, dtype, has_data
     )
-    eq_b = jax.vmap(eq, in_axes=1, out_axes=1) if eq is not None else None
+    d_ax = (0,) if has_data else ()
+    eq_b = (
+        jax.vmap(eq, in_axes=(1,) + d_ax, out_axes=1)
+        if eq is not None else None
+    )
     ineq_b = (
-        jax.vmap(ineq, in_axes=1, out_axes=1) if ineq is not None else None
+        jax.vmap(ineq, in_axes=(1,) + d_ax, out_axes=1)
+        if ineq is not None else None
     )
 
     if engine == "bfgs":
@@ -706,11 +760,11 @@ def _auglag_fleet_core(
         active = (~succ) & (~hard) & (~pad_mask)
 
         def F_b(Xv):
-            return f_b(Xv) - pen_b(Xv, lam, mu, rho)
+            return f_b(Xv) - pen_b(Xv, lam, mu, rho, *cd)
 
         def F_vag_b(Xv):
             fv, fg = vag_b(Xv)
-            pv, pg = pen_vag_b(Xv, lam, mu, rho)
+            pv, pg = pen_vag_b(Xv, lam, mu, rho, *cd)
             return fv - pv, fg - pg
 
         if engine == "bfgs":
@@ -731,12 +785,18 @@ def _auglag_fleet_core(
         else:  # tr
             X1, st, it, fev = _run_fleet_tr(
                 vag_f, pen_one, X, lam, mu, rho, active, tol,
-                max_iterations, dtype,
+                max_iterations, dtype, cdata,
             )
 
         X1 = jnp.where(active[None, :], X1, X)
-        H1 = eq_b(X1) if eq is not None else jnp.zeros((0, batch), dtype)
-        C1 = ineq_b(X1) if ineq is not None else jnp.zeros((0, batch), dtype)
+        H1 = (
+            eq_b(X1, *cd) if eq is not None
+            else jnp.zeros((0, batch), dtype)
+        )
+        C1 = (
+            ineq_b(X1, *cd) if ineq is not None
+            else jnp.zeros((0, batch), dtype)
+        )
         v = violation(H1, C1, mu, rho)
         lam1 = jnp.where(active[None, :], lam + rho[None, :] * H1, lam)
         mu1 = jnp.where(
@@ -787,8 +847,11 @@ def _auglag_fleet_core(
         jnp.int32(Status.CONVERGED),
         jnp.where(hard, inner_st, jnp.int32(Status.MAX_ITERATIONS)),
     )
-    Hf = eq_b(X) if eq is not None else jnp.zeros((0, batch), dtype)
-    Cf = ineq_b(X) if ineq is not None else jnp.zeros((0, batch), dtype)
+    Hf = eq_b(X, *cd) if eq is not None else jnp.zeros((0, batch), dtype)
+    Cf = (
+        ineq_b(X, *cd) if ineq is not None
+        else jnp.zeros((0, batch), dtype)
+    )
     res = AugLagResult(
         x=X.T,
         fun=jnp.where(succ, fv, nan),

@@ -528,3 +528,54 @@ def test_fleet_warm_restart_resume_recipe():
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(leg2.lam), np.asarray(full.lam),
                                rtol=1e-6)
+
+
+def test_fleet_per_lane_constraint_data():
+    """constraint_data (the least_squares data= analog): one compiled
+    program, per-lane feasible sets. Fleet of disk constraints with
+    per-lane radii: maximize -||x - 2||^2 s.t. ||x||^2 <= r_i^2 — the
+    analytic solution is x = 2*min(1, r_i/(2*sqrt(n)))... with x uniform:
+    unconstrained optimum x = 2*ones has norm 2*sqrt(n); lanes with
+    r_i < 2*sqrt(n) land ON their own sphere, larger-r lanes interior."""
+    n = 4
+
+    def f(z):
+        return -jnp.sum((z - 2.0) ** 2)
+
+    def disk(z, r2):
+        return r2 - jnp.sum(z * z)
+
+    r2s = jnp.asarray([1.0, 4.0, 100.0])  # last: unconstrained optimum OK
+    X0 = jnp.full((3, n), 0.1)
+    r = qnm.optimize_auglag(
+        f, X0, ineq=disk, constraint_data=r2s, engine="bfgs",
+    )
+    assert bool(r.converged.all())
+    norms2 = np.asarray(jnp.sum(r.x**2, -1))
+    # active lanes sit on their own spheres
+    np.testing.assert_allclose(norms2[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(norms2[1], 4.0, atol=1e-6)
+    # inactive lane reaches the unconstrained optimum with mu = 0
+    np.testing.assert_allclose(np.asarray(r.x[2]), 2.0, atol=1e-7)
+    assert float(r.mu[2, 0]) == 0.0
+    # per-lane scalar parity: each lane equals its own scalar solve
+    for i in range(3):
+        s = qnm.optimize_auglag(
+            f, X0[i], ineq=disk, constraint_data=r2s[i], engine="bfgs",
+        )
+        assert int(s.status) == int(r.status[i])
+        np.testing.assert_allclose(np.asarray(r.x[i]), np.asarray(s.x),
+                                   rtol=1e-7, atol=1e-9)
+    # all four engines accept data (smoke, 2 lanes)
+    for engine in ("lbfgs", "cg", "tr"):
+        re = qnm.optimize_auglag(
+            f, X0[:2], ineq=disk, constraint_data=r2s[:2], engine=engine,
+        )
+        assert bool(re.converged.all()), engine
+    # validation: missing batch axis
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="leading batch axis"):
+        qnm.optimize_auglag(
+            f, X0, ineq=disk, constraint_data=jnp.zeros(()),
+        )
