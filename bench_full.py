@@ -30,9 +30,14 @@ def fetch(tree):
     # ONE device->host readback: sum all leaves into a single device
     # scalar first — each separate float() sync through the axon tunnel
     # costs ~30 ms regardless of payload (the round-1 per-leaf fetch
-    # inflated every timing here by ~0.5 s).
-    total = sum(jnp.sum(x).astype(jnp.float32)
-                for x in jax.tree_util.tree_leaves(tree))
+    # inflated every timing here by ~0.5 s). Typed PRNG-key leaves
+    # (resumable sampler states carry one) are not summable — skip them.
+    total = sum(
+        jnp.sum(x).astype(jnp.float32)
+        for x in jax.tree_util.tree_leaves(tree)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.number)
+        or jnp.asarray(x).dtype == jnp.bool_
+    )
     return float(total)
 
 
