@@ -121,3 +121,39 @@ def test_all_engines_agree_on_random_quadratics(seed):
     assert host.status == qnm.Status.CONVERGED
     np.testing.assert_allclose(host.x, x_star, atol=1e-6)
     assert abs(host.iterations - int(scalar.iterations)) <= 1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_constrained_engines_agree_on_random_equality_quadratics(seed):
+    """Constrained fuzz (round 5): random SPD quadratics with random
+    linear equality constraints have an exact KKT solution
+    [[Q, A'], [A, 0]][x; lam] = [b; d] — every auglag inner engine, at
+    scalar AND fleet rank, must recover the same (x*, lam*)."""
+    rng = np.random.default_rng(500 + seed)
+    n = int(rng.integers(4, 12))
+    m = int(rng.integers(1, min(4, n)))
+    logdensity, _x_un, A, b = _make_quadratic(rng, n, 10.0)
+    C = rng.standard_normal((m, n))
+    d = rng.standard_normal(m)
+    kkt = np.block([[A, C.T], [C, np.zeros((m, m))]])
+    sol = np.linalg.solve(kkt, np.concatenate([b, d]))
+    x_true, lam_true = sol[:n], sol[n:]
+    Cj, dj = jnp.asarray(C), jnp.asarray(d)
+
+    def eq(x):
+        return Cj @ x - dj
+
+    x0 = jnp.asarray(rng.standard_normal(n) * 0.5)
+    X0 = jnp.stack([x0, x0 + 0.3])
+    for engine in ("bfgs", "lbfgs", "cg", "tr"):
+        r = qnm.optimize_auglag(logdensity, x0, eq=eq, engine=engine)
+        assert bool(r.converged), (engine, seed)
+        np.testing.assert_allclose(np.asarray(r.x), x_true, atol=1e-6,
+                                   err_msg=f"{engine} seed={seed}")
+        np.testing.assert_allclose(np.asarray(r.lam), lam_true, atol=1e-4,
+                                   err_msg=f"{engine} seed={seed}")
+        rf = qnm.optimize_auglag(logdensity, X0, eq=eq, engine=engine)
+        assert bool(rf.converged.all()), (engine, seed)
+        for i in (0, 1):
+            np.testing.assert_allclose(np.asarray(rf.x[i]), x_true,
+                                       atol=1e-6)
