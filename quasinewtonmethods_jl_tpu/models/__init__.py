@@ -7,9 +7,11 @@ from .logistic import LogisticRegressionMAP
 from .mixture import GaussianMixture
 from .poisson import PoissonRegressionMAP
 from .quadratic import IllConditionedQuadratic, quadratic_logdensity
+from .statespace import AR1DriftMAP
 from .rosenbrock import Rosenbrock, rosenbrock_logdensity, rosenbrock_value_and_grad
 
 __all__ = [
+    "AR1DriftMAP",
     "FUNNEL_V_STD",
     "funnel_logdensity",
     "HierarchicalRegression",

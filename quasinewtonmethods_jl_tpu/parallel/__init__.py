@@ -4,6 +4,7 @@
 from .batch import optimize_batched, optimize_lbfgs_batched
 from .mesh import (
     least_squares_sharded,
+    optimize_auglag_sharded,
     optimize_cg_model_sharded,
     optimize_cg_sharded,
     optimize_tr_sharded,
@@ -19,6 +20,7 @@ __all__ = [
     "optimize_batched",
     "optimize_lbfgs_batched",
     "least_squares_sharded",
+    "optimize_auglag_sharded",
     "optimize_cg_model_sharded",
     "optimize_cg_sharded",
     "optimize_tr_sharded",

@@ -57,6 +57,7 @@ __all__ = [
     "psum_dot",
     "optimize_batched_sharded",
     "optimize_lbfgs_sharded",
+    "optimize_auglag_sharded",
     "optimize_cg_model_sharded",
     "sample_sharded",
 ]
@@ -216,6 +217,56 @@ def optimize_tr_model_sharded(
     x0 = jax.device_put(x0, NamedSharding(mesh, P(axis)))
     with mesh:
         return optimize_tr(obj, x0, **kwargs)
+
+
+def optimize_auglag_sharded(
+    obj,
+    x0s: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    *,
+    eq=None,
+    ineq=None,
+    constraint_data=None,
+    **kwargs,
+):
+    """Data-parallel CONSTRAINED fleet: the masked-lockstep batched
+    auglag with lanes sharded over ``axis``.
+
+    Pure-jnp outer+inner loops partition from placement alone (the
+    GSPMD-from-placement finding; dryrun section 19 exercises exactly
+    this path): per-lane (λ, μ, ρ) ride the sharded carry, the loop
+    predicates are the only collectives, and a per-lane
+    ``constraint_data`` pytree is sharded alongside its lanes. kwargs
+    pass through to `qnm.optimize_auglag` (engine/tol/ctol/...).
+    """
+    from ..constrained import optimize_auglag
+
+    x0s = jnp.asarray(x0s)
+    if x0s.ndim != 2:
+        raise ValueError(f"x0s must be (batch, n), got shape {x0s.shape}")
+    n_shards = mesh.shape[axis]
+    if x0s.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"batch ({x0s.shape[0]}) must divide evenly over mesh axis "
+            f"{axis!r} ({n_shards} shards)"
+        )
+    x0s = jax.device_put(x0s, NamedSharding(mesh, P(axis, None)))
+    if constraint_data is not None:
+        constraint_data = jax.tree_util.tree_map(
+            lambda l: jax.device_put(
+                jnp.asarray(l),
+                NamedSharding(
+                    mesh, P(axis, *([None] * (jnp.asarray(l).ndim - 1)))
+                ),
+            ),
+            constraint_data,
+        )
+    with mesh:
+        return optimize_auglag(
+            obj, x0s, eq=eq, ineq=ineq,
+            constraint_data=constraint_data, **kwargs,
+        )
 
 
 def optimize_cg_model_sharded(

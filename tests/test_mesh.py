@@ -510,3 +510,34 @@ def test_optimize_cg_model_sharded_nonseparable_and_validation(rng):
         optimize_cg_model_sharded(quad_logdensity, jnp.zeros((4, 8)), mesh)
     with pytest.raises(ValueError, match="divide"):
         optimize_cg_model_sharded(quad_logdensity, jnp.zeros(10), mesh)
+
+
+def test_optimize_auglag_sharded_per_lane_data(rng):
+    """Round-5: the constrained fleet sharded over lanes WITH per-lane
+    constraint data (each device owns its lanes' feasible sets) —
+    matches the unsharded fleet lane-for-lane."""
+    from quasinewtonmethods_jl_tpu.parallel import optimize_auglag_sharded
+
+    n = 4
+
+    def f(z):
+        return -jnp.sum((z - 2.0) ** 2)
+
+    def disk(z, r2):
+        return r2 - jnp.sum(z * z)
+
+    B = 16
+    r2s = jnp.asarray(np.linspace(1.0, 30.0, B))
+    X0 = jnp.full((B, n), 0.1)
+    mesh = make_mesh({"data": 8})
+    r_sh = optimize_auglag_sharded(
+        f, X0, mesh, ineq=disk, constraint_data=r2s,
+    )
+    r_un = qnm.optimize_auglag(f, X0, ineq=disk, constraint_data=r2s)
+    assert bool(r_sh.converged.all())
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_un.x),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(r_sh.n_outer),
+                                  np.asarray(r_un.n_outer))
+    with pytest.raises(ValueError, match="divide"):
+        optimize_auglag_sharded(f, jnp.zeros((10, n)), mesh, ineq=disk)
