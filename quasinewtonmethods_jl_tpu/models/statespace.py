@@ -47,9 +47,15 @@ class AR1DriftMAP(ProbabilityModel):
         n = dimension
         ka, kw, ke = jax.random.split(jax.random.PRNGKey(seed), 3)
         A = jax.random.normal(ka, (n, n), dtype)
-        # scale to the requested spectral radius (stable recursion)
-        eig = jnp.max(jnp.abs(jnp.linalg.eigvals(A.astype(jnp.complex64))))
-        self.A = A * jnp.asarray(spectral_radius, dtype) / eig.real.astype(dtype)
+        # scale to the requested spectral radius (stable recursion) —
+        # on the HOST: general eig has no TPU lowering, and this is
+        # seeded constant data, not traced compute
+        import numpy as _np
+
+        eig = float(_np.max(_np.abs(_np.linalg.eigvals(
+            _np.asarray(A, _np.float64)
+        ))))
+        self.A = A * jnp.asarray(spectral_radius / eig, dtype)
         w_true = jax.random.normal(kw, (n,), dtype)
         # simulate the latent recursion + noisy observations
         def sim(z, k):
