@@ -30,7 +30,6 @@
 #include <new>
 #include <thread>
 #include <vector>
-#include <vector>
 
 namespace {
 

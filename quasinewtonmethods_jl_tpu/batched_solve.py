@@ -653,6 +653,36 @@ def pallas_feasible_block(n: int, itemsize: int, requested: int = 128) -> int:
     return block if block >= 128 else 0
 
 
+def _fresh_bfgs_carry(X, status0):
+    """Fresh fused-engine carry for a (n, batch) lane-minor fleet with
+    per-lane initial ``status0`` (non-RUNNING lanes are frozen from step
+    one). THE single source of the carry layout — the engine's own jit
+    entry and the constrained fleet's inner solves both build here, so
+    a carry-field change cannot desynchronize them (review finding,
+    round 5)."""
+    n, batch = X.shape
+    dtype = X.dtype
+    zero_v = jnp.zeros((n, batch), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    return _Carry(
+        X=X,
+        G=zero_v,
+        G_old=zero_v,
+        STEP=zero_v,
+        B=jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, batch)),
+        fun=jnp.full((batch,), jnp.nan, dtype),
+        fprev=jnp.full((batch,), jnp.nan, dtype),
+        k=jnp.zeros((), jnp.int32),
+        status=status0,
+        iterations=zero_i,
+        n_fev=zero_i,
+        n_gev=zero_i,
+        n_resets=zero_i,
+        fresh=jnp.ones((batch,), bool),
+        stall=zero_i,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -689,31 +719,13 @@ def _optimize_batched_fused_jit(
     batch = user_batch + pad
     X0 = jnp.concatenate([x0s, jnp.broadcast_to(x0s[:1], (pad, n))]).T if pad else x0s.T
 
-    zero_v = jnp.zeros((n, batch), dtype)
-    zero_i = jnp.zeros((batch,), jnp.int32)
     status0 = jnp.concatenate(
         [
             jnp.full((user_batch,), Status.RUNNING, jnp.int32),
             jnp.full((pad,), Status.MAX_ITERATIONS, jnp.int32),
         ]
     ) if pad else jnp.full((batch,), Status.RUNNING, jnp.int32)
-    carry0 = _Carry(
-        X=X0,
-        G=zero_v,
-        G_old=zero_v,
-        STEP=zero_v,
-        B=jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, batch)),
-        fun=jnp.full((batch,), jnp.nan, dtype),
-        fprev=jnp.full((batch,), jnp.nan, dtype),
-        k=jnp.zeros((), jnp.int32),
-        status=status0,
-        iterations=zero_i,
-        n_fev=zero_i,
-        n_gev=zero_i,
-        n_resets=zero_i,
-        fresh=jnp.ones((batch,), bool),
-        stall=zero_i,
-    )
+    carry0 = _fresh_bfgs_carry(X0, status0)
     fc = _solve_loop_batched(
         vag_b, f_b, carry0, ls, tol, max_iterations,
         _make_update_fn(kernel, block_batch),

@@ -199,25 +199,16 @@ _HUTCHINSON_SEED_CG = 0x7453  # distinct from TR's stream
 
 
 def _jacobi_precond_cg(hvp_b, X, k, probes):
-    """(n, batch) positive diagonal preconditioner P ≈ 1/|diag H| at X by
-    Hutchinson probes (same estimator/flooring as the TR engine's
-    `_jacobi_diag`, transposed to the CG engine's lane-minor layout).
-    Probes are (n,) broadcast across lanes — a fleet lane sees the same
-    probe sequence as a solo solve — and keyed off the global iteration
-    counter so chunked resume replays the uninterrupted stream."""
-    dtype = X.dtype
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    key = jax.random.fold_in(jax.random.PRNGKey(_HUTCHINSON_SEED_CG), k)
-    est = jnp.zeros_like(X)
-    for jp in range(probes):
-        v1 = jax.random.rademacher(
-            jax.random.fold_in(key, jp), (X.shape[0],), dtype
-        )
-        v = jnp.broadcast_to(v1[:, None], X.shape)
-        est = est + v * hvp_b(X, v)
-    d_abs = jnp.abs(est) / probes
-    floor = jnp.maximum(1e-6 * jnp.max(d_abs, axis=0, keepdims=True), tiny)
-    return 1.0 / jnp.maximum(d_abs, floor)
+    """(n, batch) positive diagonal preconditioner P ≈ 1/|diag H| at X —
+    the shared Hutchinson estimator (`ops.hutchinson.hutchinson_abs_diag`,
+    lane-minor form) inverted. The guard makes the inversion axon-safe:
+    a fully-degenerate lane estimates the identity scaling (P = 1)
+    instead of dividing by a flushed-to-zero tiny constant."""
+    from .ops.hutchinson import hutchinson_abs_diag
+
+    return 1.0 / hutchinson_abs_diag(
+        hvp_b, X, k, probes, _HUTCHINSON_SEED_CG, param_axis=0
+    )
 
 
 def _cg_loop_batched(
@@ -431,6 +422,35 @@ def _result_from_cg_carry(fc: _CGCarry, squeeze: bool) -> CGResult:
     return res
 
 
+def _fresh_cg_carry(X, status0):
+    """Fresh CG fleet carry for a (n, batch) lane-minor fleet (single
+    source of the carry layout — engine jit and the constrained fleet's
+    inner solves both build here; review finding, round 5). The fold
+    path overrides (fun, G, n_fev/n_gev) via _replace after seeding."""
+    n, batch = X.shape
+    dtype = X.dtype
+    zero_v = jnp.zeros((n, batch), dtype)
+    zero_b = jnp.zeros((batch,), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    return _CGCarry(
+        X=X,
+        G=zero_v,
+        G_old=zero_v,
+        D=zero_v,
+        m_prev=zero_b,  # 0 = fresh -> steepest first step
+        t_prev=zero_b,
+        fun=jnp.full((batch,), jnp.nan, dtype),
+        fprev=jnp.full((batch,), jnp.nan, dtype),
+        k=jnp.zeros((), jnp.int32),
+        status=status0,
+        iterations=zero_i,
+        n_fev=zero_i,
+        n_gev=zero_i,
+        n_resets=zero_i,
+        stall=zero_i,
+    )
+
+
 def _cg_precond_pieces(vag, precond_mode, precond_diag, n, batch, dtype):
     """(hvp_b, P) for the configured preconditioning mode. 'fixed' turns
     the user's Hessian-diagonal estimate into the lane-minor inverse
@@ -476,35 +496,15 @@ def _optimize_cg_jit(
 
     batch, n = x0s.shape
     dtype = x0s.dtype
-    zero_v = jnp.zeros((n, batch), dtype)
-    zero_b = jnp.zeros((batch,), dtype)
-    zero_i = jnp.zeros((batch,), jnp.int32)
     X0 = x0s.T
-    nan_b = jnp.full((batch,), jnp.nan, dtype)
+    carry0 = _fresh_cg_carry(
+        X0, jnp.full((batch,), Status.RUNNING, jnp.int32)
+    )
     if isinstance(ls, Wolfe) and fold_eval:
         # seed the fold invariant: (fun, G) = the evaluation at X
         fun0, G0 = vag_b(X0)
         nfev0 = jnp.ones((batch,), jnp.int32)
-    else:
-        fun0, G0 = nan_b, zero_v  # body evaluates at the top
-        nfev0 = zero_i
-    carry0 = _CGCarry(
-        X=X0,
-        G=G0,
-        G_old=zero_v,
-        D=zero_v,
-        m_prev=zero_b,  # 0 = fresh → steepest first step
-        t_prev=zero_b,
-        fun=fun0,
-        fprev=nan_b,
-        k=jnp.zeros((), jnp.int32),
-        status=jnp.full((batch,), Status.RUNNING, jnp.int32),
-        iterations=zero_i,
-        n_fev=nfev0,
-        n_gev=nfev0,
-        n_resets=zero_i,
-        stall=zero_i,
-    )
+        carry0 = carry0._replace(fun=fun0, G=G0, n_fev=nfev0, n_gev=nfev0)
     hvp_b, P = _cg_precond_pieces(
         vag, precond_mode, precond_diag, n, batch, dtype
     )

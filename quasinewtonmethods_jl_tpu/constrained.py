@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .api import as_value_and_grad, as_value_fn
-from .cg_solve import _CGCarry, _cg_loop_batched, optimize_cg
+from .cg_solve import _cg_loop_batched, optimize_cg
 from .lbfgs_solve import optimize_lbfgs
 from .ops.linesearch import BackTracking
 from .ops.wolfe import Wolfe
@@ -515,31 +515,12 @@ def _fleet_penalty_fns(eq, ineq, vag_f, f_val, dtype, has_data=False):
 
 def _run_fleet_bfgs(F_vag_b, F_b, X, active, ls, tol, max_iterations,
                     update_fn, dtype):
-    from .batched_solve import _Carry, _solve_loop_batched
+    from .batched_solve import _fresh_bfgs_carry, _solve_loop_batched
 
-    n, batch = X.shape
-    zero_v = jnp.zeros((n, batch), dtype)
-    zero_i = jnp.zeros((batch,), jnp.int32)
     status0 = jnp.where(
         active, jnp.int32(Status.RUNNING), jnp.int32(Status.MAX_ITERATIONS)
     )
-    carry0 = _Carry(
-        X=X,
-        G=zero_v,
-        G_old=zero_v,
-        STEP=zero_v,
-        B=jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, batch)),
-        fun=jnp.full((batch,), jnp.nan, dtype),
-        fprev=jnp.full((batch,), jnp.nan, dtype),
-        k=jnp.zeros((), jnp.int32),
-        status=status0,
-        iterations=zero_i,
-        n_fev=zero_i,
-        n_gev=zero_i,
-        n_resets=zero_i,
-        fresh=jnp.ones((batch,), bool),
-        stall=zero_i,
-    )
+    carry0 = _fresh_bfgs_carry(X, status0)
     fc = _solve_loop_batched(
         F_vag_b, F_b, carry0, ls, tol, max_iterations, update_fn,
         h0_scale=True, stall_limit=STALL_LIMIT_DEFAULT,
@@ -551,39 +532,17 @@ def _run_fleet_lbfgs(F_vag_b, F_b, X, active, ls, tol, max_iterations,
                      history, dtype):
     from .lbfgs_batched_solve import (
         _RING_CIRCULAR_MIN_N,
-        _LCarry,
+        _fresh_lbfgs_carry,
         _lbfgs_loop_batched,
     )
 
-    n, batch = X.shape
+    n, _batch = X.shape
     circular = n >= _RING_CIRCULAR_MIN_N
-    zero_v = jnp.zeros((n, batch), dtype)
-    zero_i = jnp.zeros((batch,), jnp.int32)
     status0 = jnp.where(
         active, jnp.int32(Status.RUNNING), jnp.int32(Status.MAX_ITERATIONS)
     )
-    carry0 = _LCarry(
-        X=X,
-        G=zero_v,
-        G_old=zero_v,
-        STEP=zero_v,
-        S=jnp.zeros((history, n, batch), dtype),
-        Y=jnp.zeros((history, n, batch), dtype),
-        SY=jnp.zeros((1, 1, 1), dtype),
-        YY=jnp.zeros((1, 1, 1), dtype),
-        rho=jnp.zeros((history, batch), dtype),
-        hist=zero_i,
-        head=zero_i,
-        gamma=jnp.ones((batch,), dtype),
-        fun=jnp.full((batch,), jnp.nan, dtype),
-        k=jnp.zeros((), jnp.int32),
-        status=status0,
-        iterations=zero_i,
-        n_fev=zero_i,
-        n_gev=zero_i,
-        n_resets=zero_i,
-        stall=zero_i,
-    )
+    carry0 = _fresh_lbfgs_carry(X, history, status0, circular,
+                                incremental_gram=False)
     fc = _lbfgs_loop_batched(
         F_vag_b, F_b, carry0, ls, tol, max_iterations,
         STALL_LIMIT_DEFAULT, circular,
@@ -593,30 +552,12 @@ def _run_fleet_lbfgs(F_vag_b, F_b, X, active, ls, tol, max_iterations,
 
 def _run_fleet_cg(F_vag_b, F_b, X, active, ls, tol, max_iterations,
                   cg_method, dtype):
-    n, batch = X.shape
-    zero_v = jnp.zeros((n, batch), dtype)
-    zero_b = jnp.zeros((batch,), dtype)
-    zero_i = jnp.zeros((batch,), jnp.int32)
+    from .cg_solve import _fresh_cg_carry
+
     status0 = jnp.where(
         active, jnp.int32(Status.RUNNING), jnp.int32(Status.MAX_ITERATIONS)
     )
-    carry0 = _CGCarry(
-        X=X,
-        G=zero_v,
-        G_old=zero_v,
-        D=zero_v,
-        m_prev=zero_b,
-        t_prev=zero_b,
-        fun=jnp.full((batch,), jnp.nan, dtype),
-        fprev=jnp.full((batch,), jnp.nan, dtype),
-        k=jnp.zeros((), jnp.int32),
-        status=status0,
-        iterations=zero_i,
-        n_fev=zero_i,
-        n_gev=zero_i,
-        n_resets=zero_i,
-        stall=zero_i,
-    )
+    carry0 = _fresh_cg_carry(X, status0)
     fc = _cg_loop_batched(
         F_vag_b, F_b, carry0, cg_method, ls, tol, max_iterations,
         STALL_LIMIT_DEFAULT, 0.2,

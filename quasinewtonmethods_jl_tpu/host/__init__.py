@@ -640,13 +640,6 @@ def optimize_cg_host(
 # Constrained optimization (round 5): the native PHR augmented Lagrangian
 # ---------------------------------------------------------------------------
 
-_CONSTRAINT_FN = ctypes.CFUNCTYPE(
-    None, ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-    ctypes.c_int32, ctypes.c_void_p,
-)
-_CONSTRAINT_VJP_FN = _CONSTRAINT_FN  # (accum, x|w packed: see wrapper)
-
-
 class HostAugLagResult(NamedTuple):
     """Native constrained result — the in-band contract of `AugLagResult`:
     ``fun`` is f(x) on the KKT certificate and NaN otherwise."""

@@ -516,6 +516,43 @@ def _lbfgs_loop_batched(
     )
 
 
+def _fresh_lbfgs_carry(X, history, status0, circular, incremental_gram):
+    """Fresh L-BFGS fleet carry for a (n, batch) lane-minor fleet (the
+    single source of the carry layout — engine jit and the constrained
+    fleet's inner solves both build here; review finding, round 5)."""
+    n, batch = X.shape
+    dtype = X.dtype
+    gram_shape = (
+        (history, history, batch)
+        if circular and incremental_gram
+        else (1, 1, 1)
+    )
+    zero_v = jnp.zeros((n, batch), dtype)
+    zero_i = jnp.zeros((batch,), jnp.int32)
+    return _LCarry(
+        X=X,
+        G=zero_v,
+        G_old=zero_v,
+        STEP=zero_v,
+        S=jnp.zeros((history, n, batch), dtype),
+        Y=jnp.zeros((history, n, batch), dtype),
+        SY=jnp.zeros(gram_shape, dtype),
+        YY=jnp.zeros(gram_shape, dtype),
+        rho=jnp.zeros((history, batch), dtype),
+        hist=zero_i,
+        head=zero_i,
+        gamma=jnp.ones((batch,), dtype),
+        fun=jnp.full((batch,), jnp.nan, dtype),
+        k=jnp.zeros((), jnp.int32),
+        status=status0,
+        iterations=zero_i,
+        n_fev=zero_i,
+        n_gev=zero_i,
+        n_resets=zero_i,
+        stall=zero_i,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -534,36 +571,10 @@ def _optimize_lbfgs_batched_fused_jit(
     f_b = jax.vmap(f, in_axes=1, out_axes=0)
 
     batch, n = x0s.shape
-    dtype = x0s.dtype
     circular = n >= _RING_CIRCULAR_MIN_N
-    gram_shape = (
-        (history, history, batch)
-        if circular and incremental_gram
-        else (1, 1, 1)
-    )
-    zero_v = jnp.zeros((n, batch), dtype)
-    zero_i = jnp.zeros((batch,), jnp.int32)
-    carry0 = _LCarry(
-        X=x0s.T,
-        G=zero_v,
-        G_old=zero_v,
-        STEP=zero_v,
-        S=jnp.zeros((history, n, batch), dtype),
-        Y=jnp.zeros((history, n, batch), dtype),
-        SY=jnp.zeros(gram_shape, dtype),
-        YY=jnp.zeros(gram_shape, dtype),
-        rho=jnp.zeros((history, batch), dtype),
-        hist=zero_i,
-        head=zero_i,
-        gamma=jnp.ones((batch,), dtype),
-        fun=jnp.full((batch,), jnp.nan, dtype),
-        k=jnp.zeros((), jnp.int32),
-        status=jnp.full((batch,), Status.RUNNING, jnp.int32),
-        iterations=zero_i,
-        n_fev=zero_i,
-        n_gev=zero_i,
-        n_resets=zero_i,
-        stall=zero_i,
+    carry0 = _fresh_lbfgs_carry(
+        x0s.T, history, jnp.full((batch,), Status.RUNNING, jnp.int32),
+        circular, incremental_gram,
     )
     fc = _lbfgs_loop_batched(vag_b, f_b, carry0, ls, tol, max_iterations,
                              stall_limit, circular, gram_precision, unroll,

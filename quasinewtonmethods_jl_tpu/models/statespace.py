@@ -7,7 +7,7 @@ representative: estimate the drift vector w of the latent recursion
 
     z_t = A z_{t-1} + w,      y_t ~ N(z_t, sigma^2 I)
 
-by MAP over w with a standard-normal prior (A, the observations, and
+by MAP over w with a N(0, prior_scale^2 I) prior (A, the observations, and
 sigma are fixed, seeded data). The log-posterior is strictly concave in
 w (the recursion is linear in w), has a closed-form optimum via the
 normal equations (used by the tests), and its traced form is exactly

@@ -41,7 +41,7 @@ def optimize_multistart(
     dim: int,
     init_scale: float = 1.0,
     x0s: Optional[jax.Array] = None,
-    ls: BackTracking = BackTracking(),
+    ls: Optional[BackTracking] = None,
     tol: float = 1e-8,
     max_iterations: int = MAX_ITERATIONS_DEFAULT,
     value_and_grad_fn: Optional[Callable] = None,
@@ -88,11 +88,15 @@ def optimize_multistart(
     if eq is not None or ineq is not None:
         from .constrained import optimize_auglag
 
+        # ls=None defers to auglag's Wolfe(approx=True) default; an
+        # explicit ls — including an explicit default BackTracking() —
+        # passes through (the minimize ls=None convention; a
+        # `ls == BackTracking()` sentinel cannot tell explicit intent
+        # from the signature default)
         fleet = optimize_auglag(
             obj, x0s, eq=eq, ineq=ineq, engine=engine, tol=tol,
             max_iterations=max_iterations,
-            value_and_grad_fn=value_and_grad_fn,
-            **({} if ls == BackTracking() else {"ls": ls}),
+            value_and_grad_fn=value_and_grad_fn, ls=ls,
             **batch_kwargs,
         )
         ok = fleet.status == Status.CONVERGED
@@ -108,9 +112,10 @@ def optimize_multistart(
             fleet=fleet,
         )
 
+    ls_bt = BackTracking() if ls is None else ls
     if engine == "bfgs":
         fleet = optimize_batched(
-            obj, x0s, ls=ls, tol=tol, max_iterations=max_iterations,
+            obj, x0s, ls=ls_bt, tol=tol, max_iterations=max_iterations,
             value_and_grad_fn=value_and_grad_fn, **batch_kwargs,
         )
     elif engine == "tr":
@@ -128,10 +133,9 @@ def optimize_multistart(
         from .cg_solve import optimize_cg
         from .ops.wolfe import Wolfe
 
-        # the shared BackTracking default would degrade CG (same rule as
-        # minimize(method='cg')): the engine's Wolfe(approx=True) applies
-        # unless a non-default ls was passed
-        cg_ls = ls if ls != BackTracking() else Wolfe(approx=True)
+        # ls=None -> the engine's Wolfe(approx=True) default (same rule
+        # as minimize(method='cg')); any explicit ls passes through
+        cg_ls = Wolfe(approx=True) if ls is None else ls
         fleet = optimize_cg(
             obj, x0s, ls=cg_ls, tol=tol, max_iterations=max_iterations,
             value_and_grad_fn=value_and_grad_fn, **batch_kwargs,

@@ -249,8 +249,9 @@ def _flatten_with_vag(obj, x0_tree, value_and_grad_fn):
 
 
 def _stacked_flat(x0_trees):
-    """(flat_batch, unravel_one, lane0) for a pytree whose every leaf
-    carries a leading batch axis."""
+    """(flat_batch, lane0) for a pytree whose every leaf carries a
+    leading batch axis (lane0 is the first lane's tree — ravel it for
+    the per-lane unravel)."""
     leaves = jax.tree_util.tree_leaves(x0_trees)
     if not leaves or jnp.asarray(leaves[0]).ndim < 1:
         raise ValueError("stacked=True needs a leading batch axis on "

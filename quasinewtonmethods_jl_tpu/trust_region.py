@@ -224,37 +224,19 @@ _HUTCHINSON_SEED = 0x7452  # arbitrary fixed stream, folded with max(k)
 
 def _jacobi_diag(hvp_fleet, x, k, probes):
     """Hutchinson diagonal estimate of the (minimization) Hessian at x,
-    guarded into a positive Jacobi preconditioner.
-
-    diag(H) ≈ mean_j v_j ⊙ (H v_j) over Rademacher probes — EXACT (any
-    single probe) when H is diagonal, variance ∝ off-diagonal row mass
-    otherwise (Bekas–Kokiopoulou–Saad 2007). Probes are drawn (n,) and
-    broadcast across lanes, so a fleet lane sees the same probe sequence
-    as a solo solve (fleet-vs-solo trajectory parity is preserved), and
-    the key is folded with the fleet's max iteration count — carried in
-    TRState — so chunked resume replays the exact probe an uninterrupted
-    run would have drawn. |·| + a per-lane relative floor make the
-    scaling positive even where the true diagonal is ≤ 0 (indefinite
-    regions): there the preconditioner is just a benign rescale and
-    Steihaug's negative-curvature exit still does the real work.
+    guarded into a positive Jacobi preconditioner — the shared estimator
+    (`ops.hutchinson.hutchinson_abs_diag`, batch-major form): (n,)
+    probes broadcast across lanes for fleet-vs-solo parity, key folded
+    with the fleet's max lifetime iteration count for chunked-resume
+    replay, and the AXON-SAFE positivity guard (relative floor; a
+    fully-degenerate lane takes the identity scaling — never a
+    tiny-constant denominator, which flushes to 0 on the axon backend).
     """
-    dtype = x.dtype
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    key = jax.random.fold_in(
-        jax.random.PRNGKey(_HUTCHINSON_SEED), jnp.max(k)
+    from .ops.hutchinson import hutchinson_abs_diag
+
+    return hutchinson_abs_diag(
+        hvp_fleet, x, jnp.max(k), probes, _HUTCHINSON_SEED, param_axis=-1
     )
-    est = jnp.zeros_like(x)
-    for jp in range(probes):
-        v1 = jax.random.rademacher(
-            jax.random.fold_in(key, jp), (x.shape[-1],), dtype
-        )
-        v = jnp.broadcast_to(v1, x.shape)
-        est = est + v * hvp_fleet(x, v)
-    d_abs = jnp.abs(est) / probes
-    floor = jnp.maximum(
-        1e-6 * jnp.max(d_abs, axis=-1, keepdims=True), tiny
-    )
-    return jnp.maximum(d_abs, floor)
 
 
 def _tr_cond(max_iterations):
@@ -481,7 +463,14 @@ def _resolve_precondition(precondition, n):
             f"precondition diagonal last axis must be n={n}, "
             f"got shape {diag.shape}"
         )
-    if not bool(jnp.all(jnp.isfinite(diag) & (diag > 0))):
+    # validate only when concrete — the public entries must stay
+    # wrappable in an outer jax.jit with a traced diagonal (the same
+    # rule as optimize_auglag's mu0 check; review finding, round 5)
+    try:
+        positive = bool(jnp.all(jnp.isfinite(diag) & (diag > 0)))
+    except jax.errors.TracerBoolConversionError:
+        positive = True
+    if not positive:
         raise ValueError("precondition diagonal must be finite and > 0")
     return "fixed", diag
 

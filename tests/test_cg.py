@@ -366,3 +366,32 @@ def test_cg_precondition_per_lane_fixed_diag():
                     precondition=diags)
     assert bool(r.converged.all())
     assert int(r.iterations[0]) * 10 < int(r.iterations[1])
+
+
+def test_cg_jacobi_degenerate_diagonal_is_identity_scaling():
+    """Review finding (round 5): a locally-affine region estimates an
+    all-zero |diag H|; the old tiny-constant floor is the documented
+    axon flush-to-zero hazard (1/tiny -> inf on chip). The shared
+    estimator's guard must return the IDENTITY scaling there (P = 1) —
+    the benign no-op — so the solve proceeds as plain CG."""
+    from quasinewtonmethods_jl_tpu.ops.hutchinson import hutchinson_abs_diag
+
+    # hvp of an affine objective is exactly zero
+    def hvp_zero(X, V):
+        return jnp.zeros_like(V)
+
+    X = jnp.ones((6, 3))
+    d = hutchinson_abs_diag(hvp_zero, X, jnp.zeros((), jnp.int32), 2,
+                            0x7453, param_axis=0)
+    np.testing.assert_array_equal(np.asarray(d), 1.0)
+
+    # end-to-end: piecewise-affine-ish objective with jacobi must not
+    # produce inf/NaN directions (linear objective + tiny curvature)
+    def f(x):
+        return jnp.sum(x) - 1e-30 * jnp.sum(x * x)
+
+    r = optimize_cg(f, jnp.zeros(4), precondition="jacobi",
+                    max_iterations=5)
+    # unbounded objective: exhausts iterations in-band, but every
+    # iterate must stay finite (no inf preconditioner ever applied)
+    assert np.isfinite(np.asarray(r.x)).all()
