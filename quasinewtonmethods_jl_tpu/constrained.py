@@ -72,7 +72,9 @@ class AugLagResult(NamedTuple):
     ``viol`` is the final KKT violation max(|eq|, |min(ineq, μ/ρ)|);
     ``eq``/``ineq`` the final constraint values ((0,) when absent);
     ``lam``/``mu`` the converged multipliers (the constraint shadow
-    prices); ``inner_status`` the last inner engine status."""
+    prices); ``inner_status`` the last inner engine status;
+    ``last_value`` is f(x) at the final iterate regardless of status
+    (the library-wide result convention)."""
 
     x: jax.Array
     fun: jax.Array
@@ -88,6 +90,7 @@ class AugLagResult(NamedTuple):
     iterations: jax.Array  # total inner iterations across outer rounds
     n_fev: jax.Array
     inner_status: jax.Array
+    last_value: jax.Array  # f(x) at the final iterate, any status
 
     @property
     def converged(self) -> jax.Array:
@@ -253,6 +256,7 @@ def _auglag_core(
         iterations=tot_it,
         n_fev=tot_fev,
         inner_status=inner_st,
+        last_value=fv,
     )
 
 
@@ -808,6 +812,7 @@ def _auglag_fleet_core(
         iterations=tot_it,
         n_fev=tot_fev,
         inner_status=inner_st,
+        last_value=fv,
     )
     if pad:
         res = jax.tree_util.tree_map(lambda a: a[:user_batch], res)

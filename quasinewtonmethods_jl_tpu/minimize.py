@@ -167,7 +167,9 @@ def minimize(
         )
         # lam/mu/viol/eq/ineq are convention-invariant (see docstring);
         # only the objective-valued fields flip
-        return res._replace(fun=-res.fun, grad=-res.grad)
+        return res._replace(
+            fun=-res.fun, grad=-res.grad, last_value=-res.last_value
+        )
 
     # ls=None resolves per engine: BackTracking() for the bfgs/lbfgs
     # family, the engine's own Wolfe(approx=True) for cg, nothing for tr

@@ -579,3 +579,24 @@ def test_fleet_per_lane_constraint_data():
         qnm.optimize_auglag(
             f, X0, ineq=disk, constraint_data=jnp.zeros(()),
         )
+
+
+def test_auglag_last_value_contract():
+    """last_value is f(x) at the final iterate regardless of status —
+    the library-wide result convention (finite where fun is NaN on an
+    exhausted budget; equal to fun on the certificate)."""
+    ok = qnm.optimize_auglag(_quad, jnp.zeros(2), eq=_h)
+    assert bool(ok.converged)
+    np.testing.assert_allclose(float(ok.last_value), float(ok.fun))
+    bad = qnm.optimize_auglag(
+        lambda z: -jnp.sum(z * z), jnp.zeros(1),
+        eq=lambda z: jnp.asarray([z[0] - 1.0, z[0] - 2.0]), max_outer=3,
+    )
+    assert np.isnan(float(bad.fun)) and np.isfinite(float(bad.last_value))
+    # fleet rank + minimize sign flip
+    fl = qnm.optimize_auglag(_quad, jnp.zeros((2, 2)), eq=_h)
+    np.testing.assert_allclose(np.asarray(fl.last_value),
+                               np.asarray(fl.fun))
+    mn = qnm.minimize(lambda z: (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2,
+                      jnp.zeros(2), eq=lambda z: z[0] + z[1] - 1.0)
+    np.testing.assert_allclose(float(mn.last_value), float(mn.fun))
